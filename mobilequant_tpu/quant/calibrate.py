@@ -1,0 +1,148 @@
+"""Calibration passes: activation scales/shifts and static activation ranges.
+
+TPU-native analogue of the reference's three hook-based drivers:
+  * ptq/generate_act_scale_shift.py — per-channel abs-max of linear inputs
+    (`act_scales`) and EMA(0.99) of per-channel midpoints (`act_shifts`);
+  * ptq/generate_act_range.py — per-site input/output/input2 min-max → act_dict;
+  * both become ONE jitted collect-mode forward (quant/qmodel.py mode="collect")
+    whose per-layer stats come back stacked from the scan — no hooks, no mutation.
+
+The merge rules across calibration batches follow the reference exactly:
+  min/max     — running min / running max        (generate_act_range.py:60-101)
+  act_scales  — running max of per-channel |x|   (generate_act_scale_shift.py:49-56)
+  act_shifts  — EMA: 0.99·prev + 0.01·(cmax+cmin)/2  (generate_act_scale_shift.py:108-111)
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mobilequant_tpu.models.config import ModelConfig
+from mobilequant_tpu.quant.policy import QPolicy, static_range_sites
+from mobilequant_tpu.quant.qmodel import qforward_hidden, ranges_from_stats
+
+EMA_DECAY = 0.99
+
+
+def _collect_one_batch(params, let, tokens, config, policy):
+    _, _, stats = qforward_hidden(params, {"let": let}, tokens, config, policy,
+                                  mode="collect")
+    return stats
+
+
+def run_calibration(params, tokens: np.ndarray, config: ModelConfig, policy: QPolicy,
+                    let: Optional[dict] = None, batch_size: int = 4):
+    """Run the calibration corpus through the FP model (optionally LET-transformed)
+    and return merged stats: stats[site][role] = {"min": (L,), "max": (L,),
+    ["cmin"/"cmax"/"cabsmax"/"cshift": (L, C)]}.
+
+    tokens: (N, T) int array of calibration sequences.
+    """
+    # policy is a plain dict (unhashable) — close over config+policy
+    collect = jax.jit(lambda p, l, t: _collect_one_batch(p, l, t, config, policy))
+
+    merged = None
+    n = tokens.shape[0]
+    for i in range(0, n, batch_size):
+        batch = jnp.asarray(tokens[i:i + batch_size], jnp.int32)
+        stats = jax.device_get(collect(params, let, batch))
+        if merged is None:
+            merged = {s: {r: dict(e) for r, e in roles.items()}
+                      for s, roles in stats.items()}
+            for s, roles in merged.items():
+                for r, e in roles.items():
+                    if "cmin" in e:
+                        e["cabsmax"] = np.maximum(np.abs(e["cmin"]), np.abs(e["cmax"]))
+                        e["cshift"] = (e["cmax"] + e["cmin"]) / 2.0
+        else:
+            for s, roles in stats.items():
+                for r, e in roles.items():
+                    m = merged[s][r]
+                    m["min"] = np.minimum(m["min"], e["min"])
+                    m["max"] = np.maximum(m["max"], e["max"])
+                    if "cmin" in e:
+                        cab = np.maximum(np.abs(e["cmin"]), np.abs(e["cmax"]))
+                        m["cabsmax"] = np.maximum(m["cabsmax"], cab)
+                        mid = (e["cmax"] + e["cmin"]) / 2.0
+                        m["cshift"] = EMA_DECAY * m["cshift"] + (1 - EMA_DECAY) * mid
+                        m["cmin"] = np.minimum(m["cmin"], e["cmin"])
+                        m["cmax"] = np.maximum(m["cmax"], e["cmax"])
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# Derivations from merged stats
+# ---------------------------------------------------------------------------
+
+def stats_to_ranges(stats: dict, policy: QPolicy) -> dict:
+    """Static activation ranges (LRL-learnable scale/offset leaves)."""
+    mm = {s: {r: (jnp.asarray(e["min"]), jnp.asarray(e["max"]))
+              for r, e in roles.items()} for s, roles in stats.items()}
+    return ranges_from_stats(mm, policy)
+
+
+def smooth_calib_inputs(stats: dict):
+    """(act_scales, act_shifts) keyed for quant/smooth.smoothquant_let_init:
+    per-layer (L, C) arrays for q_proj / w1 / o_proj / w2 inputs
+    (the keys ptq/smoothquant.py:117-139 reads)."""
+    key_map = {"q_proj": "self_attn.q_proj", "w1": "mlp.w1",
+               "o_proj": "self_attn.o_proj", "w2": "mlp.w2"}
+    act_scales, act_shifts = {}, {}
+    for short, site in key_map.items():
+        if site in stats and "input" in stats[site]:
+            e = stats[site]["input"]
+            act_scales[short] = jnp.asarray(e["cabsmax"])
+            act_shifts[short] = jnp.asarray(e["cshift"])
+    return act_scales, act_shifts
+
+
+def stats_to_act_dict(stats: dict, config: ModelConfig) -> dict:
+    """Reference-interchange act_dict.json: per-op {input/input2/output: [min, max]}
+    keyed by full module names (ref ptq/generate_act_range.py output schema)."""
+    out: dict = {}
+    for site, roles in stats.items():
+        for i in range(config.num_layers):
+            name = f"model.layers.{i}.{site}"
+            entry = out.setdefault(name, {})
+            for role, e in roles.items():
+                entry[role] = [float(np.asarray(e["min"])[i]),
+                               float(np.asarray(e["max"])[i])]
+    return out
+
+
+def act_dict_to_stats(act_dict: dict, config: ModelConfig) -> dict:
+    """Inverse: load a reference act_dict.json into stacked stats min/max."""
+    stats: dict = {}
+    for name, roles in act_dict.items():
+        parts = name.split(".")
+        if len(parts) < 4 or parts[0] != "model" or parts[1] != "layers":
+            continue
+        layer = int(parts[2])
+        site = ".".join(parts[3:])
+        for role, (mn, mx) in roles.items():
+            e = stats.setdefault(site, {}).setdefault(role, {})
+            e.setdefault("min", np.zeros(config.num_layers, np.float32))
+            e.setdefault("max", np.zeros(config.num_layers, np.float32))
+            e["min"][layer] = mn
+            e["max"][layer] = mx
+    return stats
+
+
+def ranges_to_act_dict(ranges: dict, policy: QPolicy, config: ModelConfig) -> dict:
+    """Export learned (LRL) ranges back to act_dict.json min/max — the analogue of
+    export_act_range (ref qmodule.py:908-946)."""
+    from mobilequant_tpu.quant.quantizer import min_max_from_scale_offset
+    out: dict = {}
+    for site, role, cfg in static_range_sites(policy):
+        r = ranges[site][role]
+        mn, mx = min_max_from_scale_offset(jnp.asarray(r["scale"]),
+                                           jnp.asarray(r["offset"]), cfg)
+        mn, mx = np.asarray(mn), np.asarray(mx)
+        for i in range(config.num_layers):
+            out.setdefault(f"model.layers.{i}.{site}", {})[role] = \
+                [float(mn[i]), float(mx[i])]
+    return out

@@ -1,0 +1,120 @@
+"""Quantizer-placement policy.
+
+The reference scatters quantizer wiring across three places: `create_sim_qmodel`
+(which ops get wrapped and which input quantizers are dropped, qmodule.py:835-865),
+`update_quant_cfg` (mixed-precision exceptions, ptq/mobilequant.py:175-203) and
+`ptq/generate_qcfg.py:85-113`. SURVEY.md §7.4 flags this as a hard part: encode it
+as ONE declarative table. This module is that table.
+
+Site naming (inside one decoder layer):
+  input_layernorm, post_attention_layernorm,
+  self_attn.{q_proj,k_proj,v_proj,o_proj,qk_bmm,pv_bmm},
+  mlp.{w1,w2,w3,act_fn}
+The final norm and lm_head are never quantized (ref qmodule.py:843-845).
+
+Key placement facts reproduced here:
+  * q/k/v/o/w1/w3 projections have NO input quantizer — their input is already the
+    quantized output of the preceding op (ref qmodule.py:848-858);
+  * w2 keeps an input quantizer (the gate-mul product) and gets per-channel weights
+    + 16-bit output (ref mobilequant.py:180-183);
+  * o_proj output is 16-bit (residual stream precision, ref mobilequant.py:184-185);
+  * norms: 16-bit input/weight, 8-bit output (ref mobilequant.py:186-190);
+  * qk_bmm output (softmax input) 16-bit unless use_8bit_softmax_input;
+    pv_bmm input (softmax output) 16-bit unless use_8bit_softmax_output
+    (ref mobilequant.py:191-195);
+  * qk_bmm.input2 / pv_bmm.input2 are the int8 KV-cache quantizers
+    (ref calibrate.py:246-281 derives the global K/V encodings from them);
+  * act_fn (SiLU): sigmoid output quantized as input2, product as output
+    (ref qmodule.py:691-753); GELU: output only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from mobilequant_tpu.models.config import ModelConfig
+from mobilequant_tpu.quant.quantizer import QuantConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class SiteQuant:
+    input: Optional[QuantConfig] = None
+    input2: Optional[QuantConfig] = None
+    weight: Optional[QuantConfig] = None
+    output: Optional[QuantConfig] = None
+
+    def roles(self):
+        for r in ("input", "input2", "weight", "output"):
+            if getattr(self, r) is not None:
+                yield r, getattr(self, r)
+
+
+QPolicy = dict  # site -> SiteQuant
+
+
+def default_policy(config: ModelConfig,
+                   weight_qcfg: QuantConfig = QuantConfig(bitwidth=8),
+                   act_qcfg: QuantConfig = QuantConfig(bitwidth=8),
+                   use_8bit_softmax_input: bool = False,
+                   use_8bit_softmax_output: bool = False) -> QPolicy:
+    """The reference's default mixed-precision W8A8/W4A8 policy as one table."""
+    a8 = act_qcfg
+    # ">16 bits" disables a quantizer; keep the 16-bit exception slots disabled too
+    # when the caller asks for a no-quant policy (bitwidth 32 acts/weights)
+    a16 = act_qcfg if act_qcfg.bitwidth > 16 else act_qcfg.replace(bitwidth=16)
+    w = weight_qcfg
+    w_pc = weight_qcfg.replace(is_per_channel=True)
+    # norm "weights" are quantized with a 16-bit per-tensor asymmetric quantizer
+    # (ref mobilequant.py:186-190 forces bitwidth 16, asym, per-tensor)
+    norm_w16 = (weight_qcfg if weight_qcfg.bitwidth > 16
+                else QuantConfig(bitwidth=16, is_symmetric=False, is_per_channel=False))
+
+    qk_out = a8 if use_8bit_softmax_input else a16
+    pv_in = a8 if use_8bit_softmax_output else a16
+
+    policy = {
+        "input_layernorm": SiteQuant(input=a16, weight=norm_w16, output=a8),
+        "self_attn.q_proj": SiteQuant(weight=w, output=a8),
+        "self_attn.k_proj": SiteQuant(weight=w, output=a8),
+        "self_attn.v_proj": SiteQuant(weight=w, output=a8),
+        "self_attn.qk_bmm": SiteQuant(input=a8, input2=a8, output=qk_out),
+        "self_attn.pv_bmm": SiteQuant(input=pv_in, input2=a8, output=a8),
+        "self_attn.o_proj": SiteQuant(weight=w, output=a16),
+        "mlp.w1": SiteQuant(weight=w, output=a8),
+        "mlp.w2": SiteQuant(input=a8, weight=w_pc, output=a16),
+    }
+    if not config.shared_attention_norm:
+        policy["post_attention_layernorm"] = SiteQuant(input=a16, weight=norm_w16, output=a8)
+    if config.num_linears_per_mlp == 3:
+        policy["mlp.w3"] = SiteQuant(weight=w, output=a8)
+    if config.hidden_act == "silu":
+        policy["mlp.act_fn"] = SiteQuant(input2=a8, output=a8)
+    else:  # gelu variants: output-only (ref QGELU, qmodule.py:756-799)
+        policy["mlp.act_fn"] = SiteQuant(output=a8)
+    return policy
+
+
+def policy_to_dict(policy: QPolicy) -> dict:
+    """Serialize in the reference's default_qcfg.json per-site schema."""
+    return {site: {role: cfg.to_dict() for role, cfg in sq.roles()}
+            for site, sq in policy.items()}
+
+
+def policy_from_dict(d: dict) -> QPolicy:
+    out = {}
+    for site, roles in d.items():
+        kw = {role: QuantConfig.from_dict(cfg) for role, cfg in roles.items()}
+        out[site] = SiteQuant(**kw)
+    return out
+
+
+def static_range_sites(policy: QPolicy):
+    """(site, role) pairs that need static activation scale/offset state —
+    every activation quantizer that is enabled and not dynamic."""
+    for site, sq in policy.items():
+        for role, cfg in sq.roles():
+            if role == "weight":
+                continue
+            if cfg.enabled and not cfg.is_dynamic:
+                yield site, role, cfg

@@ -1,0 +1,300 @@
+"""MobileQuant optimization loops: e2equant (joint end-to-end) and omniquant (layerwise).
+
+TPU-native re-design of reference algorithm.py:381-787. Differences by construction:
+  * The reference pipelines layers across GPUs with forward-pre-hook tensor moves
+    (parallel_utils.py) because a single GPU can't hold the whole fp32 graph; here
+    the entire training step is ONE jitted function — shard it over a Mesh with
+    pjit instead (mobilequant_tpu/parallel) when it outgrows a chip.
+  * LET reparameterization is pure math in the forward (quant/smooth.apply_let);
+    no temp_weight mutation, no parameter surgery between epochs.
+  * AMP machinery (NativeScalerWithGradNormCount, optim.py) is unnecessary: the
+    reference trains 8-bit in fp32 with AMP off anyway (mobilequant.py --deactive_amp,
+    see SURVEY.md §7.4), and TPUs run fp32/bf16 natively.
+
+Faithful pieces:
+  * three param groups with independent cosine-decayed LRs + linear warmup
+    (ref get_lr, algorithm.py:296-307; defaults from experiments/w8a8/main:
+    LET 1e-3→1e-4, LWC 1e-2→1e-3, LRL 1e-6→1e-7);
+  * objective: MSE between FP-teacher and fake-quant final hidden states, computed
+    *before* the (unquantized) final norm (ref LayerList.forward :313-322, loss
+    :745);
+  * teacher activations computed once and cached (ref fp_inps, :673-688);
+  * per-epoch checkpointing of the quant state (ref parameters.pth, :762-763);
+  * non-finite loss circuit breaker (ref :748-750 drops into pdb; we raise).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mobilequant_tpu.models.config import ModelConfig
+from mobilequant_tpu.models import model as M
+from mobilequant_tpu.quant.policy import QPolicy
+from mobilequant_tpu.quant import qmodel, smooth
+from mobilequant_tpu.quant.quantizer import clip_weight_to_learned_bounds
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    epochs: int = 60
+    batch_size: int = 1
+    let_lr: float = 1e-3
+    let_min_lr: float = 1e-4
+    lwc_lr: float = 1e-2
+    lwc_min_lr: float = 1e-3
+    lrl_lr: float = 1e-6
+    lrl_min_lr: float = 1e-7
+    warmup_frac: float = 0.0
+    use_let: bool = True
+    use_lwc: bool = True
+    use_lrl: bool = True
+    grad_clip: Optional[float] = None
+    log_every: int = 50
+
+
+def _cosine_lr(max_lr, min_lr, warmup_iters, max_iters):
+    """Reference get_lr (algorithm.py:296-307) as an optax schedule."""
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = jnp.where(warmup_iters > 0, max_lr * step / jnp.maximum(warmup_iters, 1), max_lr)
+        decay_ratio = (step - warmup_iters) / jnp.maximum(max_iters - warmup_iters, 1)
+        decay_ratio = jnp.clip(decay_ratio, 0.0, 1.0)
+        coeff = 0.5 * (1.0 + jnp.cos(jnp.pi * decay_ratio))
+        cos = min_lr + coeff * (max_lr - min_lr)
+        return jnp.where(step < warmup_iters, warm, cos)
+    return schedule
+
+
+def _make_optimizer(tc: TrainConfig, total_steps: int):
+    warmup = int(tc.warmup_frac * total_steps)
+
+    def group(max_lr, min_lr):
+        tx = optax.adamw(_cosine_lr(max_lr, min_lr, warmup, total_steps),
+                         weight_decay=0.0)
+        if tc.grad_clip is not None:
+            tx = optax.chain(optax.clip_by_global_norm(tc.grad_clip), tx)
+        return tx
+
+    return optax.multi_transform(
+        {"let": group(tc.let_lr, tc.let_min_lr),
+         "lwc": group(tc.lwc_lr, tc.lwc_min_lr),
+         "ranges": group(tc.lrl_lr, tc.lrl_min_lr)},
+        param_labels=lambda tree: {k: jax.tree.map(lambda _: k, v)
+                                   for k, v in tree.items()},
+    )
+
+
+def init_qstate(params, config: ModelConfig, policy: QPolicy, tc: TrainConfig,
+                ranges: dict, let: Optional[dict] = None) -> dict:
+    """Assemble the trainable quant state. `ranges` comes from calibration
+    (quant/calibrate.stats_to_ranges); `let` optionally from SmoothQuant init."""
+    qstate = {}
+    if tc.use_let:
+        qstate["let"] = let if let is not None else smooth.let_init(config)
+    if tc.use_lwc:
+        qstate["lwc"] = qmodel.lwc_init_all(params, policy)
+    # ranges are always needed for static activation quant; LRL decides whether
+    # they are *trained* (ref --lrl flag sets them as Parameters, mobilequant.py:205-211)
+    qstate["ranges"] = ranges
+    return qstate
+
+
+def e2equant(params, qstate, tokens: np.ndarray, config: ModelConfig,
+             policy: QPolicy, tc: TrainConfig = TrainConfig(),
+             logger=None, checkpoint_cb: Optional[Callable[[int, dict], None]] = None):
+    """Joint end-to-end optimization of LET+LWC+LRL against FP teacher hiddens
+    (ref e2equant, algorithm.py:587-787). Returns (qstate, loss_history).
+
+    tokens: (N, T) calibration sequences.
+    """
+    n = tokens.shape[0]
+    steps_per_epoch = max(n // tc.batch_size, 1)
+    total_steps = tc.epochs * steps_per_epoch
+    opt = _make_optimizer(tc, total_steps)
+
+    trainable_keys = [k for k in ("let", "lwc", "ranges") if k in qstate
+                      and (k != "ranges" or tc.use_lrl)]
+    static_state = {k: v for k, v in qstate.items() if k not in trainable_keys}
+    trainable = {k: qstate[k] for k in trainable_keys}
+    opt_state = opt.init(trainable)
+
+    @jax.jit
+    def teacher(tok):
+        h, _, _ = M.forward_hidden(params, tok, config, apply_final_norm=False)
+        return h
+
+    @jax.jit
+    def train_step(trainable, opt_state, tok, fp_h):
+        def loss_fn(tr):
+            qs = {**static_state, **tr}
+            qh, _, _ = qmodel.qforward_hidden(params, qs, tok, config, policy,
+                                              apply_final_norm=False)
+            return jnp.mean(jnp.square(qh - fp_h))
+
+        loss, grads = jax.value_and_grad(loss_fn)(trainable)
+        updates, opt_state = opt.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, loss
+
+    # teacher activations cached once (ref fp_inps, algorithm.py:673-688)
+    fp_hidden = []
+    for i in range(0, n, tc.batch_size):
+        tok = jnp.asarray(tokens[i:i + tc.batch_size], jnp.int32)
+        fp_hidden.append(jax.device_get(teacher(tok)))
+
+    history = []
+    for epoch in range(tc.epochs):
+        epoch_losses = []
+        for bi, i in enumerate(range(0, n, tc.batch_size)):
+            tok = jnp.asarray(tokens[i:i + tc.batch_size], jnp.int32)
+            fp_h = jnp.asarray(fp_hidden[bi])
+            trainable, opt_state, loss = train_step(trainable, opt_state, tok, fp_h)
+            loss = float(loss)
+            if not math.isfinite(loss):
+                raise FloatingPointError(
+                    f"non-finite loss at epoch {epoch} step {bi} (ref algorithm.py:748)")
+            epoch_losses.append(loss)
+        mean_loss = float(np.mean(epoch_losses))
+        history.append(mean_loss)
+        if logger is not None:
+            logger.info(f"[e2equant] epoch {epoch + 1}/{tc.epochs} loss {mean_loss:.6e}")
+        if checkpoint_cb is not None:
+            checkpoint_cb(epoch, {**static_state, **trainable})
+
+    return {**static_state, **trainable}, history
+
+
+def finalize(params, qstate, config: ModelConfig, policy: QPolicy) -> tuple[dict, dict]:
+    """Fold LET into the weights and clamp them into the learned LWC bounds — the
+    analogue of smooth_lm_inplace + run_lwc at end of training (ref algorithm.py:
+    148-188). Returns (params', qstate') where qstate' has let/lwc removed (spent)
+    and keeps the learned ranges."""
+    let = qstate.get("let")
+    if let is not None:
+        # truncate scales exactly as the reference does before folding (ref :150-153)
+        let = {k: (smooth.truncate_scale(v) if k.endswith("scale") else v)
+               for k, v in let.items()}
+        params = smooth.fold_let(params, let, config)
+    lwc = qstate.get("lwc")
+    if lwc is not None:
+        layers = dict(params["layers"])
+        for site, bounds in lwc.items():
+            pkey = qmodel.SITE_TO_PARAM[site]
+            wq = policy[site].weight
+            clip = jax.vmap(lambda w, up, low: clip_weight_to_learned_bounds(
+                w, wq, {"up": up, "low": low}))
+            entry = dict(layers[pkey])
+            entry["w"] = clip(layers[pkey]["w"], bounds["up"], bounds["low"])
+            layers[pkey] = entry
+        params = {**params, "layers": layers}
+    out_state = {"ranges": qstate["ranges"]}
+    return params, out_state
+
+
+# ---------------------------------------------------------------------------
+# Layerwise mode (OmniQuant-style, ref algorithm.py:381-584)
+# ---------------------------------------------------------------------------
+
+def omniquant(params, qstate, tokens: np.ndarray, config: ModelConfig,
+              policy: QPolicy, tc: TrainConfig = TrainConfig(), logger=None):
+    """Layer-by-layer optimization: each layer's quant params are trained against
+    that layer's FP outputs, then the quantized activations propagate to the next
+    layer (ref Catcher + per-layer loop, algorithm.py:413-584).
+
+    Functionally we never materialize a Catcher: layer-0 inputs are just the
+    embedding outputs (+ rope/mask recomputed per layer call).
+    """
+    c = config
+    n = tokens.shape[0]
+    T = tokens.shape[1]
+    steps_per_epoch = max(n // tc.batch_size, 1)
+    total_steps = tc.epochs * steps_per_epoch
+
+    tok_all = jnp.asarray(tokens, jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(T)[None, :], tokens.shape)
+
+    @jax.jit
+    def embed(tok):
+        x = params["embed"]["w"][tok]
+        if c.normalize_embed:
+            x = x * jnp.asarray(math.sqrt(c.hidden_size), x.dtype)
+        return x
+
+    def layer_apply(lp, extras, x, quantized: bool):
+        B = x.shape[0]
+        p = pos[:B]
+        cos, sin = M.rope_cos_sin(p, c, x.dtype)
+        mask = M.causal_mask(p, T, c.neg_inf).astype(x.dtype)
+        ops = qmodel.QuantOps(policy, c, "sim") if quantized else M.Ops()
+        if hasattr(ops, "begin_layer"):
+            ops.begin_layer(extras)
+        out, _ = M.decoder_layer(ops, lp, x, cos, sin, mask, c)
+        return out
+
+    fp_apply = jax.jit(lambda lp, x: layer_apply(lp, None, x, False))
+    q_apply = jax.jit(lambda lp, extras, x: layer_apply(lp, extras, x, True))
+
+    fp_inps = np.stack([np.asarray(embed(tok_all[i])) for i in range(n)])  # (n,T,D)
+    quant_inps = fp_inps.copy()
+
+    trainable_keys = [k for k in ("let", "lwc", "ranges") if k in qstate
+                      and (k != "ranges" or tc.use_lrl)]
+    final_state = jax.tree.map(lambda a: a, qstate)
+
+    opt = _make_optimizer(tc, total_steps)
+
+    # one jitted step reused across layers (identical shapes → single compile)
+    @jax.jit
+    def step(lp, static_state, trainable, opt_state, x, y):
+        def loss_fn(tr):
+            out = layer_apply(lp, {**static_state, **tr}, x, True)
+            return jnp.mean(jnp.square(out - y))
+        loss, grads = jax.value_and_grad(loss_fn)(trainable)
+        updates, opt_state = opt.update(grads, opt_state, trainable)
+        return optax.apply_updates(trainable, updates), opt_state, loss
+
+    for li in range(c.num_layers):
+        lp = jax.tree.map(lambda a: a[li], params["layers"])
+        layer_state = {k: jax.tree.map(lambda a: a[li], qstate[k]) for k in qstate}
+        trainable = {k: layer_state[k] for k in trainable_keys}
+        static_state = {k: v for k, v in layer_state.items() if k not in trainable_keys}
+
+        # FP teacher outputs for this layer
+        fp_out = np.stack([np.asarray(fp_apply(lp, jnp.asarray(fp_inps[i:i + 1])))[0]
+                           for i in range(n)])
+
+        opt_state = opt.init(trainable)
+        last = None
+        for epoch in range(tc.epochs):
+            for i in range(0, n, tc.batch_size):
+                x = jnp.asarray(quant_inps[i:i + tc.batch_size])
+                y = jnp.asarray(fp_out[i:i + tc.batch_size])
+                trainable, opt_state, loss = step(lp, static_state, trainable,
+                                                  opt_state, x, y)
+                last = float(loss)
+                if not math.isfinite(last):
+                    raise FloatingPointError(f"non-finite loss, layer {li}")
+        if logger is not None:
+            logger.info(f"[omniquant] layer {li} final loss {last:.6e}")
+
+        # write the layer's trained state back into the stacked tree
+        merged = {**static_state, **trainable}
+        for k in merged:
+            final_state[k] = jax.tree.map(
+                lambda full, one: full.at[li].set(one), final_state[k], merged[k])
+
+        # propagate quantized activations (ref algorithm.py:569-573)
+        extras = merged
+        quant_inps = np.stack([
+            np.asarray(q_apply(lp, extras, jnp.asarray(quant_inps[i:i + 1])))[0]
+            for i in range(n)])
+        fp_inps = fp_out
+
+    return final_state, None

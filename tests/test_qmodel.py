@@ -1,0 +1,105 @@
+"""Fake-quant simulation model tests: placement, calibration, range behaviour."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mobilequant_tpu.models import get_config
+from mobilequant_tpu.models import model as M
+from mobilequant_tpu.quant.policy import default_policy, policy_to_dict, policy_from_dict
+from mobilequant_tpu.quant.quantizer import QuantConfig
+from mobilequant_tpu.quant import qmodel, calibrate
+
+
+def _setup(name="test-llama", w_bits=8, a_bits=8, **pol_kw):
+    cfg = get_config(name)
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    policy = default_policy(cfg, QuantConfig(bitwidth=w_bits),
+                            QuantConfig(bitwidth=a_bits), **pol_kw)
+    tokens = np.random.default_rng(0).integers(0, cfg.vocab_size, (4, 16)).astype(np.int32)
+    return cfg, params, policy, tokens
+
+
+def test_collect_mode_is_fp_identical():
+    cfg, params, policy, tokens = _setup()
+    t = jnp.asarray(tokens)
+    fp, _ = M.forward(params, t, cfg)
+    q, _, stats = qmodel.qforward(params, None, t, cfg, policy, mode="collect")
+    np.testing.assert_allclose(np.asarray(q), np.asarray(fp), rtol=1e-5, atol=1e-6)
+    assert stats is not None
+    # per-layer stacked stats for the KV-cache encodings
+    assert stats["self_attn.qk_bmm"]["input2"]["min"].shape == (cfg.num_layers,)
+    # per-channel input stats for SmoothQuant init
+    assert stats["self_attn.q_proj"]["input"]["cmin"].shape == (cfg.num_layers, cfg.hidden_size)
+
+
+def test_calibrated_sim_close_to_fp():
+    """W8A8 static fake-quant after one calibration pass must track FP closely on
+    the calibration data itself (the reference's SmoothQuant-baseline sanity)."""
+    cfg, params, policy, tokens = _setup()
+    stats = calibrate.run_calibration(params, tokens, cfg, policy, batch_size=2)
+    ranges = calibrate.stats_to_ranges(stats, policy)
+    t = jnp.asarray(tokens[:2])
+    fp, _ = M.forward(params, t, cfg)
+    q, _, _ = qmodel.qforward(params, {"ranges": ranges}, t, cfg, policy)
+    fp, q = np.asarray(fp), np.asarray(q)
+    # correlation-style check: quant error should be small relative to signal
+    rel = np.linalg.norm(q - fp) / np.linalg.norm(fp)
+    assert rel < 0.15, rel
+
+
+def test_w4_per_channel_policy_runs():
+    cfg, params, policy, tokens = _setup(
+        w_bits=4)
+    policy = default_policy(cfg, QuantConfig(bitwidth=4, is_per_channel=True, is_symmetric=True),
+                            QuantConfig(bitwidth=8))
+    stats = calibrate.run_calibration(params, tokens[:2], cfg, policy, batch_size=2)
+    ranges = calibrate.stats_to_ranges(stats, policy)
+    q, _, _ = qmodel.qforward(params, {"ranges": ranges}, jnp.asarray(tokens[:1]), cfg, policy)
+    assert np.isfinite(np.asarray(q)).all()
+
+
+def test_act_dict_roundtrip():
+    cfg, params, policy, tokens = _setup()
+    stats = calibrate.run_calibration(params, tokens[:2], cfg, policy, batch_size=2)
+    act_dict = calibrate.stats_to_act_dict(stats, cfg)
+    # reference-style keys present
+    assert "model.layers.0.self_attn.qk_bmm" in act_dict
+    assert "input2" in act_dict["model.layers.0.self_attn.qk_bmm"]
+    back = calibrate.act_dict_to_stats(act_dict, cfg)
+    np.testing.assert_allclose(back["self_attn.qk_bmm"]["input2"]["min"],
+                               np.asarray(stats["self_attn.qk_bmm"]["input2"]["min"]),
+                               rtol=1e-6)
+
+
+def test_policy_dict_roundtrip():
+    cfg, _, policy, _ = _setup()
+    d = policy_to_dict(policy)
+    assert d["mlp.w2"]["weight"]["is_per_channel"] == "True"   # w2 per-channel rule
+    assert d["self_attn.o_proj"]["output"]["bitwidth"] == "16"  # o_proj 16-bit out
+    assert d["input_layernorm"]["input"]["bitwidth"] == "16"
+    p2 = policy_from_dict(d)
+    assert p2["mlp.w2"].weight.is_per_channel
+    assert policy_to_dict(p2) == d
+
+
+def test_lwc_and_lrl_gradients_flow_through_sim():
+    cfg, params, policy, tokens = _setup()
+    stats = calibrate.run_calibration(params, tokens[:2], cfg, policy, batch_size=2)
+    ranges = calibrate.stats_to_ranges(stats, policy)
+    lwc = qmodel.lwc_init_all(params, policy)
+    from mobilequant_tpu.quant import smooth
+    let = smooth.let_init(cfg)
+    t = jnp.asarray(tokens[:1])
+    fp, _ = M.forward(params, t, cfg)
+
+    def loss(qstate):
+        q, _, _ = qmodel.qforward(params, qstate, t, cfg, policy)
+        return jnp.mean(jnp.square(q - fp))
+
+    g = jax.grad(loss)({"ranges": ranges, "lwc": lwc, "let": let})
+    gmax = jax.tree.map(lambda a: float(jnp.max(jnp.abs(a))), g)
+    # at least one leaf in each group must receive gradient
+    assert any(v > 0 for v in jax.tree.leaves(gmax["let"]))
+    assert any(v > 0 for v in jax.tree.leaves(gmax["lwc"]))
+    assert any(v > 0 for v in jax.tree.leaves(gmax["ranges"]))
