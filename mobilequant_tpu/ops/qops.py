@@ -1,0 +1,146 @@
+"""Integer compute primitives (XLA path).
+
+These are the building blocks of the integer inference engine: real int8/int4
+storage and int32 MXU accumulation, numerically EXACT (up to fp32 rounding) to the
+fake-quant simulation — `(x_q-o_x)(w_q-o_w)·s_x·s_w ≡ fq(x)@fq(w)`. That identity
+is what makes the reference's fidelity ladder (sim ↔ device, ref export.py:433-437)
+hold tightly on TPU.
+
+Conventions:
+  * asymmetric uint8 values are stored shifted by −128 as int8 (MXU consumes
+    signed int8); the stored zero-point is shifted accordingly. This is exactly
+    the reference runtime's uint8 affine encoding (qnn_context.cpp:1040-1092
+    tf2any/any2tf) adapted to signed hardware.
+  * weights live as (in, out) int8 — or int4 (packed by XLA) for W4 — with
+    per-tensor or per-channel (1, out) fp32 scale and shifted offset, plus the
+    precomputed per-out-channel column-sum correction.
+
+The Pallas kernels in ops/pallas_matmul.py implement the same contracts with
+explicit VMEM staging/fusion; engine code switches by flag.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mobilequant_tpu.quant.quantizer import (
+    QuantConfig, scale_offset_from_min_max, weight_min_max,
+)
+
+
+def quantize_act(x, scale, offset):
+    """fp → shifted-int8 (stored uint8 domain − 128). scale/offset per-tensor."""
+    q = jnp.round(x.astype(jnp.float32) / scale) + offset
+    q = jnp.clip(q, 0.0, 255.0) - 128.0
+    return q.astype(jnp.int8)
+
+
+def dequantize_act(q_i8, scale, offset):
+    return (q_i8.astype(jnp.float32) + 128.0 - offset) * scale
+
+
+@dataclasses.dataclass(frozen=True)
+class PackSpec:
+    """Static description of one packed linear (hashable; closed over by jit)."""
+    bits: int = 8
+    per_channel: bool = False
+    symmetric: bool = False
+
+
+def pack_weight(w, qcfg: QuantConfig):
+    """Quantize an (in, out) fp weight to its integer representation.
+
+    Returns dict with:
+      wq      int8 (or int4 for 4-bit) shifted-signed values
+      scale   fp32 () or (1, out)
+      offset  fp32 shifted zero-point (same shape as scale)
+      colsum  fp32 per-out-channel sum of wq (for the activation-offset correction)
+    """
+    assert qcfg.group_size == -1, "grouped weights pack via per-channel sub-tiles"
+    mn, mx = weight_min_max(w, qcfg)
+    scale, offset = scale_offset_from_min_max(mn, mx, qcfg)
+    wf = w.astype(jnp.float32)
+    q = jnp.round(wf / scale) + offset
+    if qcfg.is_symmetric:
+        q = jnp.clip(q, qcfg.qmin, qcfg.qmax)
+        shift = 0.0
+    else:
+        half = 2 ** (qcfg.bitwidth - 1)
+        q = jnp.clip(q, 0, 2 ** qcfg.bitwidth - 1) - half
+        shift = float(half)
+    store_dtype = jnp.int4 if qcfg.bitwidth == 4 else jnp.int8
+    wq = q.astype(store_dtype)
+    colsum = jnp.sum(q.astype(jnp.float32), axis=0)  # (out,)
+    return {
+        "wq": wq,
+        "scale": jnp.asarray(scale, jnp.float32),
+        "offset": jnp.asarray(offset - shift, jnp.float32),
+        "colsum": colsum,
+    }
+
+
+def int_linear(x_q: jax.Array, x_scale, x_offset, pack: dict, bias,
+               k_dim: Optional[int] = None):
+    """Integer matmul with affine corrections → fp32 output.
+
+    x_q: (..., K) shifted-int8 activations with uint8-domain (scale, offset).
+    pack: from pack_weight. bias: (N,) fp32 or None.
+
+    out = s_x·s_w · [ acc − o'_x·colsum_w − o_w·rowsum_x + K·o'_x·o_w ] + bias
+    with o'_x = x_offset − 128 (shifted domain) and o_w already shifted.
+    """
+    K = x_q.shape[-1] if k_dim is None else k_dim
+    wq = pack["wq"]
+    acc = jax.lax.dot_general(
+        x_q, wq.astype(jnp.int8),
+        dimension_numbers=(((x_q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    ox = x_offset - 128.0
+    ow = jnp.reshape(pack["offset"], (-1,))   # (1,) or (N,)
+    sw = jnp.reshape(pack["scale"], (-1,))    # (1,) or (N,)
+    rowsum = jnp.sum(x_q.astype(jnp.int32), axis=-1, keepdims=True).astype(jnp.float32)
+    acc = acc - ox * pack["colsum"] - ow * rowsum + K * ox * ow
+    out = acc * (x_scale * sw)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def int_matmul_qk(q_i8, k_i8, q_scale, q_offset, k_scale, k_offset):
+    """Quantized Q·Kᵀ: q (B,T,Hkv,G,hd) × k (B,S,Hkv,hd) → fp32 (B,Hkv,G,T,S).
+
+    Affine-exact: (q-oq)(k-ok)·sq·sk with per-tensor encodings. rowsums computed
+    on the int values (cheap VPU reductions).
+    """
+    hd = q_i8.shape[-1]
+    acc = jnp.einsum("btkgh,bskh->bkgts", q_i8.astype(jnp.int8), k_i8.astype(jnp.int8),
+                     preferred_element_type=jnp.int32).astype(jnp.float32)
+    oq = q_offset - 128.0
+    ok = k_offset - 128.0
+    qsum = jnp.sum(q_i8.astype(jnp.int32), axis=-1).astype(jnp.float32)  # (B,T,Hkv,G)
+    ksum = jnp.sum(k_i8.astype(jnp.int32), axis=-1).astype(jnp.float32)  # (B,S,Hkv)
+    acc = (acc
+           - ok * jnp.transpose(qsum, (0, 2, 3, 1))[..., :, None]
+           - oq * jnp.transpose(ksum, (0, 2, 1))[:, :, None, None, :]
+           + hd * oq * ok)
+    return acc * (q_scale * k_scale)
+
+
+def int_matmul_pv(p, v_i8, v_scale, v_offset):
+    """P·V with int8 V: p fp32 (B,Hkv,G,T,S) × v (B,S,Hkv,hd) → (B,T,Hkv,G,hd).
+
+    v = (v_q+128-o_v)·s_v ⇒ P@V = (P@v_shifted − (o_v−128)·Σ_s P)·s_v; softmax rows
+    sum to 1 so Σ_s P = 1 (we keep the general form — masked prefill rows too).
+    """
+    vf = v_i8.astype(jnp.float32)
+    acc = jnp.einsum("bkgts,bskh->btkgh", p, vf)
+    psum = jnp.sum(p, axis=-1)                    # (B,Hkv,G,T)
+    ov = v_offset - 128.0
+    acc = acc - ov * jnp.transpose(psum, (0, 3, 1, 2))[..., None]
+    return acc * v_scale

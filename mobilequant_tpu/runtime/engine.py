@@ -1,0 +1,305 @@
+"""Integer inference engine — the TPU-native replacement of the reference's entire
+on-device stack (AIMET/ONNX/QNN export + capp C++ runtime, SURVEY.md L4+L6).
+
+Where the reference exports a fixed QNN graph (`qnn_model.bin`) and drives it
+token-by-token from C++ with host-side int8 KV scatter (llm.cpp:545-648), here the
+"export artifact" is a packed-int parameter pytree + jitted XLA executables:
+
+  pack()        — quantize finalized weights to int8/int4 (+ scales/corrections),
+                  bake 16-bit norm-weight quantization, freeze activation ranges;
+                  the analogue of qnn-context-binary-generator.
+  prefill()     — ONE batched pass over the whole prompt (the reference NPU graph
+                  processes 1 token/step even for prompts — a real batched prefill
+                  is the first structural TPU win).
+  decode_step() — single-token step with device-resident int8 KV-cache updated via
+                  lax.dynamic_update_slice (replaces the host uint8 memcpy loop,
+                  llm.cpp:573-595).
+  generate()    — prefill + jitted sampling loop (greedy/temperature/top-k/top-p).
+
+Numerics: every 8-bit matmul runs on the MXU in int8×int8→int32 with affine
+corrections (ops/qops.py) and is exactly the fake-quant sim's arithmetic; 16-bit
+policy sites apply fp fake-quant (cheap VPU, fused). The fidelity ladder
+FP ↔ sim ↔ engine is asserted in tests/test_engine.py, mirroring the reference's
+HTP-vs-sim allclose gate (export.py:433-437).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mobilequant_tpu.models.config import ModelConfig
+from mobilequant_tpu.models import model as M
+from mobilequant_tpu.ops import qops
+from mobilequant_tpu.quant.policy import QPolicy
+from mobilequant_tpu.quant.quantizer import QuantConfig, fake_quant
+
+
+class EngineKVCache(NamedTuple):
+    """int8 KV cache: k/v (L, B, S_max, Hkv, hd) in shifted-uint8 domain."""
+    k: jax.Array
+    v: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    model: ModelConfig
+    max_seq_len: int = 1024
+    weight_bits: int = 8
+    global_kv_encoding: bool = False   # reference uses one global K/V encoding
+                                       # across layers (calibrate.py:275-281);
+                                       # per-layer is strictly better on TPU
+    act_dtype: jnp.dtype = jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# Packing
+# ---------------------------------------------------------------------------
+
+_PROJ_SITES = {
+    "q_proj": "self_attn.q_proj", "k_proj": "self_attn.k_proj",
+    "v_proj": "self_attn.v_proj", "o_proj": "self_attn.o_proj",
+    "w1": "mlp.w1", "w2": "mlp.w2", "w3": "mlp.w3",
+}
+
+
+def pack(params: dict, ranges: dict, config: ModelConfig, policy: QPolicy,
+         ecfg: Optional[EngineConfig] = None) -> dict:
+    """Finalized (LET-folded, LWC-clamped) params + learned ranges → packed model."""
+    ecfg = ecfg or EngineConfig(model=config)
+    c = config
+
+    def pack_proj(pkey, site):
+        wq_cfg = policy[site].weight
+        entry = params["layers"][pkey]
+        packed = jax.vmap(lambda w: qops.pack_weight(w, wq_cfg))(entry["w"])
+        packed["bias"] = entry["b"].astype(jnp.float32)
+        return packed
+
+    layers = {}
+    for pkey, site in _PROJ_SITES.items():
+        if pkey in params["layers"]:
+            layers[pkey] = pack_proj(pkey, site)
+
+    # norm weights: bake the 16-bit weight quantization (policy norm_w16)
+    def bake_norm(nkey, site):
+        entry = params["layers"][nkey]
+        ncfg = policy[site].weight
+        if ncfg is not None and ncfg.enabled:
+            from mobilequant_tpu.quant.quantizer import fake_quant_weight
+            w = jax.vmap(lambda x: fake_quant_weight(x[None, :], ncfg)[0])(entry["w"])
+        else:
+            w = entry["w"]
+        return {"w": w.astype(jnp.float32), "b": entry["b"].astype(jnp.float32)}
+
+    layers["attn_norm"] = bake_norm("attn_norm", "input_layernorm")
+    if "mlp_norm" in params["layers"]:
+        layers["mlp_norm"] = bake_norm("mlp_norm", "post_attention_layernorm")
+
+    rr = jax.tree.map(jnp.asarray, ranges)
+    if ecfg.global_kv_encoding:
+        # single (scale, offset) per K and per V across layers: widen to the
+        # per-layer envelope exactly like ref calibrate.py:275-281
+        from mobilequant_tpu.quant.quantizer import (
+            min_max_from_scale_offset, scale_offset_from_min_max)
+        for site, role in (("self_attn.qk_bmm", "input2"), ("self_attn.pv_bmm", "input2")):
+            cfg8 = getattr(policy[site], role)
+            mn, mx = min_max_from_scale_offset(rr[site][role]["scale"],
+                                               rr[site][role]["offset"], cfg8)
+            s, o = scale_offset_from_min_max(jnp.min(mn), jnp.max(mx), cfg8)
+            L = rr[site][role]["scale"].shape[0]
+            rr[site][role] = {"scale": jnp.full((L,), s), "offset": jnp.full((L,), o)}
+
+    packed = {
+        "embed": params["embed"]["w"].astype(ecfg.act_dtype),
+        "layers": layers,
+        "ranges": rr,
+        "norm": {"w": params["norm"]["w"].astype(jnp.float32),
+                 "b": params["norm"]["b"].astype(jnp.float32)},
+    }
+    if not c.tie_word_embeddings:
+        packed["lm_head"] = {"w": params["lm_head"]["w"].astype(ecfg.act_dtype)}
+    return packed
+
+
+def init_kv_cache(ecfg: EngineConfig, batch_size: int) -> EngineKVCache:
+    c = ecfg.model
+    shape = (c.num_layers, batch_size, ecfg.max_seq_len, c.num_kv_heads, c.head_dim_)
+    # -128 == uint8 zero; exact value is irrelevant (masked out until written)
+    return EngineKVCache(k=jnp.full(shape, -128, jnp.int8),
+                        v=jnp.full(shape, -128, jnp.int8))
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _fq16(x, r, cfg: QuantConfig):
+    if cfg is None or not cfg.enabled:
+        return x
+    return fake_quant(x, r["scale"], r["offset"], cfg)
+
+
+def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
+                   config: ModelConfig, policy: QPolicy):
+    """One decoder layer on packed ints. lp/lr = this layer's packed params/ranges.
+    kv = (k8, v8) slices (B,S,Hkv,hd). Mirrors quant/qmodel.QuantOps order exactly."""
+    c = config
+    B, T, D = x.shape
+    hd, Hq, Hkv = c.head_dim_, c.num_heads, c.num_kv_heads
+    G = Hq // Hkv
+
+    def norm(x, nw, site):
+        x = _fq16(x, lr[site]["input"], policy[site].input)
+        xf = x.astype(jnp.float32)
+        if c.norm_class == "layernorm":
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+            y = (xf - mu) * jax.lax.rsqrt(var + c.norm_eps)
+        else:
+            y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + c.norm_eps)
+        return y * nw["w"] + nw["b"]
+
+    def out_q8(y, site):
+        """Quantize an op output to its int8 representation + keep fp view."""
+        r = lr[site]["output"]
+        y8 = qops.quantize_act(y, r["scale"], r["offset"])
+        return y8, r
+
+    # --- attention ---
+    h = norm(x, lp["attn_norm"], "input_layernorm")
+    h8, hr = out_q8(h, "input_layernorm")
+
+    def proj(pkey, site):
+        y = qops.int_linear(h8, hr["scale"], hr["offset"], lp[pkey], lp[pkey]["bias"])
+        return _fq16(y, lr[site]["output"], policy[site].output)
+
+    q = proj("q_proj", "self_attn.q_proj").reshape(B, T, Hq, hd)
+    k = proj("k_proj", "self_attn.k_proj").reshape(B, T, Hkv, hd)
+    v = proj("v_proj", "self_attn.v_proj").reshape(B, T, Hkv, hd)
+
+    q = M.apply_rope(q, cos, sin, c.rotary_dim)
+    k = M.apply_rope(k, cos, sin, c.rotary_dim)
+
+    qk = lr["self_attn.qk_bmm"]
+    pv = lr["self_attn.pv_bmm"]
+    q8 = qops.quantize_act(q, qk["input"]["scale"], qk["input"]["offset"])
+    k8_new = qops.quantize_act(k, qk["input2"]["scale"], qk["input2"]["offset"])
+    v8_new = qops.quantize_act(v, pv["input2"]["scale"], pv["input2"]["offset"])
+
+    k_cache, v_cache = kv
+    if cache_position is not None:
+        upd = jax.vmap(lambda cache, new, start: jax.lax.dynamic_update_slice(
+            cache, new, (start, 0, 0)))
+        k_all = upd(k_cache, k8_new, cache_position)
+        v_all = upd(v_cache, v8_new, cache_position)
+    else:
+        k_all, v_all = k8_new, v8_new
+
+    qg = q8.reshape(B, T, Hkv, G, hd)
+    scores = qops.int_matmul_qk(qg, k_all,
+                                qk["input"]["scale"], qk["input"]["offset"],
+                                qk["input2"]["scale"], qk["input2"]["offset"])
+    scores = _fq16(scores, qk["output"], policy["self_attn.qk_bmm"].output)
+    scores = scores / math.sqrt(hd) + mask[:, :, None, :, :]
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    probs = _fq16(probs, pv["input"], policy["self_attn.pv_bmm"].input)
+
+    attn = qops.int_matmul_pv(probs, v_all, pv["input2"]["scale"], pv["input2"]["offset"])
+    attn = attn.reshape(B, T, Hq * hd)
+    a8, ar = out_q8(attn, "self_attn.pv_bmm")
+    o = qops.int_linear(a8, ar["scale"], ar["offset"], lp["o_proj"], lp["o_proj"]["bias"])
+    o = _fq16(o, lr["self_attn.o_proj"]["output"], policy["self_attn.o_proj"].output)
+
+    resid = x + o
+    hidden = h if c.parallel_residual else resid
+
+    # --- mlp ---
+    if "mlp_norm" in lp:
+        h2 = norm(hidden, lp["mlp_norm"], "post_attention_layernorm")
+        h28, h2r = out_q8(h2, "post_attention_layernorm")
+    else:
+        h28, h2r = h8, hr
+
+    g1 = qops.int_linear(h28, h2r["scale"], h2r["offset"], lp["w1"], lp["w1"]["bias"])
+    g1 = _fq16(g1, lr["mlp.w1"]["output"], policy["mlp.w1"].output)
+    if c.hidden_act == "silu":
+        sig = jax.nn.sigmoid(g1)
+        af = lr["mlp.act_fn"]
+        if "input2" in af:
+            sig = _fq16(sig, af["input2"], policy["mlp.act_fn"].input2)
+        act = g1 * sig
+    elif c.hidden_act == "gelu_tanh":
+        act = jax.nn.gelu(g1, approximate=True)
+    else:
+        act = jax.nn.gelu(g1, approximate=False)
+    act = _fq16(act, lr["mlp.act_fn"]["output"], policy["mlp.act_fn"].output)
+
+    if "w3" in lp:
+        g3 = qops.int_linear(h28, h2r["scale"], h2r["offset"], lp["w3"], lp["w3"]["bias"])
+        g3 = _fq16(g3, lr["mlp.w3"]["output"], policy["mlp.w3"].output)
+        act = act * g3
+
+    w2r = lr["mlp.w2"]["input"]
+    act8 = qops.quantize_act(act, w2r["scale"], w2r["offset"])
+    y = qops.int_linear(act8, w2r["scale"], w2r["offset"], lp["w2"], lp["w2"]["bias"])
+    y = _fq16(y, lr["mlp.w2"]["output"], policy["mlp.w2"].output)
+
+    return resid + y, (k_all, v_all)
+
+
+def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolicy,
+            positions=None, kv_cache: Optional[EngineKVCache] = None,
+            cache_position=None, kv_valid_len=None):
+    """Packed-int forward -> (logits, new_kv_cache)."""
+    c = config
+    B, T = tokens.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+    x = packed["embed"][tokens].astype(jnp.float32)
+    if c.normalize_embed:
+        x = x * math.sqrt(c.hidden_size)
+
+    cos, sin = M.rope_cos_sin(positions, c, jnp.float32)
+    S = kv_cache.k.shape[2] if kv_cache is not None else T
+    mask = M.causal_mask(positions, S, c.neg_inf, kv_valid_len)
+
+    def body(carry, xs):
+        h = carry
+        lp, lr, kv = xs["lp"], xs["lr"], xs.get("kv")
+        if kv is None:
+            kv = (None, None)
+        h, kv_new = _layer_forward(lp, lr, h, cos, sin, mask, kv,
+                                   cache_position, c, policy)
+        return h, kv_new
+
+    xs = {"lp": packed["layers"], "lr": packed["ranges"]}
+    if kv_cache is not None:
+        xs["kv"] = (kv_cache.k, kv_cache.v)
+    else:
+        # prefill without a cache object: keys/values come from the segment
+        xs["kv"] = (jnp.zeros((c.num_layers, B, T, c.num_kv_heads, c.head_dim_), jnp.int8),
+                    jnp.zeros((c.num_layers, B, T, c.num_kv_heads, c.head_dim_), jnp.int8))
+        cache_position = jnp.zeros((B,), jnp.int32)
+
+    h, kv_out = jax.lax.scan(body, x, xs)
+    new_cache = EngineKVCache(k=kv_out[0], v=kv_out[1])
+
+    # final norm + lm_head: unquantized (ref qmodule.py:843-845)
+    xf = h.astype(jnp.float32)
+    if c.norm_class == "layernorm":
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + c.norm_eps)
+    else:
+        y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + c.norm_eps)
+    y = y * packed["norm"]["w"] + packed["norm"]["b"]
+    head = packed["embed"].T if c.tie_word_embeddings else packed["lm_head"]["w"]
+    logits = y.astype(head.dtype) @ head
+    return logits, new_cache

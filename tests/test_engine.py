@@ -1,0 +1,136 @@
+"""Integer engine fidelity ladder: FP ↔ fake-quant sim ↔ packed-int engine.
+
+The engine↔sim rung is the TPU analogue of the reference's HTP-vs-GPU-sim gate
+(`np.testing.assert_allclose(qnn_outputs, sim_outputs, rtol=1e-1, atol=1e-3)`,
+ref device/export.py:433-437) — ours is far tighter because the integer math is
+bit-identical to the sim up to fp32 rounding.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mobilequant_tpu.models import get_config
+from mobilequant_tpu.models import model as M
+from mobilequant_tpu.ops import qops
+from mobilequant_tpu.quant.policy import default_policy
+from mobilequant_tpu.quant.quantizer import QuantConfig, fake_quant, fake_quant_weight, scale_offset_from_min_max
+from mobilequant_tpu.quant import calibrate, qmodel
+from mobilequant_tpu.runtime import engine as E
+from mobilequant_tpu.runtime.generate import Generator
+from mobilequant_tpu.runtime.sampling import SamplerConfig
+
+
+def test_int_linear_matches_fake_quant():
+    """int8 matmul with affine corrections == fq(x) @ fq(w) exactly."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(5, 32)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(32, 16)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    acfg = QuantConfig(bitwidth=8)
+    for wcfg in [QuantConfig(bitwidth=8), QuantConfig(bitwidth=8, is_per_channel=True),
+                 QuantConfig(bitwidth=8, is_symmetric=True),
+                 QuantConfig(bitwidth=4, is_per_channel=True, is_symmetric=True),
+                 QuantConfig(bitwidth=4, is_per_channel=True)]:
+        s, o = scale_offset_from_min_max(jnp.min(x), jnp.max(x), acfg)
+        ref = fake_quant(x, s, o, acfg) @ fake_quant_weight(w, wcfg) + b
+        pkg = qops.pack_weight(w, wcfg)
+        x8 = qops.quantize_act(x, s, o)
+        out = qops.int_linear(x8, s, o, pkg, b)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4, err_msg=str(wcfg))
+
+
+def _build(name="test-llama", w_bits=8, S=32):
+    cfg = get_config(name)
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    policy = default_policy(cfg, QuantConfig(bitwidth=w_bits,
+                                             is_per_channel=(w_bits == 4),
+                                             is_symmetric=(w_bits == 4)),
+                            QuantConfig(bitwidth=8))
+    tokens = np.random.default_rng(0).integers(0, cfg.vocab_size, (4, 16)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, policy, batch_size=4)
+    ranges = calibrate.stats_to_ranges(stats, policy)
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=S, weight_bits=w_bits)
+    packed = E.pack(params, ranges, cfg, policy, ecfg)
+    return cfg, params, policy, ranges, packed, ecfg, tokens
+
+
+@pytest.mark.parametrize("name,w_bits", [("test-llama", 8), ("test-llama", 4),
+                                         ("test-gemma", 8), ("test-stablelm", 8)],
+                         ids=["llama-w8", "llama-w4", "gemma-w8", "stablelm-w8"])
+def test_engine_matches_sim(name, w_bits):
+    cfg, params, policy, ranges, packed, ecfg, tokens = _build(name, w_bits)
+    t = jnp.asarray(tokens[:2])
+    sim_logits, _, _ = qmodel.qforward(params, {"ranges": ranges}, t, cfg, policy)
+    eng_logits, _ = E.forward(packed, t, cfg, policy)
+    sim_np, eng_np = np.asarray(sim_logits), np.asarray(eng_logits)
+    # fp32-rounding-level agreement (integer math is exact in real arithmetic)
+    rel = np.abs(eng_np - sim_np).max() / (np.abs(sim_np).max() + 1e-9)
+    assert rel < 2e-3, rel
+
+
+def test_engine_decode_matches_prefill():
+    """Token-by-token decode through the int8 KV cache == full prefill logits."""
+    cfg, params, policy, ranges, packed, ecfg, tokens = _build()
+    T = 10
+    t = jnp.asarray(tokens[:2, :T])
+    full, _ = E.forward(packed, t, cfg, policy)
+
+    cache = E.init_kv_cache(ecfg, 2)
+    outs = []
+    for i in range(T):
+        pos = jnp.full((2,), i, jnp.int32)
+        logits, cache = E.forward(packed, t[:, i:i + 1], cfg, policy,
+                                  positions=pos[:, None], kv_cache=cache,
+                                  cache_position=pos, kv_valid_len=pos + 1)
+        outs.append(np.asarray(logits[:, 0]))
+    dec = np.stack(outs, axis=1)
+    np.testing.assert_allclose(dec, np.asarray(full), rtol=1e-3, atol=1e-3)
+
+
+def test_generator_greedy_selfconsistent():
+    cfg, params, policy, ranges, packed, ecfg, tokens = _build()
+    gen = Generator(packed, cfg, policy, ecfg)
+    out, stats = gen.generate(tokens[:2, :8], max_new_tokens=6,
+                              sampler=SamplerConfig(greedy=True), return_stats=True)
+    assert out.shape == (2, 6)
+    assert (out >= 0).all() and (out < cfg.vocab_size).all()
+    assert stats["decode_tok_s"] > 0
+
+    # greedy decode must be reproducible
+    out2 = gen.generate(tokens[:2, :8], max_new_tokens=6,
+                        sampler=SamplerConfig(greedy=True))
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_global_kv_encoding_mode():
+    cfg = get_config("test-llama")
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    policy = default_policy(cfg, QuantConfig(bitwidth=8), QuantConfig(bitwidth=8))
+    tokens = np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 16)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, policy, batch_size=2)
+    ranges = calibrate.stats_to_ranges(stats, policy)
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=32, global_kv_encoding=True)
+    packed = E.pack(params, ranges, cfg, policy, ecfg)
+    # one global K encoding across layers (ref calibrate.py:275-281)
+    ks = np.asarray(packed["ranges"]["self_attn.qk_bmm"]["input2"]["scale"])
+    assert np.allclose(ks, ks[0])
+    logits, _ = E.forward(packed, jnp.asarray(tokens), cfg, policy)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_sampling_top_p_top_k():
+    from mobilequant_tpu.runtime.sampling import sample
+    logits = jnp.asarray([[0.0, 1.0, 2.0, 10.0]])
+    key = jax.random.PRNGKey(0)
+    # top_k=1 == greedy
+    t = sample(logits, key, SamplerConfig(temperature=1.0, top_k=1))
+    assert int(t[0]) == 3
+    # top_p tiny == greedy
+    t = sample(logits, key, SamplerConfig(temperature=1.0, top_p=0.01))
+    assert int(t[0]) == 3
+    # temperature sampling stays in-range
+    t = sample(logits, key, SamplerConfig(temperature=5.0))
+    assert 0 <= int(t[0]) < 4
