@@ -1,0 +1,276 @@
+// mqtpu native runtime: SentencePiece-style BPE tokenizer + samplers.
+//
+// TPU-native analogue of the reference's C++ on-device runtime pieces that are
+// not XLA's job (capp/src/llm.cpp: tokenizer :31-242, sampler :268-317,656-682).
+// Fresh design, not a port:
+//   * tokenizer.bin v1 (llama2.c layout: u32 max_token_len, then per token
+//     {f32 score, u32 len, bytes}) is read by streaming to EOF — no external
+//     vocab_size needed; v2 ("MQTK" magic + u32 vocab_size) is self-describing.
+//   * merge candidates use an O(1) hash map instead of qsort/bsearch.
+//   * samplers: argmax / temperature-multinomial / nucleus (top-p) / top-k,
+//     xoshiro256** RNG (the reference stubs top-p and uses xorshift).
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this image). Thread-safety: each
+// handle is independently usable from one thread; no globals besides the
+// per-thread error string.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <memory>
+#include <numeric>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+thread_local std::string g_error;
+
+void set_error(const std::string& msg) { g_error = msg; }
+
+// ---------------------------------------------------------------------------
+// Tokenizer
+// ---------------------------------------------------------------------------
+
+struct Tokenizer {
+    std::vector<std::string> pieces;
+    std::vector<float> scores;
+    std::unordered_map<std::string, int32_t> lookup;
+    uint32_t max_token_len = 0;
+    // byte-fallback base: pieces "<0xXX>" map bytes; llama-family vocabs place
+    // them at ids 3..258
+    int32_t byte_base = -1;
+    std::string decode_buf;
+
+    bool load(const char* path) {
+        FILE* f = std::fopen(path, "rb");
+        if (!f) { set_error(std::string("cannot open ") + path); return false; }
+        char magic[4] = {0};
+        if (std::fread(magic, 1, 4, f) != 4) {
+            std::fclose(f); set_error("truncated tokenizer file"); return false;
+        }
+        uint32_t vocab_size = 0;
+        bool v2 = std::memcmp(magic, "MQTK", 4) == 0;
+        if (v2) {
+            if (std::fread(&vocab_size, 4, 1, f) != 1 ||
+                std::fread(&max_token_len, 4, 1, f) != 1) {
+                std::fclose(f); set_error("truncated v2 header"); return false;
+            }
+        } else {
+            // v1: the 4 bytes we read were max_token_len
+            std::memcpy(&max_token_len, magic, 4);
+        }
+        while (true) {
+            float score;
+            uint32_t len;
+            if (std::fread(&score, 4, 1, f) != 1) break;   // EOF
+            if (std::fread(&len, 4, 1, f) != 1 || len > (1u << 20)) {
+                std::fclose(f); set_error("corrupt token record"); return false;
+            }
+            std::string piece(len, '\0');
+            if (len && std::fread(piece.data(), 1, len, f) != len) {
+                std::fclose(f); set_error("truncated token bytes"); return false;
+            }
+            scores.push_back(score);
+            pieces.push_back(std::move(piece));
+            if (v2 && pieces.size() == vocab_size) break;
+        }
+        std::fclose(f);
+        lookup.reserve(pieces.size() * 2);
+        for (size_t i = 0; i < pieces.size(); ++i)
+            lookup.emplace(pieces[i], static_cast<int32_t>(i));
+        // locate byte-fallback block
+        auto it = lookup.find("<0x00>");
+        if (it != lookup.end()) byte_base = it->second;
+        return true;
+    }
+
+    int32_t find(const std::string& s) const {
+        auto it = lookup.find(s);
+        return it == lookup.end() ? -1 : it->second;
+    }
+
+    // greedy highest-score pair merging over UTF-8 codepoint seeds
+    int encode(const char* text, int32_t* out, int max_out) const {
+        std::vector<int32_t> toks;
+        const auto* p = reinterpret_cast<const unsigned char*>(text);
+        std::string cp;
+        while (*p) {
+            cp.clear();
+            cp.push_back(static_cast<char>(*p));
+            // gather UTF-8 continuation bytes (cap at 4)
+            while ((p[1] & 0xC0) == 0x80 && cp.size() < 4) {
+                ++p;
+                cp.push_back(static_cast<char>(*p));
+            }
+            ++p;
+            int32_t id = find(cp);
+            if (id >= 0) {
+                toks.push_back(id);
+            } else if (byte_base >= 0) {
+                for (unsigned char b : cp)
+                    toks.push_back(byte_base + b);
+            }  // no byte fallback block: drop unknown codepoint
+        }
+        // iterative best-scoring merge
+        while (toks.size() >= 2) {
+            float best_score = -1e30f;
+            int32_t best_id = -1;
+            size_t best_at = 0;
+            for (size_t i = 0; i + 1 < toks.size(); ++i) {
+                const std::string cat = pieces[toks[i]] + pieces[toks[i + 1]];
+                int32_t id = find(cat);
+                if (id >= 0 && scores[id] > best_score) {
+                    best_score = scores[id];
+                    best_id = id;
+                    best_at = i;
+                }
+            }
+            if (best_id < 0) break;
+            toks[best_at] = best_id;
+            toks.erase(toks.begin() + best_at + 1);
+        }
+        int n = std::min<int>(toks.size(), max_out);
+        std::copy(toks.begin(), toks.begin() + n, out);
+        return static_cast<int>(toks.size());
+    }
+
+    const char* decode(int32_t token) {
+        if (token < 0 || token >= static_cast<int32_t>(pieces.size())) return "";
+        const std::string& piece = pieces[token];
+        if (byte_base >= 0 && token >= byte_base && token < byte_base + 256 &&
+            piece.size() == 6 && piece.rfind("<0x", 0) == 0) {
+            decode_buf.assign(1, static_cast<char>(token - byte_base));
+            return decode_buf.c_str();
+        }
+        return piece.c_str();
+    }
+};
+
+// ---------------------------------------------------------------------------
+// Sampler
+// ---------------------------------------------------------------------------
+
+struct Sampler {
+    uint64_t s[4];
+    float temperature;
+    float top_p;
+    int top_k;
+    std::vector<int> idx;
+
+    explicit Sampler(uint64_t seed, float temp, float tp, int tk)
+        : temperature(temp), top_p(tp), top_k(tk) {
+        // splitmix64 seeding of xoshiro256**
+        uint64_t z = seed + 0x9E3779B97F4A7C15ull;
+        for (auto& si : s) {
+            z += 0x9E3779B97F4A7C15ull;
+            uint64_t x = z;
+            x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ull;
+            x = (x ^ (x >> 27)) * 0x94D049BB133111EBull;
+            si = x ^ (x >> 31);
+        }
+    }
+
+    static uint64_t rotl(uint64_t x, int k) { return (x << k) | (x >> (64 - k)); }
+
+    uint64_t next() {
+        uint64_t result = rotl(s[1] * 5, 7) * 9;
+        uint64_t t = s[1] << 17;
+        s[2] ^= s[0]; s[3] ^= s[1]; s[1] ^= s[2]; s[0] ^= s[3];
+        s[2] ^= t; s[3] = rotl(s[3], 45);
+        return result;
+    }
+
+    float uniform() { return (next() >> 11) * (1.0f / 9007199254740992.0f); }
+
+    int sample(const float* logits, int n) {
+        if (temperature <= 0.0f)
+            return static_cast<int>(std::max_element(logits, logits + n) - logits);
+
+        idx.resize(n);
+        std::iota(idx.begin(), idx.end(), 0);
+        int cand = n;
+        if (top_k > 0 && top_k < n) {
+            std::partial_sort(idx.begin(), idx.begin() + top_k, idx.end(),
+                              [&](int a, int b) { return logits[a] > logits[b]; });
+            cand = top_k;
+        } else if (top_p < 1.0f) {
+            std::sort(idx.begin(), idx.end(),
+                      [&](int a, int b) { return logits[a] > logits[b]; });
+        }
+
+        // softmax over candidates at temperature
+        std::vector<double> probs(cand);
+        double mx = logits[idx[0]];
+        for (int i = 0; i < cand; ++i) mx = std::max(mx, (double)logits[idx[i]]);
+        double z = 0.0;
+        for (int i = 0; i < cand; ++i) {
+            probs[i] = std::exp(((double)logits[idx[i]] - mx) / temperature);
+            z += probs[i];
+        }
+        if (top_p < 1.0f) {
+            // nucleus: truncate to the smallest prefix with mass >= top_p
+            double acc = 0.0;
+            int cut = cand;
+            for (int i = 0; i < cand; ++i) {
+                acc += probs[i] / z;
+                if (acc >= top_p) { cut = i + 1; break; }
+            }
+            cand = cut;
+            z = 0.0;
+            for (int i = 0; i < cand; ++i) z += probs[i];
+        }
+        double r = uniform() * z;
+        double acc = 0.0;
+        for (int i = 0; i < cand; ++i) {
+            acc += probs[i];
+            if (r <= acc) return idx[i];
+        }
+        return idx[cand - 1];
+    }
+};
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+const char* mqtpu_last_error() { return g_error.c_str(); }
+
+void* mqtpu_tokenizer_load(const char* path) {
+    auto t = std::make_unique<Tokenizer>();
+    if (!t->load(path)) return nullptr;
+    return t.release();
+}
+
+int mqtpu_tokenizer_vocab_size(void* tk) {
+    return static_cast<int>(static_cast<Tokenizer*>(tk)->pieces.size());
+}
+
+int mqtpu_tokenizer_encode(void* tk, const char* text, int32_t* out, int max_out) {
+    return static_cast<Tokenizer*>(tk)->encode(text, out, max_out);
+}
+
+const char* mqtpu_tokenizer_decode(void* tk, int32_t token) {
+    return static_cast<Tokenizer*>(tk)->decode(token);
+}
+
+void mqtpu_tokenizer_free(void* tk) { delete static_cast<Tokenizer*>(tk); }
+
+void* mqtpu_sampler_new(uint64_t seed, float temperature, float top_p, int top_k) {
+    return new Sampler(seed, temperature, top_p, top_k);
+}
+
+int mqtpu_sampler_sample(void* s, const float* logits, int n) {
+    return static_cast<Sampler*>(s)->sample(logits, n);
+}
+
+void mqtpu_sampler_free(void* s) { delete static_cast<Sampler*>(s); }
+
+}  // extern "C"

@@ -1,0 +1,187 @@
+"""Mesh + sharding rules: tensor/data parallelism for training and inference.
+
+The reference's only parallelism is bin-packing decoder layers onto GPUs with
+forward-pre-hook `tensor.to()` moves (mobilellm/utils/parallel_utils.py) — purely
+sequential pipeline placement. The TPU-native replacement (SURVEY.md §2.3) is a
+`jax.sharding.Mesh` with ("dp", "tp") axes and NamedSharding annotations on the
+big tensors; GSPMD propagates the rest and inserts the all-reduce/all-gather
+collectives over ICI. No hand-written transport, no hooks.
+
+TP layout (Megatron-style, int8-aware):
+  * q/k/v/w1/w3 weights: shard the OUT axis over "tp"  (column parallel)
+  * o/w2 weights:        shard the IN axis over "tp"   (row parallel → psum)
+  * per-channel weight scales/offsets/colsums follow their out axis
+  * int8 KV cache: shard the kv-head axis over "tp" — attention is fully local
+    per head; the only tp collective per layer is the o_proj/w2 partial-sum
+    all-reduce (int32 partials stay on-chip; the reduce is fp32)
+  * embed/lm_head: shard the vocab axis (logits gather at the end)
+  * activations: batch over "dp", replicated over "tp"
+  * LET/LWC/LRL quant state: tiny — replicated, except per-channel LWC bounds
+    which follow their weight's out axis.
+
+Constraint: num_kv_heads % tp == 0 for cache sharding (tinyllama: 4; stablelm: 32;
+gemma: 1 → gemma shards only the MLP/vocab axes, attention stays replicated).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mobilequant_tpu.models.config import ModelConfig
+
+
+def make_mesh(dp: int = 1, tp: Optional[int] = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if tp is None:
+        tp = len(devices) // dp
+    assert dp * tp == len(devices), (dp, tp, len(devices))
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def _kv_heads_shardable(config: ModelConfig, tp: int) -> bool:
+    return config.num_kv_heads % tp == 0 and config.num_kv_heads >= tp
+
+
+def param_pspecs(params: dict, config: ModelConfig, mesh: Mesh) -> dict:
+    """PartitionSpec tree matching the model params pytree (stacked layers)."""
+    tp = mesh.shape["tp"]
+    attn_ok = _kv_heads_shardable(config, tp)
+
+    col = P(None, None, "tp")    # (L, in, out) shard out
+    row = P(None, "tp", None)    # (L, in, out) shard in
+    col_b = P(None, "tp")        # (L, out) bias of column-parallel
+    rep2 = P(None, None)
+    rep1 = P(None)
+
+    def proj(kind):
+        if kind == "col":
+            return {"w": col, "b": col_b}
+        if kind == "row":
+            return {"w": row, "b": rep2}
+        return {"w": P(None, None, None), "b": rep2}
+
+    attn_kind = ("col", "row") if attn_ok else ("rep", "rep")
+    specs_layers = {
+        "attn_norm": {"w": rep2, "b": rep2},
+        "q_proj": proj(attn_kind[0]), "k_proj": proj(attn_kind[0]),
+        "v_proj": proj(attn_kind[0]), "o_proj": proj(attn_kind[1]),
+        "w1": proj("col"), "w2": proj("row"),
+    }
+    if "mlp_norm" in params["layers"]:
+        specs_layers["mlp_norm"] = {"w": rep2, "b": rep2}
+    if "w3" in params["layers"]:
+        specs_layers["w3"] = proj("col")
+
+    specs = {
+        "embed": {"w": P("tp", None)},   # vocab-sharded
+        "layers": specs_layers,
+        "norm": {"w": rep1, "b": rep1},
+    }
+    if "lm_head" in params:
+        specs["lm_head"] = {"w": P(None, "tp")}
+    return specs
+
+
+def qstate_pspecs(qstate: dict, params_specs: dict, config: ModelConfig,
+                  mesh: Mesh) -> dict:
+    """Quant-state specs: replicate everything except per-channel LWC bounds,
+    which follow their weight's out axis."""
+    from mobilequant_tpu.quant.qmodel import SITE_TO_PARAM
+
+    def replicate(tree):
+        return jax.tree.map(lambda a: P(*([None] * a.ndim)), tree)
+
+    specs = {}
+    for key, sub in qstate.items():
+        if key == "lwc":
+            lwc_specs = {}
+            for site, bounds in sub.items():
+                pkey = SITE_TO_PARAM[site]
+                wspec = params_specs["layers"].get(pkey, {}).get("w")
+                # bounds: (L, 1, out) for per-channel, (L,) for per-tensor
+                out_axis = wspec[-1] if wspec is not None else None
+                lwc_specs[site] = jax.tree.map(
+                    lambda a: (P(None, None, out_axis) if a.ndim == 3
+                               else P(*([None] * a.ndim))), bounds)
+            specs[key] = lwc_specs
+        else:
+            specs[key] = replicate(sub)
+    return specs
+
+
+def packed_pspecs(packed: dict, config: ModelConfig, mesh: Mesh) -> dict:
+    """Specs for the integer engine's packed pytree (TP inference serving)."""
+    tp = mesh.shape["tp"]
+    attn_ok = _kv_heads_shardable(config, tp)
+
+    def proj(kind):
+        if kind == "col":
+            return {"wq": P(None, None, "tp"), "scale": _scale_spec("tp"),
+                    "offset": _scale_spec("tp"), "colsum": P(None, "tp"),
+                    "bias": P(None, "tp")}
+        if kind == "row":
+            return {"wq": P(None, "tp", None), "scale": _scale_spec(None),
+                    "offset": _scale_spec(None), "colsum": P(None, None),
+                    "bias": P(None, None)}
+        return {"wq": P(None, None, None), "scale": _scale_spec(None),
+                "offset": _scale_spec(None), "colsum": P(None, None),
+                "bias": P(None, None)}
+
+    def _scale_spec(axis):
+        # per-tensor scales are (L,); per-channel are (L, 1, out)
+        def f(a):
+            if a.ndim == 3:
+                return P(None, None, axis)
+            return P(None)
+        return f
+
+    # materialize callable specs against actual arrays
+    def build_proj(entry, kind):
+        template = proj(kind)
+        out = {}
+        for k, v in entry.items():
+            spec = template[k]
+            out[k] = spec(v) if callable(spec) else spec
+        return out
+
+    attn_kind = ("col", "row") if attn_ok else ("rep", "rep")
+    layers = {}
+    for pkey, entry in packed["layers"].items():
+        if pkey in ("attn_norm", "mlp_norm"):
+            layers[pkey] = {"w": P(None, None), "b": P(None, None)}
+        elif pkey in ("q_proj", "k_proj", "v_proj"):
+            layers[pkey] = build_proj(entry, attn_kind[0])
+        elif pkey == "o_proj":
+            layers[pkey] = build_proj(entry, attn_kind[1])
+        elif pkey in ("w1", "w3"):
+            layers[pkey] = build_proj(entry, "col")
+        elif pkey == "w2":
+            layers[pkey] = build_proj(entry, "row")
+
+    specs = {
+        "embed": P("tp", None),
+        "layers": layers,
+        "ranges": jax.tree.map(lambda a: P(*([None] * a.ndim)), packed["ranges"]),
+        "norm": {"w": P(None), "b": P(None)},
+    }
+    if "lm_head" in packed:
+        specs["lm_head"] = {"w": P(None, "tp")}
+    return specs
+
+
+def kv_cache_pspec(config: ModelConfig, mesh: Mesh):
+    """(L, B, S, Hkv, hd): batch over dp, kv heads over tp (if divisible)."""
+    tp = mesh.shape["tp"]
+    head_axis = "tp" if _kv_heads_shardable(config, tp) else None
+    return P(None, "dp", None, head_axis, None)
+
+
+def shard_tree(tree, specs, mesh: Mesh):
+    """device_put a pytree with NamedShardings from a spec tree."""
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), tree, specs)

@@ -1,0 +1,106 @@
+"""ctypes bindings for the C++ native runtime (csrc/mqtpu_runtime.cpp).
+
+Builds libmqtpu.so on first use with g++ (cached by source mtime). pybind11 is
+not available in this image, so the library exposes a plain C ABI.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+_CSRC = Path(__file__).resolve().parents[2] / "csrc"
+_LIB_PATH = _CSRC / "libmqtpu.so"
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build_if_needed() -> Path:
+    src = _CSRC / "mqtpu_runtime.cpp"
+    if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < src.stat().st_mtime:
+        subprocess.run(["make", "-C", str(_CSRC)], check=True,
+                       capture_output=True, text=True)
+    return _LIB_PATH
+
+
+def load_library() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    lib = ctypes.CDLL(str(_build_if_needed()))
+    lib.mqtpu_tokenizer_load.restype = ctypes.c_void_p
+    lib.mqtpu_tokenizer_load.argtypes = [ctypes.c_char_p]
+    lib.mqtpu_tokenizer_vocab_size.restype = ctypes.c_int
+    lib.mqtpu_tokenizer_vocab_size.argtypes = [ctypes.c_void_p]
+    lib.mqtpu_tokenizer_encode.restype = ctypes.c_int
+    lib.mqtpu_tokenizer_encode.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+    lib.mqtpu_tokenizer_decode.restype = ctypes.c_char_p
+    lib.mqtpu_tokenizer_decode.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.mqtpu_tokenizer_free.argtypes = [ctypes.c_void_p]
+    lib.mqtpu_sampler_new.restype = ctypes.c_void_p
+    lib.mqtpu_sampler_new.argtypes = [ctypes.c_uint64, ctypes.c_float,
+                                      ctypes.c_float, ctypes.c_int]
+    lib.mqtpu_sampler_sample.restype = ctypes.c_int
+    lib.mqtpu_sampler_sample.argtypes = [ctypes.c_void_p,
+                                         ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    lib.mqtpu_sampler_free.argtypes = [ctypes.c_void_p]
+    lib.mqtpu_last_error.restype = ctypes.c_char_p
+    _lib = lib
+    return lib
+
+
+class NativeTokenizer:
+    """SentencePiece-style BPE over a tokenizer.bin (v1 llama2.c layout or our
+    self-describing v2; see export/tokenizer_bin.py)."""
+
+    def __init__(self, path: str | Path):
+        self._lib = load_library()
+        self._h = self._lib.mqtpu_tokenizer_load(str(path).encode())
+        if not self._h:
+            raise RuntimeError(
+                f"tokenizer load failed: {self._lib.mqtpu_last_error().decode()}")
+
+    @property
+    def vocab_size(self) -> int:
+        return self._lib.mqtpu_tokenizer_vocab_size(self._h)
+
+    def encode(self, text: str, prefix=(), suffix=()) -> list[int]:
+        data = text.encode("utf-8")
+        max_out = len(data) + 16
+        buf = (ctypes.c_int32 * max_out)()
+        n = self._lib.mqtpu_tokenizer_encode(self._h, data, buf, max_out)
+        return list(prefix) + list(buf[:min(n, max_out)]) + list(suffix)
+
+    def decode(self, tokens) -> str:
+        parts = []
+        for t in tokens:
+            parts.append(self._lib.mqtpu_tokenizer_decode(self._h, int(t)))
+        return b"".join(parts).decode("utf-8", errors="replace")
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.mqtpu_tokenizer_free(self._h)
+            self._h = None
+
+
+class NativeSampler:
+    """argmax / temperature / top-k / top-p over a logits vector (C++ hot loop)."""
+
+    def __init__(self, seed: int = 0, temperature: float = 0.0,
+                 top_p: float = 1.0, top_k: int = 0):
+        self._lib = load_library()
+        self._h = self._lib.mqtpu_sampler_new(seed, temperature, top_p, top_k)
+
+    def sample(self, logits) -> int:
+        import numpy as np
+        arr = np.ascontiguousarray(np.asarray(logits, dtype=np.float32))
+        ptr = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        return self._lib.mqtpu_sampler_sample(self._h, ptr, arr.size)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.mqtpu_sampler_free(self._h)
+            self._h = None

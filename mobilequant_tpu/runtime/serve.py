@@ -1,0 +1,175 @@
+"""Continuous batching over the integer engine.
+
+The reference's serving story is a single-stream C++ REPL (capp/test/simple_app.cpp
+driving llm.cpp::generate one token at a time). The TPU-native replacement
+(BASELINE north star: "continuous batching across hosts") is slot-based:
+
+  * a fixed number of batch slots share one device-resident int8 KV cache
+    (L, B_slots, S_max, Hkv, hd);
+  * new requests prefill into a free slot with a bucketed-length jit (one compile
+    per bucket), writing their K/V block into the slot;
+  * ONE jitted decode step advances every active slot per tick — per-slot
+    positions/valid-lengths make ragged occupancy exact;
+  * finished slots (EOS or budget) free immediately and are refilled from the
+    queue mid-flight — no batch barrier.
+
+Multi-host scale-out = shard the slot axis over "dp" and heads over "tp" with
+mobilequant_tpu/parallel (the cache pspec already carries ("dp","tp")).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import itertools
+import time
+from collections import deque
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mobilequant_tpu.models.config import ModelConfig
+from mobilequant_tpu.quant.policy import QPolicy
+from mobilequant_tpu.runtime import engine as E
+from mobilequant_tpu.runtime.sampling import SamplerConfig, sample
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prompt: np.ndarray            # (T,) int32
+    max_new_tokens: int
+    out: list = dataclasses.field(default_factory=list)
+    slot: int = -1
+    pos: int = 0                  # next position to write
+
+
+class ContinuousBatcher:
+    def __init__(self, packed: dict, config: ModelConfig, policy: QPolicy,
+                 ecfg: Optional[E.EngineConfig] = None, batch_slots: int = 8,
+                 prefill_buckets: tuple = (32, 128, 512, 1024),
+                 sampler: SamplerConfig = SamplerConfig(greedy=True),
+                 eos_token_id: Optional[int] = None, seed: int = 0):
+        self.packed = packed
+        self.config = config
+        self.policy = policy
+        self.ecfg = ecfg or E.EngineConfig(model=config)
+        self.B = batch_slots
+        self.buckets = tuple(b for b in sorted(prefill_buckets)
+                             if b <= self.ecfg.max_seq_len)
+        self.sampler = sampler
+        self.eos = eos_token_id
+        self.key = jax.random.PRNGKey(seed)
+
+        self.cache = E.init_kv_cache(self.ecfg, self.B)
+        self.queue: deque[Request] = deque()
+        self.active: dict[int, Request] = {}       # slot -> request
+        self.done: dict[int, Request] = {}
+        self._rid = itertools.count()
+        self._last_tokens = np.zeros((self.B,), np.int32)
+
+        cfg, pol = config, policy
+
+        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        def decode_step(packed, tokens, k_cache, v_cache, pos, valid):
+            logits, nc = E.forward(
+                packed, tokens, cfg, pol, positions=pos[:, None],
+                kv_cache=E.EngineKVCache(k=k_cache, v=v_cache),
+                cache_position=pos, kv_valid_len=valid)
+            return logits[:, 0], nc.k, nc.v
+
+        self._decode = decode_step
+
+        @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(2, 3))
+        def prefill_slot(packed, tokens, k_cache, v_cache, bucket, slot, length):
+            # tokens: (1, bucket) padded prompt; writes K/V into `slot`
+            positions = jnp.arange(bucket)[None, :]
+            logits, seg = E.forward(packed, tokens, cfg, pol, positions=positions,
+                                    kv_valid_len=jnp.asarray([length]))
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, seg.k, (0, slot[0], 0, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, seg.v, (0, slot[0], 0, 0, 0))
+            last = logits[0, length - 1]
+            return last, k_cache, v_cache
+
+        self._prefill = prefill_slot
+
+    # ------------------------------------------------------------------
+    def submit(self, prompt_tokens, max_new_tokens: int) -> int:
+        rid = next(self._rid)
+        self.queue.append(Request(rid, np.asarray(prompt_tokens, np.int32),
+                                  max_new_tokens))
+        return rid
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"prompt length {n} exceeds buckets {self.buckets}")
+
+    def _fill_free_slots(self):
+        free = [s for s in range(self.B) if s not in self.active]
+        while free and self.queue:
+            slot = free.pop(0)
+            req = self.queue.popleft()
+            req.slot = slot
+            T = len(req.prompt)
+            bucket = self._bucket_for(T)
+            tok = np.zeros((1, bucket), np.int32)
+            tok[0, :T] = req.prompt
+            last_logits, k, v = self._prefill(
+                self.packed, jnp.asarray(tok), self.cache.k, self.cache.v,
+                bucket, jnp.asarray([slot]), jnp.asarray(T))
+            self.cache = E.EngineKVCache(k=k, v=v)
+            self.key, sk = jax.random.split(self.key)
+            first = int(jax.device_get(sample(last_logits[None], sk, self.sampler))[0])
+            req.out.append(first)
+            req.pos = T
+            self._last_tokens[slot] = first
+            self.active[slot] = req
+
+    def _retire(self, slot: int):
+        req = self.active.pop(slot)
+        self.done[req.rid] = req
+
+    def step(self) -> int:
+        """One scheduler tick: refill slots, one batched decode, sample, retire.
+        Returns number of active slots after the tick."""
+        self._fill_free_slots()
+        if not self.active:
+            return 0
+
+        pos = np.zeros((self.B,), np.int32)
+        valid = np.ones((self.B,), np.int32)
+        for slot, req in self.active.items():
+            pos[slot] = req.pos
+            valid[slot] = req.pos + 1
+
+        logits, k, v = self._decode(
+            self.packed, jnp.asarray(self._last_tokens[:, None]),
+            self.cache.k, self.cache.v, jnp.asarray(pos), jnp.asarray(valid))
+        self.cache = E.EngineKVCache(k=k, v=v)
+
+        self.key, sk = jax.random.split(self.key)
+        nxt = np.asarray(jax.device_get(sample(logits, sk, self.sampler)))
+
+        for slot in list(self.active):
+            req = self.active[slot]
+            tok = int(nxt[slot])
+            req.out.append(tok)
+            req.pos += 1
+            self._last_tokens[slot] = tok
+            hit_eos = self.eos is not None and tok == self.eos
+            if hit_eos or len(req.out) >= req.max_new_tokens or \
+                    req.pos >= self.ecfg.max_seq_len - 1:
+                self._retire(slot)
+        return len(self.active)
+
+    def run(self) -> dict[int, list[int]]:
+        """Drain the queue; returns rid -> generated token ids."""
+        while self.queue or self.active:
+            self.step()
+        return {rid: req.out for rid, req in self.done.items()}

@@ -1,0 +1,142 @@
+"""Native tokenizer/sampler, continuous batching, ppl and evaluator tests."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mobilequant_tpu.export.tokenizer_bin import write_tokenizer_bin
+from mobilequant_tpu.runtime.native import NativeTokenizer, NativeSampler
+
+
+def _toy_vocab():
+    """llama-style vocab: specials, byte-fallback block at 3..258, then merges."""
+    pieces = [b"<unk>", b"<s>", b"</s>"]
+    pieces += [f"<0x{i:02X}>".encode() for i in range(256)]
+    scores = [0.0] * len(pieces)
+    merges = [(b" ", -1.0), (b"h", -2.0), (b"e", -2.1), (b"l", -2.2), (b"o", -2.3),
+              (b"he", -3.0), (b"ll", -3.5), (b"hell", -4.0), (b"hello", -5.0),
+              (b" hello", -5.5), (b"w", -2.4), (b"r", -2.5), (b"d", -2.6),
+              (b"wo", -3.1), (b"ld", -3.6), (b"rld", -4.1), (b"world", -5.1),
+              (b" world", -5.6)]
+    for p, s in merges:
+        pieces.append(p)
+        scores.append(s)
+    return pieces, scores
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_native_tokenizer_roundtrip(tmp_path, version):
+    pieces, scores = _toy_vocab()
+    path = tmp_path / "tokenizer.bin"
+    write_tokenizer_bin(path, pieces, scores, version=version)
+    tk = NativeTokenizer(path)
+    assert tk.vocab_size == len(pieces)
+
+    ids = tk.encode("hello world")
+    # greedy BPE should reach the full merged tokens
+    assert ids == [tk.encode("hello")[0], pieces.index(b" world")]
+    assert tk.decode(ids) == "hello world"
+
+    # byte fallback for unseen codepoints (emoji → 4 byte tokens)
+    ids = tk.encode("🙂")
+    assert len(ids) == 4
+    assert tk.decode(ids) == "🙂"
+
+
+def test_native_sampler_argmax_and_bounds():
+    s = NativeSampler(seed=7, temperature=0.0)
+    logits = np.asarray([0.1, 5.0, -1.0], np.float32)
+    assert s.sample(logits) == 1
+
+    s2 = NativeSampler(seed=7, temperature=1.0, top_p=0.9, top_k=2)
+    counts = {}
+    for _ in range(200):
+        t = s2.sample(logits)
+        counts[t] = counts.get(t, 0) + 1
+    assert set(counts) <= {0, 1}          # top_k=2 excludes index 2
+    assert counts.get(1, 0) > counts.get(0, 0)
+
+
+def _engine_setup():
+    from mobilequant_tpu.models import get_config
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant.policy import default_policy
+    from mobilequant_tpu.quant.quantizer import QuantConfig
+    from mobilequant_tpu.quant import calibrate
+    from mobilequant_tpu.runtime import engine as E
+
+    cfg = get_config("test-llama")
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    policy = default_policy(cfg, QuantConfig(bitwidth=8), QuantConfig(bitwidth=8))
+    tokens = np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 16)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, policy, batch_size=2)
+    ranges = calibrate.stats_to_ranges(stats, policy)
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=64)
+    packed = E.pack(params, ranges, cfg, policy, ecfg)
+    return cfg, policy, ecfg, packed
+
+
+def test_continuous_batching_matches_sequential():
+    from mobilequant_tpu.runtime.serve import ContinuousBatcher
+    from mobilequant_tpu.runtime.generate import Generator
+    from mobilequant_tpu.runtime.sampling import SamplerConfig
+
+    cfg, policy, ecfg, packed = _engine_setup()
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int32)
+               for n in (5, 9, 7, 12, 4)]
+
+    # sequential ground truth (greedy)
+    gen = Generator(packed, cfg, policy, ecfg)
+    seq_out = [gen.generate(p[None, :], max_new_tokens=6)[0].tolist()
+               for p in prompts]
+
+    cb = ContinuousBatcher(packed, cfg, policy, ecfg, batch_slots=2,
+                           prefill_buckets=(16, 32),
+                           sampler=SamplerConfig(greedy=True))
+    rids = [cb.submit(p, 6) for p in prompts]
+    outs = cb.run()
+    for rid, want in zip(rids, seq_out):
+        assert outs[rid] == want, (rid, outs[rid], want)
+
+
+def test_perplexity_on_tiny_model():
+    from mobilequant_tpu.eval.ppl import perplexity
+    from mobilequant_tpu.models import get_config
+    from mobilequant_tpu.models import model as M
+
+    cfg = get_config("test-llama")
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    stream = np.random.default_rng(0).integers(0, cfg.vocab_size, (400,))
+    fwd = lambda tok: M.forward(params, tok, cfg)[0]
+    ppl = perplexity(fwd, stream, seqlen=64, batch_size=2)
+    assert np.isfinite(ppl)
+    # random model on random tokens ≈ uniform ⇒ ppl near vocab size
+    assert 0.3 * cfg.vocab_size < ppl < 3 * cfg.vocab_size
+
+
+def test_last_word_evaluator():
+    from mobilequant_tpu.eval.evaluator import last_word_accuracy, model_size_bytes
+    from mobilequant_tpu.models import get_config
+    from mobilequant_tpu.models import model as M
+
+    cfg = get_config("test-llama")
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    fwd = lambda tok: M.forward(params, tok, cfg)[0]
+    rng = np.random.default_rng(0)
+    examples = [(rng.integers(0, cfg.vocab_size, (10,)).tolist(),
+                 int(rng.integers(0, cfg.vocab_size))) for _ in range(5)]
+    res = last_word_accuracy(fwd, examples, pad_to=16)
+    assert 0.0 <= res["accuracy"] <= 1.0 and res["avg_latency_s"] > 0
+
+    sz = model_size_bytes(params)
+    assert sz["params"] > 0 and sz["bytes"] > 0
+
+
+def test_synthetic_calib_loader():
+    from mobilequant_tpu.data.calib import get_loaders, synthetic_tokens
+    toks = get_loaders("synthetic", nsamples=4, seqlen=32, vocab_size=100)
+    assert toks.shape == (4, 32) and toks.max() < 100
+    # deterministic
+    np.testing.assert_array_equal(toks, synthetic_tokens(100, 4, 32))
