@@ -5,14 +5,22 @@ Prints ONE JSON line:
 
 vs_baseline = W8A8 decode tok/s ÷ bf16-FP decode tok/s on the same chip/shapes —
 the reference's headline claim is 20-50% latency reduction vs FP on-device
-(README.md:4); at bs=1 decode is weight-bandwidth-bound, so int8 weights should
-approach 2× and int4 ~4× (HBM-bytes ratio).
+(README.md:4); at bs=1 decode is weight-bandwidth-bound.
 
-Extra metrics (W4A8, prefill, per-config details) go to stderr.
+Methodology notes (both matter on this tunneled device):
+  * every measured iteration is data-chained into the next (token feedback /
+    cache threading) — the execution relay lazily skips computations whose
+    results are never consumed, so unchained loops report impossible numbers;
+  * the decode loop runs IN-GRAPH (lax.scan over steps, engine.decode_loop), so
+    per-token host dispatch overhead is excluded — that's also the production
+    configuration.
+
+Extra metrics (W4A8 pallas/xla, prefill, per-config details) go to stderr.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -24,29 +32,32 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def time_decode(step_fn, packed, cache_k, cache_v, steps=50, warmup=5):
+N_STEPS = 64
+
+
+def time_decode_loop(chunk_fn, packed, cache, first_token, start_pos, rounds=4):
+    """chunk_fn(packed, token, cache, pos) -> (tokens (B,n), cache, last_logits).
+    Chains `rounds` chunks; times all but the first (warmup+compile)."""
     import jax
     import jax.numpy as jnp
-    token = jnp.zeros((1, 1), jnp.int32)
-    pos0 = 512
-    k, v = cache_k, cache_v
-    for i in range(warmup):
-        logits, k, v = step_fn(packed, token, k, v,
-                               jnp.full((1,), pos0 + i, jnp.int32))
-    jax.block_until_ready(logits)
+    token, pos = first_token, start_pos
+    toks, cache, last = chunk_fn(packed, token, cache, pos)
+    jax.block_until_ready(toks)
     t0 = time.perf_counter()
-    for i in range(steps):
-        logits, k, v = step_fn(packed, token, k, v,
-                               jnp.full((1,), pos0 + warmup + i, jnp.int32))
-    jax.block_until_ready(logits)
+    n = 0
+    for r in range(rounds - 1):
+        token = toks[:, -1:]
+        pos = pos + N_STEPS
+        toks, cache, last = chunk_fn(packed, token, cache, pos)
+        n += N_STEPS
+    jax.block_until_ready(toks)
     dt = time.perf_counter() - t0
-    return steps / dt
+    return n / dt
 
 
 def main():
     import jax
     import jax.numpy as jnp
-    import functools
     from __graft_entry__ import _build_packed_tinyllama
     from mobilequant_tpu.models import get_config
     from mobilequant_tpu.models import model as M
@@ -55,57 +66,69 @@ def main():
     log(f"devices: {jax.devices()}")
     results = {}
 
-    # --- integer engine: W8A8 and W4A8 ---
-    for w_bits in (8, 4):
+    # --- integer engine: W8A8, W4A8(pallas), W4A8(xla) ---
+    for name, w_bits, use_pallas in (("w8a8", 8, False),
+                                     ("w4a8_pallas", 4, True),
+                                     ("w4a8_xla", 4, False)):
         packed, cfg, policy, ecfg = _build_packed_tinyllama(max_seq_len=1024,
                                                             w_bits=w_bits)
         cache = E.init_kv_cache(ecfg, 1)
 
-        @functools.partial(jax.jit, donate_argnums=(2, 3))
-        def step(packed, token, k_cache, v_cache, pos):
-            logits, nc = E.forward(packed, token, cfg, policy,
-                                   positions=pos[:, None],
-                                   kv_cache=E.EngineKVCache(k=k_cache, v=v_cache),
-                                   cache_position=pos, kv_valid_len=pos + 1)
-            return logits, nc.k, nc.v
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def chunk(packed, token, cache, pos, _up=use_pallas, _c=cfg, _p=policy):
+            return E.decode_loop(packed, token, cache, pos, N_STEPS, _c, _p,
+                                 use_pallas=_up)
 
-        tps = time_decode(step, packed, cache.k, cache.v)
-        results[f"w{w_bits}a8_decode_tok_s"] = tps
-        log(f"W{w_bits}A8 decode: {tps:.1f} tok/s (bs=1, S=1024)")
+        tps = time_decode_loop(chunk, packed, cache,
+                               jnp.full((1, 1), 7, jnp.int32),
+                               jnp.full((1,), 256, jnp.int32))
+        results[f"{name}_decode_tok_s"] = tps
+        log(f"{name} decode: {tps:.1f} tok/s (bs=1, S=1024, in-graph loop)")
         del packed, cache
 
-    # --- bf16 FP baseline ---
+    # --- bf16 FP baseline (same in-graph loop shape) ---
     cfg = get_config("tinyllama-1.1b")
     params = M.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    S_max = 1024
-    kvshape = (cfg.num_layers, 1, S_max, cfg.num_kv_heads, cfg.head_dim_)
-    kc = jnp.zeros(kvshape, jnp.bfloat16)
-    vc = jnp.zeros(kvshape, jnp.bfloat16)
+    kvshape = (cfg.num_layers, 1, 1024, cfg.num_kv_heads, cfg.head_dim_)
+    fp_cache = M.KVCache(k=jnp.zeros(kvshape, jnp.bfloat16),
+                         v=jnp.zeros(kvshape, jnp.bfloat16))
 
-    @functools.partial(jax.jit, donate_argnums=(2, 3))
-    def fp_step(params, token, kc, vc, pos):
-        logits, nc = M.forward(params, token, cfg, positions=pos[:, None],
-                               kv_cache=M.KVCache(k=kc, v=vc),
-                               cache_position=pos, kv_valid_len=pos + 1)
-        return logits, nc.k, nc.v
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def fp_chunk(params, token, cache, pos):
+        def step(carry, _):
+            token, cache, pos = carry
+            logits, cache = M.forward(params, token, cfg, positions=pos[:, None],
+                                      kv_cache=cache, cache_position=pos,
+                                      kv_valid_len=pos + 1)
+            nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+            return (nxt, cache, pos + 1), (nxt[:, 0], logits[:, -1])
+        (tok, cache, pos), (tokens, logits) = jax.lax.scan(
+            step, (token, cache, pos), None, length=N_STEPS)
+        return jnp.transpose(tokens, (1, 0)), cache, logits[-1]
 
-    fp_tps = time_decode(fp_step, params, kc, vc)
+    fp_tps = time_decode_loop(fp_chunk, params, fp_cache,
+                              jnp.full((1, 1), 7, jnp.int32),
+                              jnp.full((1,), 256, jnp.int32))
     results["bf16_decode_tok_s"] = fp_tps
-    log(f"bf16 FP decode: {fp_tps:.1f} tok/s (bs=1, S=1024)")
+    log(f"bf16 FP decode: {fp_tps:.1f} tok/s (bs=1, S=1024, in-graph loop)")
+    del params, fp_cache
 
-    # --- prefill throughput (W8A8) ---
+    # --- prefill throughput (W8A8), chained prompts ---
     packed, cfg, policy, ecfg = _build_packed_tinyllama(max_seq_len=1024, w_bits=8)
-    prompt = jnp.zeros((1, 1024), jnp.int32)
     prefill = jax.jit(lambda p, t: E.forward(p, t, cfg, policy)[0])
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 1024)), jnp.int32)
     out = prefill(packed, prompt)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(5):
+    reps = 5
+    for _ in range(reps):
+        prompt = jnp.argmax(out, -1).astype(jnp.int32)   # chain: next prompt from logits
         out = prefill(packed, prompt)
     jax.block_until_ready(out)
-    pf_tps = 5 * 1024 / (time.perf_counter() - t0)
+    pf_tps = reps * 1024 / (time.perf_counter() - t0)
     results["w8a8_prefill_tok_s"] = pf_tps
-    log(f"W8A8 prefill: {pf_tps:.0f} tok/s (bs=1, T=1024)")
+    log(f"W8A8 prefill: {pf_tps:.0f} tok/s (bs=1, T=1024, chained)")
 
     log(json.dumps(results))
     headline = results["w8a8_decode_tok_s"]

@@ -1,0 +1,277 @@
+"""Command-line pipeline driver.
+
+One CLI replaces the reference's script zoo (scripts/convert_ckpt.py,
+ptq/generate_act_scale_shift.py, ptq/smoothquant.py, ptq/generate_act_range.py,
+ptq/generate_qcfg.py, ptq/mobilequant.py, eval/*.py, device/export.py):
+
+  python -m mobilequant_tpu.cli convert    --hf_path ... --model tinyllama-1.1b --family llama --output_dir ...
+  python -m mobilequant_tpu.cli calibrate  --model_dir ... [--calib synthetic|pile|wikitext2|file] --nsamples N
+  python -m mobilequant_tpu.cli quantize   --model_dir ... --mode e2e --wbits 8 --abits 8 --epochs 60 [--lwc --let --lrl]
+  python -m mobilequant_tpu.cli pack       --model_dir ... --output_dir ... [--w4] [--max_seq_len 1024]
+  python -m mobilequant_tpu.cli eval-ppl   --model_dir ... [--engine_dir ...] --tokens file.npy
+  python -m mobilequant_tpu.cli demo       --engine_dir ... --tokenizer tokenizer.bin --prompt "..."
+
+Recipes under recipes/ pin the hyperparameters of the reference's experiments/
+shell scripts (60 epochs, 1024 pile samples, LET/LWC/LRL lrs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _model_cfg(args):
+    from mobilequant_tpu.models import get_config
+    return get_config(args.model)
+
+
+def cmd_convert(args):
+    import jax.numpy as jnp
+    from mobilequant_tpu.models.convert import load_checkpoint
+    from mobilequant_tpu.export import artifacts
+    from mobilequant_tpu.quant.policy import default_policy
+    from mobilequant_tpu.quant.quantizer import QuantConfig
+
+    cfg = _model_cfg(args)
+    params = load_checkpoint(args.hf_path, cfg, args.family)
+    policy = default_policy(cfg, QuantConfig(bitwidth=32), QuantConfig(bitwidth=32))
+    artifacts.save_quantized(args.output_dir, params, None, cfg, policy)
+    print(f"converted {args.hf_path} -> {args.output_dir}")
+
+
+def _load_model_dir(model_dir):
+    from mobilequant_tpu.export import artifacts
+    return artifacts.load_quantized(model_dir)
+
+
+def _calib_tokens(args, cfg, tokenizer=None):
+    from mobilequant_tpu.data.calib import get_loaders
+    if args.calib.endswith((".txt", ".jsonl", ".zst", ".json")):
+        return get_loaders("file", tokenizer, args.nsamples, args.seqlen,
+                           local_path=args.calib)
+    if args.calib.endswith(".npy"):
+        toks = np.load(args.calib)
+        return toks[:args.nsamples, :args.seqlen].astype(np.int32)
+    return get_loaders(args.calib, tokenizer, args.nsamples, args.seqlen,
+                       vocab_size=cfg.vocab_size)
+
+
+def cmd_calibrate(args):
+    from mobilequant_tpu.quant import calibrate
+    from mobilequant_tpu.quant.policy import default_policy
+    from mobilequant_tpu.quant.quantizer import QuantConfig
+    from mobilequant_tpu.export import artifacts
+    from mobilequant_tpu.utils.io import json_save
+
+    params, _, cfg, _, _ = _load_model_dir(args.model_dir)
+    policy = default_policy(cfg, QuantConfig(bitwidth=args.wbits,
+                                             is_per_channel=args.wbits == 4,
+                                             is_symmetric=args.wbits == 4),
+                            QuantConfig(bitwidth=args.abits))
+    tokens = _calib_tokens(args, cfg)
+    t0 = time.time()
+    stats = calibrate.run_calibration(params, tokens, cfg, policy,
+                                      batch_size=args.batch_size)
+    act_dict = calibrate.stats_to_act_dict(stats, cfg)
+    json_save(Path(args.model_dir) / "act_dict.json", act_dict)
+    print(f"calibration done in {time.time()-t0:.1f}s -> act_dict.json "
+          f"({len(act_dict)} ops)")
+
+
+def cmd_quantize(args):
+    import jax
+    from mobilequant_tpu.quant import calibrate, smooth, train
+    from mobilequant_tpu.quant.policy import default_policy
+    from mobilequant_tpu.quant.quantizer import QuantConfig
+    from mobilequant_tpu.export import artifacts
+    from mobilequant_tpu.utils.io import create_logger
+
+    logger = create_logger("quantize")
+    params, _, cfg, _, _ = _load_model_dir(args.model_dir)
+    policy = default_policy(
+        cfg,
+        QuantConfig(bitwidth=args.wbits, is_per_channel=args.wbits == 4,
+                    is_symmetric=args.wbits == 4),
+        QuantConfig(bitwidth=args.abits),
+        use_8bit_softmax_input=args.use_8bit_softmax_input,
+        use_8bit_softmax_output=args.use_8bit_softmax_output)
+    tokens = _calib_tokens(args, cfg)
+
+    tc = train.TrainConfig(
+        epochs=args.epochs, batch_size=args.batch_size,
+        let_lr=args.let_lr, let_min_lr=args.let_min_lr,
+        lwc_lr=args.lwc_lr, lwc_min_lr=args.lwc_min_lr,
+        lrl_lr=args.lrl_lr, lrl_min_lr=args.lrl_min_lr,
+        use_let=args.let, use_lwc=args.lwc, use_lrl=args.lrl)
+
+    # SmoothQuant initialization of LET (ref ptq/smoothquant.py stage)
+    logger.info("calibrating statistics...")
+    stats = calibrate.run_calibration(params, tokens, cfg, policy,
+                                      batch_size=args.batch_size)
+    let0 = None
+    if args.let and args.smooth_init:
+        act_scales, act_shifts = calibrate.smooth_calib_inputs(stats)
+        let0 = smooth.smoothquant_let_init(cfg, act_scales, act_shifts, params,
+                                           alpha=args.alpha)
+        stats = calibrate.run_calibration(params, tokens, cfg, policy, let=let0,
+                                          batch_size=args.batch_size)
+    ranges = calibrate.stats_to_ranges(stats, policy)
+
+    qstate = train.init_qstate(params, cfg, policy, tc, ranges, let=let0)
+    if args.epochs > 0:
+        t0 = time.time()
+        if args.mode == "e2e":
+            qstate, hist = train.e2equant(params, qstate, tokens, cfg, policy, tc,
+                                          logger=logger)
+        else:
+            qstate, hist = train.omniquant(params, qstate, tokens, cfg, policy, tc,
+                                           logger=logger)
+        logger.info(f"optimization took {time.time()-t0:.1f}s")
+
+    params, qstate = train.finalize(params, qstate, cfg, policy)
+    act_dict = calibrate.ranges_to_act_dict(qstate["ranges"], policy, cfg)
+    out = args.output_dir or args.model_dir
+    artifacts.save_quantized(out, params, qstate, cfg, policy, act_dict)
+    logger.info(f"saved quantized model -> {out}")
+
+
+def cmd_pack(args):
+    from mobilequant_tpu.export import artifacts
+    from mobilequant_tpu.runtime import engine as E
+
+    params, qstate, cfg, policy, _ = _load_model_dir(args.model_dir)
+    assert qstate is not None, "run `quantize` first (needs learned ranges)"
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=args.max_seq_len,
+                          global_kv_encoding=args.global_kv)
+    packed = E.pack(params, qstate["ranges"], cfg, policy, ecfg)
+    artifacts.save_packed(args.output_dir, packed, cfg, policy,
+                          {"max_seq_len": args.max_seq_len})
+    if args.export_hlo:
+        artifacts.export_decode_step(packed, cfg, policy, args.max_seq_len,
+                                     Path(args.output_dir) / "decode_step.stablehlo")
+    print(f"packed engine -> {args.output_dir}")
+
+
+def cmd_eval_ppl(args):
+    import jax.numpy as jnp
+    from mobilequant_tpu.eval.ppl import perplexity
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant import qmodel
+
+    params, qstate, cfg, policy, _ = _load_model_dir(args.model_dir)
+    stream = np.load(args.tokens).reshape(-1)
+
+    fwd_fp = lambda tok: M.forward(params, tok, cfg)[0]
+    ppl_fp = perplexity(fwd_fp, stream, seqlen=args.seqlen,
+                        max_windows=args.max_windows)
+    print(f"fp ppl: {ppl_fp:.4f}")
+    if qstate is not None:
+        fwd_q = lambda tok: qmodel.qforward(params, qstate, tok, cfg, policy)[0]
+        ppl_q = perplexity(fwd_q, stream, seqlen=args.seqlen,
+                           max_windows=args.max_windows)
+        print(f"quant ppl: {ppl_q:.4f} (Δ {ppl_q - ppl_fp:+.4f})")
+
+
+def cmd_demo(args):
+    from mobilequant_tpu.export import artifacts
+    from mobilequant_tpu.runtime.generate import Generator
+    from mobilequant_tpu.runtime.native import NativeTokenizer
+
+    packed, cfg, policy, meta = artifacts.load_packed(args.engine_dir)
+    from mobilequant_tpu.runtime import engine as E
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=meta.get("max_seq_len", 1024))
+    gen = Generator(packed, cfg, policy, ecfg)
+    tk = NativeTokenizer(args.tokenizer)
+    ids = tk.encode(args.prompt, prefix=[args.bos] if args.bos >= 0 else [])
+    t0 = time.time()
+    out, stats = gen.generate_fast(np.asarray([ids], np.int32), args.max_new_tokens,
+                                   temperature=args.temperature, return_stats=True)
+    text = tk.decode(out[0].tolist())
+    print(text)
+    print(f"[{stats['decode_tok_s']:.1f} tok/s decode, "
+          f"prefill {stats['prefill_s']*1e3:.0f} ms]", file=sys.stderr)
+
+
+def build_parser():
+    p = argparse.ArgumentParser("mobilequant_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("convert")
+    c.add_argument("--hf_path", required=True)
+    c.add_argument("--model", required=True)
+    c.add_argument("--family", default="llama")
+    c.add_argument("--output_dir", required=True)
+    c.set_defaults(fn=cmd_convert)
+
+    def calib_args(q):
+        q.add_argument("--calib", default="synthetic")
+        q.add_argument("--nsamples", type=int, default=128)
+        q.add_argument("--seqlen", type=int, default=1024)
+        q.add_argument("--batch_size", type=int, default=4)
+        q.add_argument("--wbits", type=int, default=8)
+        q.add_argument("--abits", type=int, default=8)
+
+    q = sub.add_parser("calibrate")
+    q.add_argument("--model_dir", required=True)
+    calib_args(q)
+    q.set_defaults(fn=cmd_calibrate)
+
+    q = sub.add_parser("quantize")
+    q.add_argument("--model_dir", required=True)
+    q.add_argument("--output_dir", default=None)
+    calib_args(q)
+    q.add_argument("--mode", choices=["e2e", "layerwise"], default="e2e")
+    q.add_argument("--epochs", type=int, default=60)
+    q.add_argument("--let", action="store_true")
+    q.add_argument("--lwc", action="store_true")
+    q.add_argument("--lrl", action="store_true")
+    q.add_argument("--smooth_init", action="store_true", default=True)
+    q.add_argument("--alpha", type=float, default=0.5)
+    q.add_argument("--let_lr", type=float, default=1e-3)
+    q.add_argument("--let_min_lr", type=float, default=1e-4)
+    q.add_argument("--lwc_lr", type=float, default=1e-2)
+    q.add_argument("--lwc_min_lr", type=float, default=1e-3)
+    q.add_argument("--lrl_lr", type=float, default=1e-6)
+    q.add_argument("--lrl_min_lr", type=float, default=1e-7)
+    q.add_argument("--use_8bit_softmax_input", action="store_true")
+    q.add_argument("--use_8bit_softmax_output", action="store_true")
+    q.set_defaults(fn=cmd_quantize)
+
+    q = sub.add_parser("pack")
+    q.add_argument("--model_dir", required=True)
+    q.add_argument("--output_dir", required=True)
+    q.add_argument("--max_seq_len", type=int, default=1024)
+    q.add_argument("--global_kv", action="store_true")
+    q.add_argument("--export_hlo", action="store_true")
+    q.set_defaults(fn=cmd_pack)
+
+    q = sub.add_parser("eval-ppl")
+    q.add_argument("--model_dir", required=True)
+    q.add_argument("--tokens", required=True, help=".npy token stream")
+    q.add_argument("--seqlen", type=int, default=1024)
+    q.add_argument("--max_windows", type=int, default=None)
+    q.set_defaults(fn=cmd_eval_ppl)
+
+    q = sub.add_parser("demo")
+    q.add_argument("--engine_dir", required=True)
+    q.add_argument("--tokenizer", required=True)
+    q.add_argument("--prompt", default="Once upon a time")
+    q.add_argument("--max_new_tokens", type=int, default=128)
+    q.add_argument("--temperature", type=float, default=0.0)
+    q.add_argument("--bos", type=int, default=1)
+    q.set_defaults(fn=cmd_demo)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Pallas TPU kernels: fused integer matmul with affine requantization.
+
+Why a kernel at all (and why only here): W8A8 decode is already HBM-bandwidth-
+bound and XLA streams int8 weights at speed-of-light, so a Pallas rewrite of the
+8-bit matmul buys nothing. The 4-bit path is different: XLA has no fused
+nibble-unpack — `unpack_nibbles` materializes the full int8 weight in HBM, making
+W4 *slower* than W8. This kernel streams the packed bytes HBM→VMEM (half the W8
+traffic), sign-extends nibbles on the VPU, and feeds the MXU int8×int8→int32,
+fusing the affine corrections and bias — W4A8 decode at its true 0.5× bandwidth.
+
+Contract matches ops/qops.int_linear exactly (tested in interpret mode against
+the fake-quant closed form): out = s_x·s_w·[acc − o'_x·colsum − o_w·rowsum_x
++ K·o'_x·o_w] + bias.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _w4a8_kernel(x_ref, wp_ref, scale_ref, offset_ref, colsum_ref, bias_ref,
+                 meta_ref, out_ref):
+    """Grid: (N // TN,). Blocks: x (M,K) VMEM; wp (K//2, TN) VMEM;
+    scale/offset/colsum/bias (TN,)-ish VMEM; meta (x_scale, x_offset) SMEM."""
+    x = x_ref[:]                                     # (M, K) int8
+    wp = wp_ref[:]                                   # (K//2, TN) int8 packed
+    # sign-extend nibbles on the VPU. Mosaic has no i8 shifts (arith.shli fails
+    # to legalize), so widen to i32, split with shift+mask, and sign-extend the
+    # 4-bit values with a select.
+    wp32 = wp.astype(jnp.int32)
+    lo_u = wp32 & 0xF
+    hi_u = (wp32 >> 4) & 0xF
+    lo = jnp.where(lo_u >= 8, lo_u - 16, lo_u).astype(jnp.int8)
+    hi = jnp.where(hi_u >= 8, hi_u - 16, hi_u).astype(jnp.int8)
+    K2, TN = wp.shape
+    w = jnp.stack([lo, hi], axis=1).reshape(K2 * 2, TN)  # interleave along K
+
+    acc = jax.lax.dot_general(
+        x, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32)
+
+    x_scale = meta_ref[0]
+    ox = meta_ref[1] - 128.0
+    K = x.shape[1]
+    rowsum = jnp.sum(x.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.float32)
+    sw = scale_ref[:]                                # (1, TN)
+    ow = offset_ref[:]
+    acc = acc - ox * colsum_ref[:] - ow * rowsum + K * ox * ow
+    out_ref[:] = acc * (x_scale * sw) + bias_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def w4a8_matmul(x_q: jax.Array, wq_packed: jax.Array, w_scale, w_offset,
+                colsum, bias, x_scale, x_offset, *, block_n: int = 512,
+                interpret: bool = False):
+    """x_q (M,K) int8 (shifted-uint8 acts) × nibble-packed W4 (K/2,N) → fp32 (M,N).
+
+    w_scale/w_offset: per-channel (1,N) or per-tensor scalars (broadcast here).
+    """
+    M, K = x_q.shape
+    K2, N = wq_packed.shape
+    assert K2 * 2 == K, (K2, K)
+    TN = min(block_n, N)
+    assert N % TN == 0, (N, TN)
+
+    w_scale = jnp.broadcast_to(jnp.reshape(w_scale, (1, -1)), (1, N)).astype(jnp.float32)
+    w_offset = jnp.broadcast_to(jnp.reshape(w_offset, (1, -1)), (1, N)).astype(jnp.float32)
+    colsum = jnp.reshape(colsum, (1, N)).astype(jnp.float32)
+    bias = jnp.reshape(bias, (1, N)).astype(jnp.float32)
+    meta = jnp.stack([jnp.asarray(x_scale, jnp.float32),
+                      jnp.asarray(x_offset, jnp.float32)])
+
+    grid = (N // TN,)
+    return pl.pallas_call(
+        _w4a8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K2, TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((M, TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * N,
+            bytes_accessed=M * K + K2 * N + M * N * 4 + 4 * N * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(x_q, wq_packed, w_scale, w_offset, colsum, bias, meta)
+
+
+def int_linear_pallas(x_q, x_scale, x_offset, pack: dict, bias, *,
+                      interpret: bool = False):
+    """Drop-in for qops.int_linear on nibble-packed 4-bit weights.
+    Flattens leading dims to one M axis."""
+    lead = x_q.shape[:-1]
+    K = x_q.shape[-1]
+    x2 = x_q.reshape(-1, K)
+    N = pack["wq"].shape[1]
+    out = w4a8_matmul(x2, pack["wq"], pack["scale"], pack["offset"],
+                      pack["colsum"], bias if bias is not None else jnp.zeros((N,)),
+                      x_scale, x_offset, interpret=interpret)
+    return out.reshape(*lead, N)

@@ -52,14 +52,34 @@ class PackSpec:
     symmetric: bool = False
 
 
+def pack_nibbles(q_i8: jax.Array) -> jax.Array:
+    """(K, N) int8 values in [-8, 7] → (K/2, N) int8, two values per byte along K
+    (even rows in the low nibble). Manual packing: `jnp.int4` arrays are avoided
+    because some PJRT plugins mishandle them at transfer boundaries, and packed
+    bytes give the Pallas kernels an explicit layout to unpack in VMEM."""
+    assert q_i8.shape[0] % 2 == 0, "K must be even for nibble packing"
+    lo = q_i8[0::2] & 0x0F
+    hi = q_i8[1::2] & 0x0F
+    return (lo | (hi << 4)).astype(jnp.int8)
+
+
+def unpack_nibbles(packed: jax.Array) -> jax.Array:
+    """(K/2, N) packed bytes → (K, N) int8 in [-8, 7] (sign-extended)."""
+    lo = ((packed << 4).astype(jnp.int8)) >> 4       # arithmetic shift = sign extend
+    hi = packed >> 4                                  # int8 arithmetic shift
+    K2, N = packed.shape
+    return jnp.stack([lo, hi], axis=1).reshape(K2 * 2, N)
+
+
 def pack_weight(w, qcfg: QuantConfig):
     """Quantize an (in, out) fp weight to its integer representation.
 
     Returns dict with:
-      wq      int8 (or int4 for 4-bit) shifted-signed values
+      wq      int8 shifted-signed values; for 4-bit: nibble-packed (in/2, out)
+              (packedness is shape-inferred at use: wq.shape[0] == in/2)
       scale   fp32 () or (1, out)
       offset  fp32 shifted zero-point (same shape as scale)
-      colsum  fp32 per-out-channel sum of wq (for the activation-offset correction)
+      colsum  fp32 per-out-channel sum of q values (activation-offset correction)
     """
     assert qcfg.group_size == -1, "grouped weights pack via per-channel sub-tiles"
     mn, mx = weight_min_max(w, qcfg)
@@ -73,8 +93,8 @@ def pack_weight(w, qcfg: QuantConfig):
         half = 2 ** (qcfg.bitwidth - 1)
         q = jnp.clip(q, 0, 2 ** qcfg.bitwidth - 1) - half
         shift = float(half)
-    store_dtype = jnp.int4 if qcfg.bitwidth == 4 else jnp.int8
-    wq = q.astype(store_dtype)
+    q_i8 = q.astype(jnp.int8)
+    wq = pack_nibbles(q_i8) if qcfg.bitwidth == 4 else q_i8
     colsum = jnp.sum(q.astype(jnp.float32), axis=0)  # (out,)
     return {
         "wq": wq,
@@ -96,6 +116,8 @@ def int_linear(x_q: jax.Array, x_scale, x_offset, pack: dict, bias,
     """
     K = x_q.shape[-1] if k_dim is None else k_dim
     wq = pack["wq"]
+    if wq.shape[0] * 2 == K:              # nibble-packed 4-bit (shape-inferred)
+        wq = unpack_nibbles(wq)
     acc = jax.lax.dot_general(
         x_q, wq.astype(jnp.int8),
         dimension_numbers=(((x_q.ndim - 1,), (0,)), ((), ())),

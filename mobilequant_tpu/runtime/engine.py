@@ -56,6 +56,9 @@ class EngineConfig:
                                        # across layers (calibrate.py:275-281);
                                        # per-layer is strictly better on TPU
     act_dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = True            # fused-unpack kernel for nibble-packed W4
+                                       # (ops/pallas_matmul.py); 8-bit matmuls
+                                       # always go through XLA (already BW-bound)
 
 
 # ---------------------------------------------------------------------------
@@ -146,8 +149,15 @@ def _fq16(x, r, cfg: QuantConfig):
     return fake_quant(x, r["scale"], r["offset"], cfg)
 
 
+def _int_linear(x_q, s, o, pack, bias, use_pallas: bool):
+    if use_pallas and pack["wq"].shape[0] * 2 == x_q.shape[-1]:
+        from mobilequant_tpu.ops.pallas_matmul import int_linear_pallas
+        return int_linear_pallas(x_q, s, o, pack, bias)
+    return qops.int_linear(x_q, s, o, pack, bias)
+
+
 def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
-                   config: ModelConfig, policy: QPolicy):
+                   config: ModelConfig, policy: QPolicy, use_pallas: bool = False):
     """One decoder layer on packed ints. lp/lr = this layer's packed params/ranges.
     kv = (k8, v8) slices (B,S,Hkv,hd). Mirrors quant/qmodel.QuantOps order exactly."""
     c = config
@@ -177,7 +187,8 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
     h8, hr = out_q8(h, "input_layernorm")
 
     def proj(pkey, site):
-        y = qops.int_linear(h8, hr["scale"], hr["offset"], lp[pkey], lp[pkey]["bias"])
+        y = _int_linear(h8, hr["scale"], hr["offset"], lp[pkey], lp[pkey]["bias"],
+                        use_pallas)
         return _fq16(y, lr[site]["output"], policy[site].output)
 
     q = proj("q_proj", "self_attn.q_proj").reshape(B, T, Hq, hd)
@@ -214,7 +225,8 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
     attn = qops.int_matmul_pv(probs, v_all, pv["input2"]["scale"], pv["input2"]["offset"])
     attn = attn.reshape(B, T, Hq * hd)
     a8, ar = out_q8(attn, "self_attn.pv_bmm")
-    o = qops.int_linear(a8, ar["scale"], ar["offset"], lp["o_proj"], lp["o_proj"]["bias"])
+    o = _int_linear(a8, ar["scale"], ar["offset"], lp["o_proj"], lp["o_proj"]["bias"],
+                    use_pallas)
     o = _fq16(o, lr["self_attn.o_proj"]["output"], policy["self_attn.o_proj"].output)
 
     resid = x + o
@@ -227,7 +239,8 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
     else:
         h28, h2r = h8, hr
 
-    g1 = qops.int_linear(h28, h2r["scale"], h2r["offset"], lp["w1"], lp["w1"]["bias"])
+    g1 = _int_linear(h28, h2r["scale"], h2r["offset"], lp["w1"], lp["w1"]["bias"],
+                     use_pallas)
     g1 = _fq16(g1, lr["mlp.w1"]["output"], policy["mlp.w1"].output)
     if c.hidden_act == "silu":
         sig = jax.nn.sigmoid(g1)
@@ -242,13 +255,15 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
     act = _fq16(act, lr["mlp.act_fn"]["output"], policy["mlp.act_fn"].output)
 
     if "w3" in lp:
-        g3 = qops.int_linear(h28, h2r["scale"], h2r["offset"], lp["w3"], lp["w3"]["bias"])
+        g3 = _int_linear(h28, h2r["scale"], h2r["offset"], lp["w3"], lp["w3"]["bias"],
+                         use_pallas)
         g3 = _fq16(g3, lr["mlp.w3"]["output"], policy["mlp.w3"].output)
         act = act * g3
 
     w2r = lr["mlp.w2"]["input"]
     act8 = qops.quantize_act(act, w2r["scale"], w2r["offset"])
-    y = qops.int_linear(act8, w2r["scale"], w2r["offset"], lp["w2"], lp["w2"]["bias"])
+    y = _int_linear(act8, w2r["scale"], w2r["offset"], lp["w2"], lp["w2"]["bias"],
+                    use_pallas)
     y = _fq16(y, lr["mlp.w2"]["output"], policy["mlp.w2"].output)
 
     return resid + y, (k_all, v_all)
@@ -256,7 +271,7 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
 
 def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolicy,
             positions=None, kv_cache: Optional[EngineKVCache] = None,
-            cache_position=None, kv_valid_len=None):
+            cache_position=None, kv_valid_len=None, use_pallas: bool = False):
     """Packed-int forward -> (logits, new_kv_cache)."""
     c = config
     B, T = tokens.shape
@@ -276,7 +291,7 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
         if kv is None:
             kv = (None, None)
         h, kv_new = _layer_forward(lp, lr, h, cos, sin, mask, kv,
-                                   cache_position, c, policy)
+                                   cache_position, c, policy, use_pallas)
         return h, kv_new
 
     xs = {"lp": packed["layers"], "lr": packed["ranges"]}
@@ -301,5 +316,41 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
         y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + c.norm_eps)
     y = y * packed["norm"]["w"] + packed["norm"]["b"]
     head = packed["embed"].T if c.tie_word_embeddings else packed["lm_head"]["w"]
-    logits = y.astype(head.dtype) @ head
+    logits = jnp.dot(y.astype(head.dtype), head, preferred_element_type=jnp.float32)
     return logits, new_cache
+
+
+def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
+                start_pos: jax.Array, n_steps: int, config: ModelConfig,
+                policy: QPolicy, use_pallas: bool = False,
+                temperature: float = 0.0, key: Optional[jax.Array] = None):
+    """n_steps of autoregressive greedy/temperature decode inside ONE jitted graph
+    (lax.scan over steps) — the whole token loop lives on-device, removing the
+    per-token host dispatch that dominates single-step decode latency. This is the
+    TPU-native answer to the reference's C++ decode loop + burst mode
+    (llm.cpp:545-648, qnn_context.cpp:818-920).
+
+    first_token: (B,1). start_pos: (B,). Returns (tokens (B, n_steps), cache, last_logits).
+    """
+    B = first_token.shape[0]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    def step(carry, k_step):
+        token, cache, pos = carry
+        logits, cache = forward(packed, token, config, policy,
+                                positions=pos[:, None], kv_cache=cache,
+                                cache_position=pos, kv_valid_len=pos + 1,
+                                use_pallas=use_pallas)
+        last = logits[:, -1]
+        if temperature > 0.0:
+            nxt = jax.random.categorical(k_step, last / temperature, axis=-1)
+        else:
+            nxt = jnp.argmax(last, axis=-1)
+        nxt = nxt.astype(jnp.int32)[:, None]
+        return (nxt, cache, pos + 1), (nxt[:, 0], last)
+
+    keys = jax.random.split(key, n_steps)
+    (tok, cache, pos), (tokens, logits_seq) = jax.lax.scan(
+        step, (first_token, kv_cache, start_pos), keys)
+    return jnp.transpose(tokens, (1, 0)), cache, logits_seq[-1]

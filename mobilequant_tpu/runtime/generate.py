@@ -58,6 +58,60 @@ class Generator:
         self._prefill = _prefill
         self._decode = _decode
 
+        use_pallas = self.ecfg.use_pallas
+
+        @functools.partial(jax.jit, static_argnums=(3, 6), donate_argnums=(2,))
+        def _decode_chunk(packed, token, cache, n_steps, pos, key, temperature):
+            toks, cache, last = E.decode_loop(
+                packed, token, cache, pos, n_steps, cfg, pol,
+                use_pallas=use_pallas, temperature=temperature, key=key)
+            return toks, cache, last
+
+        self._decode_chunk = _decode_chunk
+
+    def generate_fast(self, prompt_tokens: np.ndarray, max_new_tokens: int,
+                      temperature: float = 0.0, seed: int = 0,
+                      eos_token_id: Optional[int] = None, chunk: int = 32,
+                      return_stats: bool = False):
+        """In-graph decode: the token loop runs on-device in `chunk`-step scans
+        (EOS is checked between chunks). Greedy (temperature=0) or temperature
+        sampling; for top-k/top-p use generate()."""
+        B, T0 = prompt_tokens.shape
+        cache = E.init_kv_cache(self.ecfg, B)
+        key = jax.random.PRNGKey(seed)
+
+        t0 = time.perf_counter()
+        logits, cache = self._prefill(self.packed, jnp.asarray(prompt_tokens, jnp.int32), cache)
+        first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
+        jax.block_until_ready(first)
+        t_prefill = time.perf_counter() - t0
+
+        pieces = [np.asarray(first)]
+        n_done = 1
+        token = first
+        t_dec = time.perf_counter()
+        while n_done < max_new_tokens:
+            n = min(chunk, max_new_tokens - n_done)
+            key, k = jax.random.split(key)
+            # `token` is the n_done-th generated token → sequence index T0+n_done-1
+            pos = jnp.full((B,), T0 + n_done - 1, jnp.int32)
+            toks, cache, last = self._decode_chunk(
+                self.packed, token, cache, n, pos, k, float(temperature))
+            pieces.append(np.asarray(toks))
+            n_done += n
+            token = toks[:, -1:]
+            if eos_token_id is not None and np.all(
+                    np.any(np.concatenate(pieces, 1) == eos_token_id, axis=1)):
+                break
+        jax.block_until_ready(token)
+        t_decode = time.perf_counter() - t_dec
+        out = np.concatenate(pieces, axis=1)[:, :max_new_tokens]
+        if return_stats:
+            n = out.shape[1]
+            return out, {"prefill_s": t_prefill, "decode_s": t_decode,
+                         "decode_tok_s": ((n - 1) * B) / t_decode if t_decode > 0 else 0.0}
+        return out
+
     def generate(self, prompt_tokens: np.ndarray, max_new_tokens: int,
                  sampler: SamplerConfig = SamplerConfig(greedy=True),
                  seed: int = 0, eos_token_id: Optional[int] = None,

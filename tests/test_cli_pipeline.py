@@ -1,0 +1,89 @@
+"""End-to-end CLI pipeline on a tiny model: convert → quantize → pack → demo-ish.
+This is the executable spec of the user journey (the reference's experiments/
+shell recipes, SURVEY.md §3.1)."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import jax
+
+from mobilequant_tpu.models import get_config
+
+
+@pytest.fixture(scope="module")
+def hf_ckpt(tmp_path_factory):
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    torch.manual_seed(0)
+    cfg = get_config("test-llama")
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size, num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads, num_key_value_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim_, rms_norm_eps=cfg.norm_eps)
+    model = transformers.LlamaForCausalLM(hf_cfg).float()
+    d = tmp_path_factory.mktemp("hf_ckpt")
+    model.save_pretrained(d, safe_serialization=True)
+    return d
+
+
+def test_cli_full_pipeline(hf_ckpt, tmp_path):
+    from mobilequant_tpu import cli
+
+    work = tmp_path / "work"
+    cli.main(["convert", "--hf_path", str(hf_ckpt), "--model", "test-llama",
+              "--family", "llama", "--output_dir", str(work)])
+    assert (work / "params.orbax").exists()
+
+    cli.main(["quantize", "--model_dir", str(work), "--mode", "e2e",
+              "--wbits", "8", "--abits", "8", "--epochs", "2",
+              "--nsamples", "8", "--seqlen", "16", "--batch_size", "4",
+              "--calib", "synthetic", "--let", "--lwc", "--lrl"])
+    assert (work / "qstate.orbax").exists()
+    assert (work / "act_dict.json").exists()
+    assert (work / "default_qcfg.json").exists()
+
+    engine_dir = tmp_path / "engine"
+    cli.main(["pack", "--model_dir", str(work), "--output_dir", str(engine_dir),
+              "--max_seq_len", "32"])
+    assert (engine_dir / "packed.orbax").exists()
+
+    # load back and generate
+    from mobilequant_tpu.export import artifacts
+    from mobilequant_tpu.runtime import engine as E
+    from mobilequant_tpu.runtime.generate import Generator
+    packed, cfg2, policy2, meta = artifacts.load_packed(engine_dir)
+    ecfg = E.EngineConfig(model=cfg2, max_seq_len=meta["max_seq_len"])
+    gen = Generator(packed, cfg2, policy2, ecfg)
+    out = gen.generate_fast(np.asarray([[1, 5, 7, 9]], np.int32), 8, chunk=4)
+    assert out.shape == (1, 8)
+
+    # eval-ppl over the round-tripped artifacts
+    stream = np.random.default_rng(0).integers(0, cfg2.vocab_size, (200,))
+    np.save(tmp_path / "toks.npy", stream)
+    cli.main(["eval-ppl", "--model_dir", str(work),
+              "--tokens", str(tmp_path / "toks.npy"), "--seqlen", "32",
+              "--max_windows", "2"])
+
+
+def test_export_decode_step_stablehlo(tmp_path):
+    from mobilequant_tpu.export import artifacts
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant.policy import default_policy
+    from mobilequant_tpu.quant.quantizer import QuantConfig
+    from mobilequant_tpu.quant import calibrate
+    from mobilequant_tpu.runtime import engine as E
+
+    cfg = get_config("test-llama")
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    policy = default_policy(cfg, QuantConfig(bitwidth=8), QuantConfig(bitwidth=8))
+    tokens = np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 16)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, policy, batch_size=2)
+    ranges = calibrate.stats_to_ranges(stats, policy)
+    packed = E.pack(params, ranges, cfg, policy)
+    blob = artifacts.export_decode_step(packed, cfg, policy, max_seq_len=32,
+                                        path=tmp_path / "step.stablehlo")
+    assert len(blob) > 1000
+    assert (tmp_path / "step.stablehlo").stat().st_size == len(blob)

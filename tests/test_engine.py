@@ -134,3 +134,13 @@ def test_sampling_top_p_top_k():
     # temperature sampling stays in-range
     t = sample(logits, key, SamplerConfig(temperature=5.0))
     assert 0 <= int(t[0]) < 4
+
+
+def test_generate_fast_matches_stepwise_greedy():
+    """In-graph chunked decode (lax.scan loop) must equal per-step greedy decode."""
+    cfg, params, policy, ranges, packed, ecfg, tokens = _build()
+    gen = Generator(packed, cfg, policy, ecfg)
+    slow = gen.generate(tokens[:2, :8], max_new_tokens=10,
+                        sampler=SamplerConfig(greedy=True))
+    fast = gen.generate_fast(tokens[:2, :8], max_new_tokens=10, chunk=4)
+    np.testing.assert_array_equal(fast, slow)
