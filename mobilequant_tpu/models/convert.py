@@ -94,19 +94,38 @@ def convert_state_dict(sd: Mapping[str, "np.ndarray"], config: ModelConfig,
                    "b": stack(P + "self_attn.v_proj.bias", zeros_shape=(kvd,))},
         "o_proj": {"w": stack(P + "self_attn.o_proj.weight", transpose=True),
                    "b": stack(P + "self_attn.o_proj.bias", zeros_shape=(D,))},
-        "w1": {"w": stack(P + "mlp.w1.weight", transpose=True),
-               "b": stack(P + "mlp.w1.bias", zeros_shape=(F,))},
-        "w2": {"w": stack(P + "mlp.w2.weight", transpose=True),
-               "b": stack(P + "mlp.w2.bias", zeros_shape=(D,))},
     }
+    if c.is_moe:
+        E = c.num_local_experts
+
+        def stack_experts(wname):
+            # "model.layers.{i}.mlp.experts.{e}.w1.weight" (Mixtral layout after
+            # the block_sparse_moe→mlp rename, ref convert_ckpt.py:32)
+            out = []
+            for i in range(L):
+                per = [get(f"model.layers.{i}.mlp.experts.{e}.{wname}.weight",
+                           transpose=True) for e in range(E)]
+                out.append(np.stack(per))
+            return jnp.asarray(np.stack(out), dtype=dtype)
+
+        layers["router"] = {"w": stack(P + "mlp.gate.weight", transpose=True)}
+        layers["w1"] = {"w": stack_experts("w1"), "b": jnp.zeros((L, E, F), dtype)}
+        layers["w2"] = {"w": stack_experts("w2"), "b": jnp.zeros((L, E, D), dtype)}
+        if c.num_linears_per_mlp == 3:
+            layers["w3"] = {"w": stack_experts("w3"), "b": jnp.zeros((L, E, F), dtype)}
+    else:
+        layers["w1"] = {"w": stack(P + "mlp.w1.weight", transpose=True),
+                        "b": stack(P + "mlp.w1.bias", zeros_shape=(F,))}
+        layers["w2"] = {"w": stack(P + "mlp.w2.weight", transpose=True),
+                        "b": stack(P + "mlp.w2.bias", zeros_shape=(D,))}
+        if c.num_linears_per_mlp == 3:
+            layers["w3"] = {"w": stack(P + "mlp.w3.weight", transpose=True),
+                            "b": stack(P + "mlp.w3.bias", zeros_shape=(F,))}
     if not c.shared_attention_norm:
         layers["mlp_norm"] = {
             "w": stack(P + "post_attention_layernorm.weight", plus_one=is_gemma),
             "b": stack(P + "post_attention_layernorm.bias", zeros_shape=(D,)),
         }
-    if c.num_linears_per_mlp == 3:
-        layers["w3"] = {"w": stack(P + "mlp.w3.weight", transpose=True),
-                        "b": stack(P + "mlp.w3.bias", zeros_shape=(F,))}
 
     norm_w = get("model.norm.weight", plus_one=is_gemma)
     norm_b = get("model.norm.bias", required=False)

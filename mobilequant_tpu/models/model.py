@@ -105,6 +105,14 @@ class Ops:
     def add(self, site: str, a, b):
         return a + b
 
+    def expert_linear(self, site: str, x, w, b):
+        """MoE expert projection over stacked experts.
+        x (B,T,D) with w (E,D,F) -> (B,T,E,F);  x (B,T,E,F) with w (E,F,D) ->
+        (B,T,E,D). The expert axis is the EP-shardable dimension."""
+        if x.ndim == 3:
+            return jnp.einsum("btd,edf->btef", x, w) + b
+        return jnp.einsum("btef,efd->bted", x, w) + b
+
 
 # ---------------------------------------------------------------------------
 # Parameter initialization
@@ -131,13 +139,27 @@ def init_params(config: ModelConfig, key: jax.Array, dtype=jnp.float32) -> Param
         "k_proj": {"w": stack_dense(keys[1], D, kvd), "b": jnp.zeros((L, kvd), dtype)},
         "v_proj": {"w": stack_dense(keys[2], D, kvd), "b": jnp.zeros((L, kvd), dtype)},
         "o_proj": {"w": stack_dense(keys[3], qd, D), "b": jnp.zeros((L, D), dtype)},
-        "w1": {"w": stack_dense(keys[4], D, F), "b": jnp.zeros((L, F), dtype)},
-        "w2": {"w": stack_dense(keys[5], F, D), "b": jnp.zeros((L, D), dtype)},
     }
+    if c.is_moe:
+        E = c.num_local_experts
+
+        def stack_experts(k, d_in, d_out):
+            ks = jax.random.split(k, L * E)
+            w = jnp.stack([_dense(ks[i], d_in, d_out, dtype) for i in range(L * E)])
+            return w.reshape(L, E, d_in, d_out)
+
+        layers["router"] = {"w": stack_dense(keys[9], D, E)}
+        layers["w1"] = {"w": stack_experts(keys[4], D, F), "b": jnp.zeros((L, E, F), dtype)}
+        layers["w2"] = {"w": stack_experts(keys[5], F, D), "b": jnp.zeros((L, E, D), dtype)}
+        if c.num_linears_per_mlp == 3:
+            layers["w3"] = {"w": stack_experts(keys[6], D, F), "b": jnp.zeros((L, E, F), dtype)}
+    else:
+        layers["w1"] = {"w": stack_dense(keys[4], D, F), "b": jnp.zeros((L, F), dtype)}
+        layers["w2"] = {"w": stack_dense(keys[5], F, D), "b": jnp.zeros((L, D), dtype)}
+        if c.num_linears_per_mlp == 3:
+            layers["w3"] = {"w": stack_dense(keys[6], D, F), "b": jnp.zeros((L, F), dtype)}
     if not c.shared_attention_norm:
         layers["mlp_norm"] = {"w": jnp.ones((L, D), dtype), "b": jnp.zeros((L, D), dtype)}
-    if c.num_linears_per_mlp == 3:
-        layers["w3"] = {"w": stack_dense(keys[6], D, F), "b": jnp.zeros((L, F), dtype)}
 
     params = {
         "embed": {"w": (jax.random.normal(keys[7], (c.vocab_size, D)) * 0.02).astype(dtype)},
@@ -258,12 +280,42 @@ def attention(ops: Ops, lp: Params, x: jax.Array, cos, sin, mask,
 
 
 def mlp(ops: Ops, lp: Params, x: jax.Array, config: ModelConfig):
+    if config.is_moe:
+        return moe_block(ops, lp, x, config)
     h = ops.linear("mlp.w1", x, lp["w1"]["w"], lp["w1"]["b"])
     h = ops.act_fn("mlp.act_fn", h, config.hidden_act)
     if config.num_linears_per_mlp == 3:
         g = ops.linear("mlp.w3", x, lp["w3"]["w"], lp["w3"]["b"])
         h = ops.mul("mlp.gate_mul", h, g)
     return ops.linear("mlp.w2", h, lp["w2"]["w"], lp["w2"]["b"])
+
+
+def moe_block(ops: Ops, lp: Params, x: jax.Array, config: ModelConfig):
+    """Mixtral-style top-k MoE (ref HFMoEBlock, hf_model.py:1065-1162).
+
+    TPU-native formulation: instead of the reference's per-expert token-gather
+    loop (data-dependent shapes — untileable on TPU), all experts run densely and
+    a (B,T,E) combine-weight tensor (zero outside the top-k) mixes them. This is
+    numerically identical to the reference (full capacity, no token dropping) and
+    shards over an "ep" mesh axis on the stacked expert dimension.
+    """
+    c = config
+    logits = x @ lp["router"]["w"]                               # (B,T,E)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    top_vals, top_idx = jax.lax.top_k(probs, c.num_experts_per_tok)
+    top_vals = top_vals / jnp.sum(top_vals, axis=-1, keepdims=True)
+    combine = jnp.sum(
+        jax.nn.one_hot(top_idx, c.num_local_experts, dtype=top_vals.dtype)
+        * top_vals[..., None], axis=-2)                          # (B,T,E)
+    combine = combine.astype(x.dtype)
+
+    h = ops.expert_linear("mlp.w1", x, lp["w1"]["w"], lp["w1"]["b"])   # (B,T,E,F)
+    h = ops.act_fn("mlp.act_fn", h, c.hidden_act)
+    if c.num_linears_per_mlp == 3:
+        g = ops.expert_linear("mlp.w3", x, lp["w3"]["w"], lp["w3"]["b"])
+        h = ops.mul("mlp.gate_mul", h, g)
+    y = ops.expert_linear("mlp.w2", h, lp["w2"]["w"], lp["w2"]["b"])   # (B,T,E,D)
+    return jnp.einsum("bted,bte->btd", y, combine)
 
 
 def decoder_layer(ops: Ops, lp: Params, x: jax.Array, cos, sin, mask,

@@ -49,6 +49,13 @@ MODEL_CONFIGS: dict[str, ModelConfig] = {
         hidden_act="gelu_tanh", normalize_embed=True, tie_word_embeddings=True,
         max_position_embeddings=128,
     ),
+    "test-mixtral": ModelConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+        norm_class="rmsnorm", num_linears_per_mlp=3, hidden_act="silu",
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128,
+    ),
     "test-stablelm": ModelConfig(
         vocab_size=256, hidden_size=64, intermediate_size=128,
         num_layers=2, num_heads=4, num_kv_heads=4, head_dim=16,

@@ -98,6 +98,56 @@ def w4a8_matmul(x_q: jax.Array, wq_packed: jax.Array, w_scale, w_offset,
     )(x_q, wq_packed, w_scale, w_offset, colsum, bias, meta)
 
 
+def _w4a16_kernel(x_ref, wp_ref, scale_ref, offset_ref, bias_ref, out_ref):
+    """Weight-only: fp activations × W4 dequantized in VMEM (no HBM round trip
+    for the unpacked weights — the point of the kernel)."""
+    x = x_ref[:]                                     # (M, K) fp32/bf16
+    wp32 = wp_ref[:].astype(jnp.int32)
+    lo_u = wp32 & 0xF
+    hi_u = (wp32 >> 4) & 0xF
+    lo = jnp.where(lo_u >= 8, lo_u - 16, lo_u)
+    hi = jnp.where(hi_u >= 8, hi_u - 16, hi_u)
+    K2, TN = wp_ref.shape
+    wq = jnp.stack([lo, hi], axis=1).reshape(K2 * 2, TN).astype(jnp.float32)
+    w = (wq - offset_ref[:]) * scale_ref[:]
+    acc = jax.lax.dot_general(
+        x.astype(jnp.float32), w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out_ref[:] = acc + bias_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def w4a16_matmul(x: jax.Array, wq_packed: jax.Array, w_scale, w_offset, bias,
+                 *, block_n: int = 512, interpret: bool = False):
+    """fp (M,K) × nibble-packed W4 (K/2,N) with in-VMEM dequant → fp32 (M,N)."""
+    M, K = x.shape
+    K2, N = wq_packed.shape
+    assert K2 * 2 == K, (K2, K)
+    TN = min(block_n, N)
+    assert N % TN == 0, (N, TN)
+    w_scale = jnp.broadcast_to(jnp.reshape(w_scale, (1, -1)), (1, N)).astype(jnp.float32)
+    w_offset = jnp.broadcast_to(jnp.reshape(w_offset, (1, -1)), (1, N)).astype(jnp.float32)
+    bias = jnp.reshape(bias, (1, N)).astype(jnp.float32)
+    return pl.pallas_call(
+        _w4a16_kernel,
+        grid=(N // TN,),
+        in_specs=[
+            pl.BlockSpec((M, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K2, TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * N,
+            bytes_accessed=M * K * x.dtype.itemsize + K2 * N + M * N * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, wq_packed, w_scale, w_offset, bias)
+
+
 def int_linear_pallas(x_q, x_scale, x_offset, pack: dict, bias, *,
                       interpret: bool = False):
     """Drop-in for qops.int_linear on nibble-packed 4-bit weights.

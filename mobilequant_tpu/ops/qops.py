@@ -134,6 +134,22 @@ def int_linear(x_q: jax.Array, x_scale, x_offset, pack: dict, bias,
     return out
 
 
+def weight_only_linear(x, pack: dict, bias):
+    """W4A16/W8A16: fp activations × integer weights dequantized on the fly —
+    the role of the reference's auto_gptq real-W4 kernels (qmodule.py:803-829).
+    XLA path; ops/pallas_matmul.w4a16_matmul fuses the dequant in VMEM."""
+    wq = pack["wq"]
+    K = x.shape[-1]
+    if wq.shape[0] * 2 == K:
+        wq = unpack_nibbles(wq)
+    w = (wq.astype(jnp.float32) - jnp.reshape(pack["offset"], (1, -1))) \
+        * jnp.reshape(pack["scale"], (1, -1))
+    y = x.astype(jnp.float32) @ w
+    if bias is not None:
+        y = y + bias
+    return y.astype(x.dtype)
+
+
 def int_matmul_qk(q_i8, k_i8, q_scale, q_offset, k_scale, k_offset):
     """Quantized Q·Kᵀ: q (B,T,Hkv,G,hd) × k (B,S,Hkv,hd) → fp32 (B,Hkv,G,T,S).
 

@@ -34,8 +34,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from mobilequant_tpu.models.config import ModelConfig
 
 
-def make_mesh(dp: int = 1, tp: Optional[int] = None, devices=None) -> Mesh:
+def make_mesh(dp: int = 1, tp: Optional[int] = None, devices=None,
+              ep: Optional[int] = None) -> Mesh:
+    """("dp","tp") mesh, or ("dp","ep","tp") when ep is given (expert parallelism
+    gets its own axis so MoE expert sharding composes with TP)."""
     devices = devices if devices is not None else jax.devices()
+    if ep is not None:
+        if tp is None:
+            tp = len(devices) // (dp * ep)
+        assert dp * ep * tp == len(devices), (dp, ep, tp, len(devices))
+        arr = np.asarray(devices).reshape(dp, ep, tp)
+        return Mesh(arr, ("dp", "ep", "tp"))
     if tp is None:
         tp = len(devices) // dp
     assert dp * tp == len(devices), (dp, tp, len(devices))

@@ -52,3 +52,23 @@ def test_kernel_handles_leading_batch_dims():
     out = int_linear_pallas(x8, s, o, pack, None, interpret=True)
     assert out.shape == (2, 3, 256)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-4)
+
+
+def test_w4a16_weight_only_matches_fake_quant():
+    """Weight-only path: fp acts × dequantized W4 == fq_weight reference,
+    XLA and Pallas implementations both."""
+    from mobilequant_tpu.ops.pallas_matmul import w4a16_matmul
+    from mobilequant_tpu.quant.quantizer import fake_quant_weight
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(4, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(128, 256)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(256,)), jnp.float32)
+    for wcfg in [QuantConfig(bitwidth=4, is_per_channel=True, is_symmetric=True),
+                 QuantConfig(bitwidth=4, is_per_channel=True)]:
+        ref = x @ fake_quant_weight(w, wcfg) + b
+        pack = qops.pack_weight(w, wcfg)
+        xla = qops.weight_only_linear(x, pack, b)
+        np.testing.assert_allclose(np.asarray(xla), np.asarray(ref), rtol=1e-4, atol=1e-4)
+        ker = w4a16_matmul(x, pack["wq"], pack["scale"], pack["offset"], b,
+                           interpret=True)
+        np.testing.assert_allclose(np.asarray(ker), np.asarray(ref), rtol=1e-4, atol=1e-4)

@@ -118,3 +118,27 @@ def test_kv_cache_decode_matches_full_forward():
         outs.append(np.asarray(logits[:, 0]))
     dec = np.stack(outs, axis=1)
     np.testing.assert_allclose(dec, np.asarray(full_logits), rtol=2e-4, atol=2e-4)
+
+
+def test_moe_parity_vs_mixtral():
+    """MoE block (dense combine-weight formulation) vs HF Mixtral token-gather
+    loop — must agree exactly (full capacity, no dropping)."""
+    torch.manual_seed(0)
+    cfg = get_config("test-mixtral")
+    hf_cfg = transformers.MixtralConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size, num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads, num_key_value_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim_, rms_norm_eps=cfg.norm_eps,
+        num_local_experts=cfg.num_local_experts,
+        num_experts_per_tok=cfg.num_experts_per_tok,
+        rope_theta=cfg.rope_theta, max_position_embeddings=cfg.max_position_embeddings,
+        tie_word_embeddings=False, router_aux_loss_coef=0.0,
+    )
+    hf = transformers.MixtralForCausalLM(hf_cfg).float()
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, cfg.vocab_size, size=(2, 13), dtype=np.int64)
+    ref = _run_torch(hf, tokens)
+    params = convert_hf_model(hf, cfg, "mixtral")
+    ours = _logits_ours(params, tokens.astype(np.int32), cfg)
+    np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)

@@ -140,3 +140,33 @@ def test_synthetic_calib_loader():
     assert toks.shape == (4, 32) and toks.max() < 100
     # deterministic
     np.testing.assert_array_equal(toks, synthetic_tokens(100, 4, 32))
+
+
+def test_debug_tools():
+    from mobilequant_tpu.eval.debug import site_error_attribution, compare_sim_engine
+    cfg, policy, ecfg, packed = _engine_setup()
+    import jax
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant import calibrate
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    tokens = np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 16)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, policy, batch_size=2)
+    ranges = calibrate.stats_to_ranges(stats, policy)
+    qstate = {"ranges": ranges}
+
+    attr = site_error_attribution(params, qstate, tokens[:1], cfg, policy, mode="solo")
+    assert len(attr) > 10 and all(np.isfinite(v) for v in attr.values())
+
+    rep = compare_sim_engine(params, qstate, packed, tokens[:1], cfg, policy)
+    assert rep["rel_err"] < 5e-3 and rep["argmax_agreement"] > 0.99
+
+
+def test_sol_accounting():
+    from mobilequant_tpu.utils.profiling import decode_step_sol, matmul_sol
+    from mobilequant_tpu.models import get_config
+    cfg = get_config("tinyllama-1.1b")
+    sol8 = decode_step_sol(cfg, weight_bits=8)
+    sol4 = decode_step_sol(cfg, weight_bits=4)
+    assert sol4["bytes_per_token"] < sol8["bytes_per_token"]
+    r = matmul_sol(1, 2048, 2048, weight_bytes=1)
+    assert r["bound"] == "bandwidth"   # M=1 decode is BW-bound
