@@ -181,20 +181,46 @@ def cmd_demo(args):
     from mobilequant_tpu.export import artifacts
     from mobilequant_tpu.runtime.generate import Generator
     from mobilequant_tpu.runtime.native import NativeTokenizer
+    from mobilequant_tpu.runtime.chat import apply_chat_template
 
     packed, cfg, policy, meta = artifacts.load_packed(args.engine_dir)
     from mobilequant_tpu.runtime import engine as E
     ecfg = E.EngineConfig(model=cfg, max_seq_len=meta.get("max_seq_len", 1024))
     gen = Generator(packed, cfg, policy, ecfg)
     tk = NativeTokenizer(args.tokenizer)
-    ids = tk.encode(args.prompt, prefix=[args.bos] if args.bos >= 0 else [])
-    t0 = time.time()
-    out, stats = gen.generate_fast(np.asarray([ids], np.int32), args.max_new_tokens,
-                                   temperature=args.temperature, return_stats=True)
-    text = tk.decode(out[0].tolist())
-    print(text)
-    print(f"[{stats['decode_tok_s']:.1f} tok/s decode, "
-          f"prefill {stats['prefill_s']*1e3:.0f} ms]", file=sys.stderr)
+    temperature = args.temperature
+
+    def answer(prompt: str):
+        text_in = apply_chat_template(prompt, args.chat)
+        ids = tk.encode(text_in, prefix=[args.bos] if args.bos >= 0 else [])
+        out, stats = gen.generate_fast(np.asarray([ids], np.int32),
+                                       args.max_new_tokens,
+                                       temperature=temperature, return_stats=True)
+        print(tk.decode(out[0].tolist()))
+        print(f"[{stats['decode_tok_s']:.1f} tok/s decode, "
+              f"prefill {stats['prefill_s']*1e3:.0f} ms]", file=sys.stderr)
+
+    if not args.interactive:
+        answer(args.prompt)
+        return
+    # interactive REPL (analogue of the reference's simple_app, capp/test/
+    # simple_app.cpp: !exit / !temp commands)
+    print("mobilequant_tpu REPL — !exit to quit, !temp <t> to set temperature",
+          file=sys.stderr)
+    while True:
+        try:
+            line = input("> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            break
+        if not line:
+            continue
+        if line == "!exit":
+            break
+        if line.startswith("!temp"):
+            temperature = float(line.split()[1])
+            print(f"temperature={temperature}", file=sys.stderr)
+            continue
+        answer(line)
 
 
 def build_parser():
@@ -264,6 +290,9 @@ def build_parser():
     q.add_argument("--max_new_tokens", type=int, default=128)
     q.add_argument("--temperature", type=float, default=0.0)
     q.add_argument("--bos", type=int, default=1)
+    q.add_argument("--chat", default="none",
+                   help="chat template family: llama|gemma|stablelm|none")
+    q.add_argument("--interactive", action="store_true")
     q.set_defaults(fn=cmd_demo)
     return p
 

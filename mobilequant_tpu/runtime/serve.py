@@ -51,7 +51,21 @@ class ContinuousBatcher:
                  ecfg: Optional[E.EngineConfig] = None, batch_slots: int = 8,
                  prefill_buckets: tuple = (32, 128, 512, 1024),
                  sampler: SamplerConfig = SamplerConfig(greedy=True),
-                 eos_token_id: Optional[int] = None, seed: int = 0):
+                 eos_token_id: Optional[int] = None, seed: int = 0,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh — weights go tensor-parallel over
+        "tp" and the slot axis of the KV cache shards over "dp"
+        (parallel/sharding.packed_pspecs / kv_cache_pspec). batch_slots must be
+        divisible by the dp size."""
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from mobilequant_tpu.parallel import sharding as S
+            specs = S.packed_pspecs(packed, config, mesh)
+            packed = S.shard_tree(packed, specs, mesh)
+            self._cache_sharding = NamedSharding(mesh, S.kv_cache_pspec(config, mesh))
+        else:
+            self._cache_sharding = None
+        self.mesh = mesh
         self.packed = packed
         self.config = config
         self.policy = policy
@@ -64,6 +78,10 @@ class ContinuousBatcher:
         self.key = jax.random.PRNGKey(seed)
 
         self.cache = E.init_kv_cache(self.ecfg, self.B)
+        if self._cache_sharding is not None:
+            self.cache = E.EngineKVCache(
+                k=jax.device_put(self.cache.k, self._cache_sharding),
+                v=jax.device_put(self.cache.v, self._cache_sharding))
         self.queue: deque[Request] = deque()
         self.active: dict[int, Request] = {}       # slot -> request
         self.done: dict[int, Request] = {}

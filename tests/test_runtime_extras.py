@@ -170,3 +170,51 @@ def test_sol_accounting():
     assert sol4["bytes_per_token"] < sol8["bytes_per_token"]
     r = matmul_sol(1, 2048, 2048, weight_bytes=1)
     assert r["bound"] == "bandwidth"   # M=1 decode is BW-bound
+
+
+def test_chat_templates():
+    from mobilequant_tpu.runtime.chat import apply_chat_template
+    s = apply_chat_template("hi", "llama")
+    assert "<|user|>" in s and s.endswith("<|assistant|>\n")
+    assert apply_chat_template("hi", "none") == "hi"
+    with pytest.raises(KeyError):
+        apply_chat_template("hi", "mistralx")
+
+
+def test_collect_mmlu():
+    from mobilequant_tpu.eval.collect import collect_mmlu, results_table
+    res = {"mmlu_abstract_algebra": {"acc,none": 0.3},
+           "mmlu_anatomy": {"acc,none": 0.5},
+           "wikitext": {"word_perplexity,none": 15.0}}
+    assert abs(collect_mmlu(res) - 0.4) < 1e-9
+    tbl = results_table({"w8a8": {"wikitext_ppl": 15.5, "arc_c": 31.9,
+                                  "hellaswag": 59.2, "mmlu": 25.0}})
+    assert "15.50" in tbl
+
+
+def test_continuous_batching_sharded_mesh():
+    """Batcher with a (dp=2, tp=2) mesh must produce identical greedy outputs."""
+    from mobilequant_tpu.runtime.serve import ContinuousBatcher
+    from mobilequant_tpu.runtime.sampling import SamplerConfig
+    from mobilequant_tpu.parallel import sharding as S
+
+    cfg, policy, ecfg, packed = _engine_setup()
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int32)
+               for n in (5, 9, 7)]
+
+    ref = ContinuousBatcher(packed, cfg, policy, ecfg, batch_slots=2,
+                            prefill_buckets=(16, 32),
+                            sampler=SamplerConfig(greedy=True))
+    rids = [ref.submit(p, 5) for p in prompts]
+    want = ref.run()
+
+    mesh = S.make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+    with jax.set_mesh(mesh):
+        cb = ContinuousBatcher(packed, cfg, policy, ecfg, batch_slots=2,
+                               prefill_buckets=(16, 32),
+                               sampler=SamplerConfig(greedy=True), mesh=mesh)
+        rids2 = [cb.submit(p, 5) for p in prompts]
+        got = cb.run()
+    for r1, r2 in zip(rids, rids2):
+        assert want[r1] == got[r2]
