@@ -98,6 +98,62 @@ def w4a8_matmul(x_q: jax.Array, wq_packed: jax.Array, w_scale, w_offset,
     )(x_q, wq_packed, w_scale, w_offset, colsum, bias, meta)
 
 
+def _w8a8_kernel(x_ref, w_ref, scale_ref, offset_ref, colsum_ref, bias_ref,
+                 meta_ref, out_ref):
+    """Same contract as _w4a8_kernel without the nibble unpack."""
+    x = x_ref[:]
+    w = w_ref[:]
+    acc = jax.lax.dot_general(
+        x, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32)
+    x_scale = meta_ref[0]
+    ox = meta_ref[1] - 128.0
+    K = x.shape[1]
+    rowsum = jnp.sum(x.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.float32)
+    sw = scale_ref[:]
+    ow = offset_ref[:]
+    acc = acc - ox * colsum_ref[:] - ow * rowsum + K * ox * ow
+    out_ref[:] = acc * (x_scale * sw) + bias_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def w8a8_matmul(x_q: jax.Array, wq: jax.Array, w_scale, w_offset,
+                colsum, bias, x_scale, x_offset, *, block_n: int = 512,
+                interpret: bool = False):
+    """x_q (M,K) int8 × W8 (K,N) int8 → fp32 (M,N), fused affine requant."""
+    M, K = x_q.shape
+    K_, N = wq.shape
+    assert K_ == K, (K_, K)
+    TN = min(block_n, N)
+    assert N % TN == 0, (N, TN)
+    w_scale = jnp.broadcast_to(jnp.reshape(w_scale, (1, -1)), (1, N)).astype(jnp.float32)
+    w_offset = jnp.broadcast_to(jnp.reshape(w_offset, (1, -1)), (1, N)).astype(jnp.float32)
+    colsum = jnp.reshape(colsum, (1, N)).astype(jnp.float32)
+    bias = jnp.reshape(bias, (1, N)).astype(jnp.float32)
+    meta = jnp.stack([jnp.asarray(x_scale, jnp.float32),
+                      jnp.asarray(x_offset, jnp.float32)])
+    return pl.pallas_call(
+        _w8a8_kernel,
+        grid=(N // TN,),
+        in_specs=[
+            pl.BlockSpec((M, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((M, TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * N,
+            bytes_accessed=M * K + K * N + M * N * 4 + 4 * N * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(x_q, wq, w_scale, w_offset, colsum, bias, meta)
+
+
 def _w4a16_kernel(x_ref, wp_ref, scale_ref, offset_ref, bias_ref, out_ref):
     """Weight-only: fp activations × W4 dequantized in VMEM (no HBM round trip
     for the unpacked weights — the point of the kernel)."""

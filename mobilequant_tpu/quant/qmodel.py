@@ -173,6 +173,15 @@ class QuantOps(M.Ops):
         y = x @ w + b
         return self._fq_act(site, "output", y)
 
+    def expert_linear(self, site, x, w, b):
+        """MoE expert projections: same policy as the dense site; per-tensor
+        quantizers apply across the stacked expert axis (coarser than the
+        reference's per-expert module instances — documented limitation)."""
+        x = self._fq_act(site, "input", x)
+        w = self._fq_weight(site, w)
+        y = super().expert_linear(site, x, w, b)
+        return self._fq_act(site, "output", y)
+
     def rmsnorm(self, site, x, w, b, eps):
         x = self._fq_act(site, "input", x)
         w = self._fq_weight(site, w)

@@ -131,25 +131,27 @@ def fake_quant(x, scale, offset, qcfg: QuantConfig):
 # ---------------------------------------------------------------------------
 
 def _group_reshape(w, group_size: int):
-    """(in, out) -> (n_groups, gs, out); groups along the input axis."""
-    d_in, d_out = w.shape
+    """(..., in, out) -> (..., n_groups, gs, out); groups along the input axis."""
+    *lead, d_in, d_out = w.shape
     assert d_in % group_size == 0, f"in={d_in} not divisible by group={group_size}"
-    return w.reshape(d_in // group_size, group_size, d_out)
+    return w.reshape(*lead, d_in // group_size, group_size, d_out)
 
 
 def weight_min_max(w, qcfg: QuantConfig):
-    """min/max stats for a (in, out) weight.
+    """min/max stats for a (..., in, out) weight (leading axes, e.g. stacked MoE
+    experts, are treated as independent linears).
 
-    per-tensor -> scalars; per-channel -> (1, out); per-channel+group -> (G, 1, out)
-    (the reference's per-row stats on (out, in), ref qmodule.py:26-34, transposed).
+    per-tensor -> scalars; per-channel -> (..., 1, out); per-channel+group ->
+    (..., G, 1, out) (the reference's per-row stats on (out, in),
+    ref qmodule.py:26-34, transposed).
     """
     if qcfg.is_per_channel:
         if qcfg.group_size != -1:
             wg = _group_reshape(w, qcfg.group_size)
-            return (jnp.min(wg, axis=1, keepdims=True),
-                    jnp.max(wg, axis=1, keepdims=True))
-        return (jnp.min(w, axis=0, keepdims=True),
-                jnp.max(w, axis=0, keepdims=True))
+            return (jnp.min(wg, axis=-2, keepdims=True),
+                    jnp.max(wg, axis=-2, keepdims=True))
+        return (jnp.min(w, axis=-2, keepdims=True),
+                jnp.max(w, axis=-2, keepdims=True))
     return jnp.min(w), jnp.max(w)
 
 
@@ -158,10 +160,10 @@ def lwc_init(w, qcfg: QuantConfig):
     (ref qmodule.py:133-151, init 4.0 → sigmoid≈0.982)."""
     if qcfg.is_per_channel:
         if qcfg.group_size != -1:
-            g = w.shape[0] // qcfg.group_size
-            shape = (g, 1, w.shape[1])
+            g = w.shape[-2] // qcfg.group_size
+            shape = w.shape[:-2] + (g, 1, w.shape[-1])
         else:
-            shape = (1, w.shape[1])
+            shape = w.shape[:-2] + (1, w.shape[-1])
     else:
         shape = ()
     up = jnp.full(shape, LWC_INIT, jnp.float32)

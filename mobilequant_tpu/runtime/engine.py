@@ -149,10 +149,22 @@ def _fq16(x, r, cfg: QuantConfig):
     return fake_quant(x, r["scale"], r["offset"], cfg)
 
 
-def _int_linear(x_q, s, o, pack, bias, use_pallas: bool):
-    if use_pallas and pack["wq"].shape[0] * 2 == x_q.shape[-1]:
+def _int_linear(x_q, s, o, pack, bias, use_pallas):
+    """use_pallas: False/"none" | True/"w4" (fused-unpack kernel for packed 4-bit)
+    | "all" (also route 8-bit matmuls through the Pallas kernel)."""
+    mode = {False: "none", True: "w4"}.get(use_pallas, use_pallas)
+    K = x_q.shape[-1]
+    if mode != "none" and pack["wq"].shape[0] * 2 == K:
         from mobilequant_tpu.ops.pallas_matmul import int_linear_pallas
         return int_linear_pallas(x_q, s, o, pack, bias)
+    if mode == "all" and pack["wq"].shape[0] == K:
+        from mobilequant_tpu.ops.pallas_matmul import w8a8_matmul
+        lead = x_q.shape[:-1]
+        N = pack["wq"].shape[1]
+        out = w8a8_matmul(x_q.reshape(-1, K), pack["wq"], pack["scale"],
+                          pack["offset"], pack["colsum"],
+                          bias if bias is not None else jnp.zeros((N,)), s, o)
+        return out.reshape(*lead, N)
     return qops.int_linear(x_q, s, o, pack, bias)
 
 

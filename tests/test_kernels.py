@@ -72,3 +72,21 @@ def test_w4a16_weight_only_matches_fake_quant():
         ker = w4a16_matmul(x, pack["wq"], pack["scale"], pack["offset"], b,
                            interpret=True)
         np.testing.assert_allclose(np.asarray(ker), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("M", [1, 8])
+def test_w8a8_kernel_matches_int_linear(M):
+    from mobilequant_tpu.ops.pallas_matmul import w8a8_matmul
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(M, 256)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(256, 512)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(512,)), jnp.float32)
+    acfg = QuantConfig(bitwidth=8)
+    for wcfg in [QuantConfig(bitwidth=8), QuantConfig(bitwidth=8, is_per_channel=True)]:
+        s, o = scale_offset_from_min_max(jnp.min(x), jnp.max(x), acfg)
+        x8 = qops.quantize_act(x, s, o)
+        pack = qops.pack_weight(w, wcfg)
+        ref = qops.int_linear(x8, s, o, pack, b)
+        out = w8a8_matmul(x8, pack["wq"], pack["scale"], pack["offset"],
+                          pack["colsum"], b, s, o, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-4)

@@ -100,3 +100,28 @@ def test_smoothquant_init_helps_outlier_channels():
     err = _qerr(params, {"let": let, "ranges": ranges2}, tokens, cfg, policy)
     assert np.isfinite(err)
     assert err < base, (base, err)
+
+
+def test_e2equant_checkpoint_resume():
+    """Per-epoch checkpoint → resume continues from the saved quant state
+    (ref parameters.pth save/resume, algorithm.py:762-763, 663-666)."""
+    cfg, params, policy, tokens, ranges = _setup(w_bits=8)
+    tc = train.TrainConfig(epochs=4, batch_size=4)
+    qstate0 = train.init_qstate(params, cfg, policy, tc, ranges)
+
+    saved = {}
+    def cb(epoch, qstate):
+        saved[epoch] = jax.tree.map(lambda a: np.asarray(a), qstate)
+
+    full, _ = train.e2equant(params, qstate0, tokens, cfg, policy, tc,
+                             checkpoint_cb=cb)
+    assert set(saved) == {0, 1, 2, 3}
+
+    # resume from epoch-1 checkpoint: run the remaining 2 epochs
+    mid = jax.tree.map(jnp.asarray, saved[1])
+    tc2 = train.TrainConfig(epochs=2, batch_size=4)
+    resumed, hist = train.e2equant(params, mid, tokens, cfg, policy, tc2)
+    err_full = _qerr(params, full, tokens, cfg, policy)
+    err_resumed = _qerr(params, resumed, tokens, cfg, policy)
+    # resumed training must be in the same ballpark as uninterrupted training
+    assert err_resumed < err_full * 3 + 1e-6
