@@ -66,12 +66,15 @@ def main():
     log(f"devices: {jax.devices()}")
     results = {}
 
-    # --- integer engine: W8A8, W4A8(pallas), W4A8(xla) ---
-    for name, w_bits, use_pallas in (("w8a8", 8, False),
-                                     ("w4a8_pallas", 4, True),
-                                     ("w4a8_xla", 4, False)):
+    # --- integer engine: W8A8 strict, W8A8 relaxed-16bit, W4A8(pallas) ---
+    from mobilequant_tpu.quant.policy import relax_16bit
+    for name, w_bits, use_pallas, relax in (("w8a8", 8, False, False),
+                                            ("w8a8_fast", 8, False, True),
+                                            ("w4a8_pallas", 4, True, True)):
         packed, cfg, policy, ecfg = _build_packed_tinyllama(max_seq_len=1024,
                                                             w_bits=w_bits)
+        if relax:
+            policy = relax_16bit(policy)
         cache = E.init_kv_cache(ecfg, 1)
 
         @functools.partial(jax.jit, donate_argnums=(2,))
@@ -85,6 +88,22 @@ def main():
         results[f"{name}_decode_tok_s"] = tps
         log(f"{name} decode: {tps:.1f} tok/s (bs=1, S=1024, in-graph loop)")
         del packed, cache
+
+    # --- W8A8 batched decode (serving shape: weight reads amortize over slots) ---
+    packed, cfg, policy, ecfg = _build_packed_tinyllama(max_seq_len=1024, w_bits=8)
+    B = 8
+    cache8 = E.init_kv_cache(ecfg, B)
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def chunk8(packed, token, cache, pos, _c=cfg, _p=policy):
+        return E.decode_loop(packed, token, cache, pos, N_STEPS, _c, _p)
+
+    tps = time_decode_loop(chunk8, packed, cache8,
+                           jnp.full((B, 1), 7, jnp.int32),
+                           jnp.full((B,), 256, jnp.int32)) * B
+    results["w8a8_bs8_decode_tok_s"] = tps
+    log(f"w8a8 bs=8 decode: {tps:.1f} tok/s total (in-graph loop)")
+    del packed, cache8
 
     # --- bf16 FP baseline (same in-graph loop shape) ---
     cfg = get_config("tinyllama-1.1b")

@@ -109,6 +109,23 @@ def policy_from_dict(d: dict) -> QPolicy:
     return out
 
 
+def relax_16bit(policy: QPolicy) -> QPolicy:
+    """Disable the 16-bit exception sites (norm I/O, o_proj/w2 outputs, softmax
+    I/O). On an NPU these sites must be quantized because the datapath is integer
+    end-to-end; on TPU the inter-op datapath is fp32 registers/VMEM, so 16-bit
+    fake-quant there is purely *simulation* of an NPU constraint — dropping it
+    changes outputs by ~1e-4 relative and removes a measurable per-token op-count
+    overhead at bs=1. Keep the strict policy for fidelity gating; serve with the
+    relaxed one."""
+    out = {}
+    for site, sq in policy.items():
+        kw = {}
+        for role, cfg in sq.roles():
+            kw[role] = cfg.replace(bitwidth=32) if cfg.bitwidth == 16 else cfg
+        out[site] = SiteQuant(**kw)
+    return out
+
+
 def static_range_sites(policy: QPolicy):
     """(site, role) pairs that need static activation scale/offset state —
     every activation quantizer that is enabled and not dynamic."""

@@ -151,15 +151,20 @@ def _fq16(x, r, cfg: QuantConfig):
 
 def _int_linear(x_q, s, o, pack, bias, use_pallas):
     """use_pallas: False/"none" | True/"w4" (fused-unpack kernel for packed 4-bit)
-    | "all" (also route 8-bit matmuls through the Pallas kernel)."""
+    | "all" (also route decode-sized 8-bit matmuls through the Pallas kernel —
+    XLA lowers M≲8 int8 dots as broadcast·multiply·reduce on the VPU instead of
+    the MXU, which is several× slower than the bandwidth bound)."""
     mode = {False: "none", True: "w4"}.get(use_pallas, use_pallas)
     K = x_q.shape[-1]
+    lead = x_q.shape[:-1]
+    m_flat = 1
+    for d in lead:
+        m_flat *= d
     if mode != "none" and pack["wq"].shape[0] * 2 == K:
         from mobilequant_tpu.ops.pallas_matmul import int_linear_pallas
         return int_linear_pallas(x_q, s, o, pack, bias)
-    if mode == "all" and pack["wq"].shape[0] == K:
+    if mode == "all" and pack["wq"].shape[0] == K and m_flat <= 32:
         from mobilequant_tpu.ops.pallas_matmul import w8a8_matmul
-        lead = x_q.shape[:-1]
         N = pack["wq"].shape[1]
         out = w8a8_matmul(x_q.reshape(-1, K), pack["wq"], pack["scale"],
                           pack["offset"], pack["colsum"],
