@@ -109,7 +109,7 @@ def export_decode_step(packed: dict, config: ModelConfig, policy: QPolicy,
 
     c = config
     kv = jax.ShapeDtypeStruct(
-        (c.num_layers, batch_size, max_seq_len, c.num_kv_heads, c.head_dim_), jnp.int8)
+        (c.num_layers, batch_size, c.num_kv_heads, max_seq_len, c.head_dim_), jnp.int8)
     args = (jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), packed),
             jax.ShapeDtypeStruct((batch_size, 1), jnp.int32), kv, kv,
             jax.ShapeDtypeStruct((batch_size,), jnp.int32))

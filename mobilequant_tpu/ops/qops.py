@@ -151,34 +151,37 @@ def weight_only_linear(x, pack: dict, bias):
 
 
 def int_matmul_qk(q_i8, k_i8, q_scale, q_offset, k_scale, k_offset):
-    """Quantized Q·Kᵀ: q (B,T,Hkv,G,hd) × k (B,S,Hkv,hd) → fp32 (B,Hkv,G,T,S).
+    """Quantized Q·Kᵀ: q (B,Hkv,GT,hd) × k (B,Hkv,S,hd) → fp32 (B,Hkv,GT,S).
 
-    Affine-exact: (q-oq)(k-ok)·sq·sk with per-tensor encodings. rowsums computed
-    on the int values (cheap VPU reductions).
+    The head-major KV layout makes this a clean *batched* int8 dot_general on the
+    MXU (the general einsum form lowers to a dilated s32 convolution on TPU —
+    much slower). Affine-exact with per-tensor encodings; rowsums are cheap VPU
+    reductions.
     """
     hd = q_i8.shape[-1]
-    acc = jnp.einsum("btkgh,bskh->bkgts", q_i8.astype(jnp.int8), k_i8.astype(jnp.int8),
-                     preferred_element_type=jnp.int32).astype(jnp.float32)
+    acc = jax.lax.dot_general(
+        q_i8, k_i8,
+        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32).astype(jnp.float32)   # (B,Hkv,GT,S)
     oq = q_offset - 128.0
     ok = k_offset - 128.0
-    qsum = jnp.sum(q_i8.astype(jnp.int32), axis=-1).astype(jnp.float32)  # (B,T,Hkv,G)
-    ksum = jnp.sum(k_i8.astype(jnp.int32), axis=-1).astype(jnp.float32)  # (B,S,Hkv)
-    acc = (acc
-           - ok * jnp.transpose(qsum, (0, 2, 3, 1))[..., :, None]
-           - oq * jnp.transpose(ksum, (0, 2, 1))[:, :, None, None, :]
-           + hd * oq * ok)
+    qsum = jnp.sum(q_i8.astype(jnp.int32), axis=-1).astype(jnp.float32)  # (B,Hkv,GT)
+    ksum = jnp.sum(k_i8.astype(jnp.int32), axis=-1).astype(jnp.float32)  # (B,Hkv,S)
+    acc = acc - ok * qsum[..., None] - oq * ksum[:, :, None, :] + hd * oq * ok
     return acc * (q_scale * k_scale)
 
 
 def int_matmul_pv(p, v_i8, v_scale, v_offset):
-    """P·V with int8 V: p fp32 (B,Hkv,G,T,S) × v (B,S,Hkv,hd) → (B,T,Hkv,G,hd).
+    """P·V with int8 V: p fp32 (B,Hkv,GT,S) × v (B,Hkv,S,hd) → (B,Hkv,GT,hd).
 
     v = (v_q+128-o_v)·s_v ⇒ P@V = (P@v_shifted − (o_v−128)·Σ_s P)·s_v; softmax rows
     sum to 1 so Σ_s P = 1 (we keep the general form — masked prefill rows too).
     """
     vf = v_i8.astype(jnp.float32)
-    acc = jnp.einsum("bkgts,bskh->btkgh", p, vf)
-    psum = jnp.sum(p, axis=-1)                    # (B,Hkv,G,T)
+    acc = jax.lax.dot_general(
+        p, vf, dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32)                      # (B,Hkv,GT,hd)
+    psum = jnp.sum(p, axis=-1)                                   # (B,Hkv,GT)
     ov = v_offset - 128.0
-    acc = acc - ov * jnp.transpose(psum, (0, 3, 1, 2))[..., None]
+    acc = acc - ov * psum[..., None]
     return acc * v_scale

@@ -165,6 +165,11 @@ def packed_pspecs(packed: dict, config: ModelConfig, mesh: Mesh) -> dict:
             layers[pkey] = {"w": P(None, None), "b": P(None, None)}
         elif pkey in ("q_proj", "k_proj", "v_proj"):
             layers[pkey] = build_proj(entry, attn_kind[0])
+        elif pkey in ("qkv_proj", "w13_proj"):
+            # fused projections: TP would split the concatenated out axis across
+            # segment boundaries — keep replicated (pack with
+            # fuse_projections=False for TP serving)
+            layers[pkey] = build_proj(entry, "rep")
         elif pkey == "o_proj":
             layers[pkey] = build_proj(entry, attn_kind[1])
         elif pkey in ("w1", "w3"):
@@ -184,10 +189,11 @@ def packed_pspecs(packed: dict, config: ModelConfig, mesh: Mesh) -> dict:
 
 
 def kv_cache_pspec(config: ModelConfig, mesh: Mesh):
-    """(L, B, S, Hkv, hd): batch over dp, kv heads over tp (if divisible)."""
+    """Engine cache (L, B, Hkv, S, hd): batch over dp, kv heads over tp (if
+    divisible)."""
     tp = mesh.shape["tp"]
     head_axis = "tp" if _kv_heads_shardable(config, tp) else None
-    return P(None, "dp", None, head_axis, None)
+    return P(None, "dp", head_axis, None, None)
 
 
 def shard_tree(tree, specs, mesh: Mesh):

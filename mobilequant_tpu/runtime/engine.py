@@ -42,7 +42,11 @@ from mobilequant_tpu.quant.quantizer import QuantConfig, fake_quant
 
 
 class EngineKVCache(NamedTuple):
-    """int8 KV cache: k/v (L, B, S_max, Hkv, hd) in shifted-uint8 domain."""
+    """int8 KV cache: k/v (L, B, Hkv, S_max, hd) in shifted-uint8 domain.
+
+    Head-major layout (vs the FP model's (…,S,Hkv,hd)): attention becomes a
+    batched int8 dot_general over (B,Hkv) on the MXU instead of an einsum that
+    XLA lowers to a slow dilated convolution."""
     k: jax.Array
     v: jax.Array
 
@@ -59,6 +63,11 @@ class EngineConfig:
     use_pallas: bool = True            # fused-unpack kernel for nibble-packed W4
                                        # (ops/pallas_matmul.py); 8-bit matmuls
                                        # always go through XLA (already BW-bound)
+    fuse_projections: bool = True      # pack q|k|v and w1|w3 as single matmuls
+                                       # (per-tensor scales become per-channel
+                                       # segments — numerically exact); decode at
+                                       # bs=1 is dispatch-overhead-bound, fewer
+                                       # ops per layer measurably helps
 
 
 # ---------------------------------------------------------------------------
@@ -85,10 +94,35 @@ def pack(params: dict, ranges: dict, config: ModelConfig, policy: QPolicy,
         packed["bias"] = entry["b"].astype(jnp.float32)
         return packed
 
+    def fuse(entries: list) -> dict:
+        """Concatenate packed projections along the out axis; per-tensor scales
+        and offsets become per-channel segments (exactly equivalent)."""
+        Ns = [e["wq"].shape[-1] for e in entries]
+
+        def chan(e, key):
+            v = e[key]
+            if v.ndim == 1:  # per-tensor (L,) → (L,1,N)
+                L_ = v.shape[0]
+                return jnp.broadcast_to(v[:, None, None],
+                                        (L_, 1, e["wq"].shape[-1]))
+            return v
+        return {
+            "wq": jnp.concatenate([e["wq"] for e in entries], axis=-1),
+            "scale": jnp.concatenate([chan(e, "scale") for e in entries], axis=-1),
+            "offset": jnp.concatenate([chan(e, "offset") for e in entries], axis=-1),
+            "colsum": jnp.concatenate([e["colsum"] for e in entries], axis=-1),
+            "bias": jnp.concatenate([e["bias"] for e in entries], axis=-1),
+        }
+
     layers = {}
     for pkey, site in _PROJ_SITES.items():
         if pkey in params["layers"]:
             layers[pkey] = pack_proj(pkey, site)
+    if ecfg.fuse_projections and not config.is_moe:
+        layers["qkv_proj"] = fuse([layers.pop("q_proj"), layers.pop("k_proj"),
+                                   layers.pop("v_proj")])
+        if "w3" in layers:
+            layers["w13_proj"] = fuse([layers.pop("w1"), layers.pop("w3")])
 
     # norm weights: bake the 16-bit weight quantization (policy norm_w16)
     def bake_norm(nkey, site):
@@ -133,7 +167,7 @@ def pack(params: dict, ranges: dict, config: ModelConfig, policy: QPolicy,
 
 def init_kv_cache(ecfg: EngineConfig, batch_size: int) -> EngineKVCache:
     c = ecfg.model
-    shape = (c.num_layers, batch_size, ecfg.max_seq_len, c.num_kv_heads, c.head_dim_)
+    shape = (c.num_layers, batch_size, c.num_kv_heads, ecfg.max_seq_len, c.head_dim_)
     # -128 == uint8 zero; exact value is irrelevant (masked out until written)
     return EngineKVCache(k=jnp.full(shape, -128, jnp.int8),
                         v=jnp.full(shape, -128, jnp.int8))
@@ -170,6 +204,15 @@ def _int_linear(x_q, s, o, pack, bias, use_pallas):
                           pack["offset"], pack["colsum"],
                           bias if bias is not None else jnp.zeros((N,)), s, o)
         return out.reshape(*lead, N)
+    if mode == "pad8" and m_flat < 8:
+        # XLA lowers M<8 int8 dots to a VPU broadcast·multiply·reduce; padding
+        # the activation rows to 8 flips it onto the MXU path (wasted rows are
+        # free — the op is weight-bandwidth-bound)
+        x2 = x_q.reshape(-1, K)
+        xp = jnp.concatenate(
+            [x2, jnp.zeros((8 - x2.shape[0], K), x2.dtype)], axis=0)
+        out = qops.int_linear(xp, s, o, pack, bias)
+        return out[:m_flat].reshape(*lead, pack["wq"].shape[1])
     return qops.int_linear(x_q, s, o, pack, bias)
 
 
@@ -208,9 +251,23 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
                         use_pallas)
         return _fq16(y, lr[site]["output"], policy[site].output)
 
-    q = proj("q_proj", "self_attn.q_proj").reshape(B, T, Hq, hd)
-    k = proj("k_proj", "self_attn.k_proj").reshape(B, T, Hkv, hd)
-    v = proj("v_proj", "self_attn.v_proj").reshape(B, T, Hkv, hd)
+    if "qkv_proj" in lp:
+        qkv = _int_linear(h8, hr["scale"], hr["offset"], lp["qkv_proj"],
+                          lp["qkv_proj"]["bias"], use_pallas)
+        qd, kvd = Hq * hd, Hkv * hd
+        q = _fq16(qkv[..., :qd], lr["self_attn.q_proj"]["output"],
+                  policy["self_attn.q_proj"].output)
+        k = _fq16(qkv[..., qd:qd + kvd], lr["self_attn.k_proj"]["output"],
+                  policy["self_attn.k_proj"].output)
+        v = _fq16(qkv[..., qd + kvd:], lr["self_attn.v_proj"]["output"],
+                  policy["self_attn.v_proj"].output)
+        q = q.reshape(B, T, Hq, hd)
+        k = k.reshape(B, T, Hkv, hd)
+        v = v.reshape(B, T, Hkv, hd)
+    else:
+        q = proj("q_proj", "self_attn.q_proj").reshape(B, T, Hq, hd)
+        k = proj("k_proj", "self_attn.k_proj").reshape(B, T, Hkv, hd)
+        v = proj("v_proj", "self_attn.v_proj").reshape(B, T, Hkv, hd)
 
     q = M.apply_rope(q, cos, sin, c.rotary_dim)
     k = M.apply_rope(k, cos, sin, c.rotary_dim)
@@ -220,27 +277,37 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
     q8 = qops.quantize_act(q, qk["input"]["scale"], qk["input"]["offset"])
     k8_new = qops.quantize_act(k, qk["input2"]["scale"], qk["input2"]["offset"])
     v8_new = qops.quantize_act(v, pv["input2"]["scale"], pv["input2"]["offset"])
+    # → head-major (B,Hkv,T,hd) for the cache layout
+    k8_new = jnp.transpose(k8_new, (0, 2, 1, 3))
+    v8_new = jnp.transpose(v8_new, (0, 2, 1, 3))
 
     k_cache, v_cache = kv
     if cache_position is not None:
         upd = jax.vmap(lambda cache, new, start: jax.lax.dynamic_update_slice(
-            cache, new, (start, 0, 0)))
+            cache, new, (0, start, 0)))
         k_all = upd(k_cache, k8_new, cache_position)
         v_all = upd(v_cache, v8_new, cache_position)
     else:
         k_all, v_all = k8_new, v8_new
 
-    qg = q8.reshape(B, T, Hkv, G, hd)
+    S = k_all.shape[2]
+    # q: (B,T,Hq,hd) → (B,Hkv,G·T,hd) batched over kv heads
+    qg = jnp.transpose(q8.reshape(B, T, Hkv, G, hd), (0, 2, 3, 1, 4))
+    qg = qg.reshape(B, Hkv, G * T, hd)
     scores = qops.int_matmul_qk(qg, k_all,
                                 qk["input"]["scale"], qk["input"]["offset"],
                                 qk["input2"]["scale"], qk["input2"]["offset"])
+    scores = scores.reshape(B, Hkv, G, T, S)
     scores = _fq16(scores, qk["output"], policy["self_attn.qk_bmm"].output)
     scores = scores / math.sqrt(hd) + mask[:, :, None, :, :]
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     probs = _fq16(probs, pv["input"], policy["self_attn.pv_bmm"].input)
 
-    attn = qops.int_matmul_pv(probs, v_all, pv["input2"]["scale"], pv["input2"]["offset"])
-    attn = attn.reshape(B, T, Hq * hd)
+    attn = qops.int_matmul_pv(probs.reshape(B, Hkv, G * T, S), v_all,
+                              pv["input2"]["scale"], pv["input2"]["offset"])
+    # (B,Hkv,G·T,hd) → (B,T,Hq·hd)
+    attn = attn.reshape(B, Hkv, G, T, hd)
+    attn = jnp.transpose(attn, (0, 3, 1, 2, 4)).reshape(B, T, Hq * hd)
     a8, ar = out_q8(attn, "self_attn.pv_bmm")
     o = _int_linear(a8, ar["scale"], ar["offset"], lp["o_proj"], lp["o_proj"]["bias"],
                     use_pallas)
@@ -256,9 +323,17 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
     else:
         h28, h2r = h8, hr
 
-    g1 = _int_linear(h28, h2r["scale"], h2r["offset"], lp["w1"], lp["w1"]["bias"],
-                     use_pallas)
-    g1 = _fq16(g1, lr["mlp.w1"]["output"], policy["mlp.w1"].output)
+    g3 = None
+    if "w13_proj" in lp:
+        F = lp["w13_proj"]["wq"].shape[-1] // 2
+        g13 = _int_linear(h28, h2r["scale"], h2r["offset"], lp["w13_proj"],
+                          lp["w13_proj"]["bias"], use_pallas)
+        g1 = _fq16(g13[..., :F], lr["mlp.w1"]["output"], policy["mlp.w1"].output)
+        g3 = _fq16(g13[..., F:], lr["mlp.w3"]["output"], policy["mlp.w3"].output)
+    else:
+        g1 = _int_linear(h28, h2r["scale"], h2r["offset"], lp["w1"], lp["w1"]["bias"],
+                         use_pallas)
+        g1 = _fq16(g1, lr["mlp.w1"]["output"], policy["mlp.w1"].output)
     if c.hidden_act == "silu":
         sig = jax.nn.sigmoid(g1)
         af = lr["mlp.act_fn"]
@@ -271,10 +346,11 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         act = jax.nn.gelu(g1, approximate=False)
     act = _fq16(act, lr["mlp.act_fn"]["output"], policy["mlp.act_fn"].output)
 
-    if "w3" in lp:
+    if g3 is None and "w3" in lp:
         g3 = _int_linear(h28, h2r["scale"], h2r["offset"], lp["w3"], lp["w3"]["bias"],
                          use_pallas)
         g3 = _fq16(g3, lr["mlp.w3"]["output"], policy["mlp.w3"].output)
+    if g3 is not None:
         act = act * g3
 
     w2r = lr["mlp.w2"]["input"]
@@ -299,7 +375,7 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
         x = x * math.sqrt(c.hidden_size)
 
     cos, sin = M.rope_cos_sin(positions, c, jnp.float32)
-    S = kv_cache.k.shape[2] if kv_cache is not None else T
+    S = kv_cache.k.shape[3] if kv_cache is not None else T
     mask = M.causal_mask(positions, S, c.neg_inf, kv_valid_len)
 
     def body(carry, xs):
@@ -316,8 +392,8 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
         xs["kv"] = (kv_cache.k, kv_cache.v)
     else:
         # prefill without a cache object: keys/values come from the segment
-        xs["kv"] = (jnp.zeros((c.num_layers, B, T, c.num_kv_heads, c.head_dim_), jnp.int8),
-                    jnp.zeros((c.num_layers, B, T, c.num_kv_heads, c.head_dim_), jnp.int8))
+        xs["kv"] = (jnp.zeros((c.num_layers, B, c.num_kv_heads, T, c.head_dim_), jnp.int8),
+                    jnp.zeros((c.num_layers, B, c.num_kv_heads, T, c.head_dim_), jnp.int8))
         cache_position = jnp.zeros((B,), jnp.int32)
 
     h, kv_out = jax.lax.scan(body, x, xs)

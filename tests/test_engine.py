@@ -144,3 +144,20 @@ def test_generate_fast_matches_stepwise_greedy():
                         sampler=SamplerConfig(greedy=True))
     fast = gen.generate_fast(tokens[:2, :8], max_new_tokens=10, chunk=4)
     np.testing.assert_array_equal(fast, slow)
+
+
+def test_pad8_mode_matches_default():
+    """M-padding mode (MXU routing workaround) is numerically identical."""
+    cfg, params, policy, ranges, packed, ecfg, tokens = _build()
+    t = jnp.asarray(tokens[:2, :1])
+    ref, _ = E.forward(packed, t, cfg, policy,
+                       positions=jnp.zeros((2, 1), jnp.int32),
+                       kv_cache=E.init_kv_cache(ecfg, 2),
+                       cache_position=jnp.zeros((2,), jnp.int32),
+                       kv_valid_len=jnp.ones((2,), jnp.int32))
+    out, _ = E.forward(packed, t, cfg, policy,
+                       positions=jnp.zeros((2, 1), jnp.int32),
+                       kv_cache=E.init_kv_cache(ecfg, 2),
+                       cache_position=jnp.zeros((2,), jnp.int32),
+                       kv_valid_len=jnp.ones((2,), jnp.int32), use_pallas="pad8")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
