@@ -197,14 +197,14 @@ def _int_linear(x_q, s, o, pack, bias, use_pallas):
     if mode != "none" and pack["wq"].shape[0] * 2 == K:
         from mobilequant_tpu.ops.pallas_matmul import int_linear_pallas
         return int_linear_pallas(x_q, s, o, pack, bias)
-    if mode == "all" and pack["wq"].shape[0] == K and m_flat <= 32:
+    if "all" in str(mode) and pack["wq"].shape[0] == K and m_flat <= 32:
         from mobilequant_tpu.ops.pallas_matmul import w8a8_matmul
         N = pack["wq"].shape[1]
         out = w8a8_matmul(x_q.reshape(-1, K), pack["wq"], pack["scale"],
                           pack["offset"], pack["colsum"],
                           bias if bias is not None else jnp.zeros((N,)), s, o)
         return out.reshape(*lead, N)
-    if mode == "pad8" and m_flat < 8:
+    if "pad8" in str(mode) and m_flat < 8:
         # XLA lowers M<8 int8 dots to a VPU broadcast·multiply·reduce; padding
         # the activation rows to 8 flips it onto the MXU path (wasted rows are
         # free — the op is weight-bandwidth-bound)
@@ -217,7 +217,8 @@ def _int_linear(x_q, s, o, pack, bias, use_pallas):
 
 
 def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
-                   config: ModelConfig, policy: QPolicy, use_pallas: bool = False):
+                   config: ModelConfig, policy: QPolicy, use_pallas=False,
+                   kv_valid_len=None):
     """One decoder layer on packed ints. lp/lr = this layer's packed params/ranges.
     kv = (k8, v8) slices (B,S,Hkv,hd). Mirrors quant/qmodel.QuantOps order exactly."""
     c = config
@@ -291,23 +292,51 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         k_all, v_all = k8_new, v8_new
 
     S = k_all.shape[2]
-    # q: (B,T,Hq,hd) → (B,Hkv,G·T,hd) batched over kv heads
-    qg = jnp.transpose(q8.reshape(B, T, Hkv, G, hd), (0, 2, 3, 1, 4))
-    qg = qg.reshape(B, Hkv, G * T, hd)
-    scores = qops.int_matmul_qk(qg, k_all,
-                                qk["input"]["scale"], qk["input"]["offset"],
-                                qk["input2"]["scale"], qk["input2"]["offset"])
-    scores = scores.reshape(B, Hkv, G, T, S)
-    scores = _fq16(scores, qk["output"], policy["self_attn.qk_bmm"].output)
-    scores = scores / math.sqrt(hd) + mask[:, :, None, :, :]
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-    probs = _fq16(probs, pv["input"], policy["self_attn.pv_bmm"].input)
+    mode = {False: "none", True: "w4"}.get(use_pallas, use_pallas)
+    if T == 1 and "attn" in str(mode) and kv_valid_len is not None:
+        # fused decode-attention kernel: one dispatch per layer
+        from mobilequant_tpu.ops.pallas_attention import decode_attention
 
-    attn = qops.int_matmul_pv(probs.reshape(B, Hkv, G * T, S), v_all,
-                              pv["input2"]["scale"], pv["input2"]["offset"])
-    # (B,Hkv,G·T,hd) → (B,T,Hq·hd)
-    attn = attn.reshape(B, Hkv, G, T, hd)
-    attn = jnp.transpose(attn, (0, 3, 1, 2, 4)).reshape(B, T, Hq * hd)
+        def flag(cfg):
+            return 1.0 if (cfg is not None and cfg.enabled) else 0.0
+
+        qk_out_cfg = policy["self_attn.qk_bmm"].output
+        pv_in_cfg = policy["self_attn.pv_bmm"].input
+        meta = jnp.stack([
+            qk["input"]["scale"], qk["input"]["offset"],
+            qk["input2"]["scale"], qk["input2"]["offset"],
+            pv["input2"]["scale"], pv["input2"]["offset"],
+            jnp.where(flag(qk_out_cfg) > 0, qk["output"]["scale"], 1.0),
+            jnp.where(flag(qk_out_cfg) > 0, qk["output"]["offset"], 0.0),
+            jnp.float32(flag(qk_out_cfg)),
+            jnp.where(flag(pv_in_cfg) > 0, pv["input"]["scale"], 1.0),
+            jnp.where(flag(pv_in_cfg) > 0, pv["input"]["offset"], 0.0),
+            jnp.float32(flag(pv_in_cfg)),
+            jnp.float32(c.neg_inf),
+        ]).astype(jnp.float32)
+        qg = jnp.transpose(q8.reshape(B, 1, Hkv, G, hd), (0, 2, 3, 1, 4))
+        qg = qg.reshape(B, Hkv, G, hd)
+        attn = decode_attention(qg, k_all, v_all, meta, kv_valid_len)
+        attn = attn.reshape(B, Hkv, G, 1, hd)
+        attn = jnp.transpose(attn, (0, 3, 1, 2, 4)).reshape(B, 1, Hq * hd)
+    else:
+        # q: (B,T,Hq,hd) → (B,Hkv,G·T,hd) batched over kv heads
+        qg = jnp.transpose(q8.reshape(B, T, Hkv, G, hd), (0, 2, 3, 1, 4))
+        qg = qg.reshape(B, Hkv, G * T, hd)
+        scores = qops.int_matmul_qk(qg, k_all,
+                                    qk["input"]["scale"], qk["input"]["offset"],
+                                    qk["input2"]["scale"], qk["input2"]["offset"])
+        scores = scores.reshape(B, Hkv, G, T, S)
+        scores = _fq16(scores, qk["output"], policy["self_attn.qk_bmm"].output)
+        scores = scores / math.sqrt(hd) + mask[:, :, None, :, :]
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        probs = _fq16(probs, pv["input"], policy["self_attn.pv_bmm"].input)
+
+        attn = qops.int_matmul_pv(probs.reshape(B, Hkv, G * T, S), v_all,
+                                  pv["input2"]["scale"], pv["input2"]["offset"])
+        # (B,Hkv,G·T,hd) → (B,T,Hq·hd)
+        attn = attn.reshape(B, Hkv, G, T, hd)
+        attn = jnp.transpose(attn, (0, 3, 1, 2, 4)).reshape(B, T, Hq * hd)
     a8, ar = out_q8(attn, "self_attn.pv_bmm")
     o = _int_linear(a8, ar["scale"], ar["offset"], lp["o_proj"], lp["o_proj"]["bias"],
                     use_pallas)
@@ -384,7 +413,8 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
         if kv is None:
             kv = (None, None)
         h, kv_new = _layer_forward(lp, lr, h, cos, sin, mask, kv,
-                                   cache_position, c, policy, use_pallas)
+                                   cache_position, c, policy, use_pallas,
+                                   kv_valid_len)
         return h, kv_new
 
     xs = {"lp": packed["layers"], "lr": packed["ranges"]}

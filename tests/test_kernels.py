@@ -1,6 +1,7 @@
 """Pallas kernel tests in interpret mode vs the jnp/fake-quant reference
 (SURVEY.md §4: Pallas kernels vs jnp reference in interpret mode)."""
 
+import functools
 import numpy as np
 import pytest
 import jax
@@ -90,3 +91,45 @@ def test_w8a8_kernel_matches_int_linear(M):
         out = w8a8_matmul(x8, pack["wq"], pack["scale"], pack["offset"],
                           pack["colsum"], b, s, o, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-4)
+
+
+def test_decode_attention_kernel_matches_engine():
+    """Fused decode-attention kernel == the XLA attention block, both policies."""
+    import jax
+    from mobilequant_tpu.models import get_config
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant.policy import default_policy, relax_16bit
+    from mobilequant_tpu.quant import calibrate
+    from mobilequant_tpu.runtime import engine as E
+
+    cfg = get_config("test-llama")
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    base_policy = default_policy(cfg, QuantConfig(bitwidth=8), QuantConfig(bitwidth=8))
+    tokens = np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 16)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, base_policy, batch_size=2)
+    ranges = calibrate.stats_to_ranges(stats, base_policy)
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=32)
+    packed = E.pack(params, ranges, cfg, base_policy, ecfg)
+
+    for policy in (base_policy, relax_16bit(base_policy)):
+        cache = E.init_kv_cache(ecfg, 2)
+        # warm the cache with a few positions via the XLA path
+        for i in range(4):
+            pos = jnp.full((2,), i, jnp.int32)
+            _, cache = E.forward(packed, jnp.asarray(tokens[:2, i:i+1]), cfg, policy,
+                                 positions=pos[:, None], kv_cache=cache,
+                                 cache_position=pos, kv_valid_len=pos + 1)
+        pos = jnp.full((2,), 4, jnp.int32)
+        args = dict(positions=pos[:, None], kv_cache=cache,
+                    cache_position=pos, kv_valid_len=pos + 1)
+        ref, _ = E.forward(packed, jnp.asarray(tokens[:2, 4:5]), cfg, policy, **args)
+        import mobilequant_tpu.ops.pallas_attention as PA
+        orig = PA.decode_attention
+        PA.decode_attention = functools.partial(orig, interpret=True)
+        try:
+            out, _ = E.forward(packed, jnp.asarray(tokens[:2, 4:5]), cfg, policy,
+                               use_pallas="attn", **args)
+        finally:
+            PA.decode_attention = orig
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
