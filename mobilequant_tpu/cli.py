@@ -123,11 +123,24 @@ def cmd_quantize(args):
     ranges = calibrate.stats_to_ranges(stats, policy)
 
     qstate = train.init_qstate(params, cfg, policy, tc, ranges, let=let0)
+    if args.resume:
+        import orbax.checkpoint as ocp
+        qstate = ocp.PyTreeCheckpointer().restore(Path(args.resume).resolve())
+        logger.info(f"resumed quant state from {args.resume}")
+
+    ckpt_dir = Path(args.output_dir or args.model_dir) / "checkpoints"
+
+    def checkpoint_cb(epoch, qs):
+        # per-epoch quant-state checkpoint (ref parameters.pth, algorithm.py:762)
+        import orbax.checkpoint as ocp
+        ocp.PyTreeCheckpointer().save((ckpt_dir / "qstate_latest.orbax").resolve(),
+                                      qs, force=True)
+
     if args.epochs > 0:
         t0 = time.time()
         if args.mode == "e2e":
             qstate, hist = train.e2equant(params, qstate, tokens, cfg, policy, tc,
-                                          logger=logger)
+                                          logger=logger, checkpoint_cb=checkpoint_cb)
         else:
             qstate, hist = train.omniquant(params, qstate, tokens, cfg, policy, tc,
                                            logger=logger)
@@ -252,6 +265,8 @@ def build_parser():
     q.add_argument("--output_dir", default=None)
     calib_args(q)
     q.add_argument("--mode", choices=["e2e", "layerwise"], default="e2e")
+    q.add_argument("--resume", default=None,
+                   help="path to a qstate_latest.orbax checkpoint to resume from")
     q.add_argument("--epochs", type=int, default=60)
     q.add_argument("--let", action="store_true")
     q.add_argument("--lwc", action="store_true")

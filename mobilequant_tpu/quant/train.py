@@ -139,9 +139,10 @@ def e2equant(params, qstate, tokens: np.ndarray, config: ModelConfig,
             return jnp.mean(jnp.square(qh - fp_h))
 
         loss, grads = jax.value_and_grad(loss_fn)(trainable)
+        gnorm = optax.global_norm(grads)   # reported like the reference's
         updates, opt_state = opt.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
-        return trainable, opt_state, loss
+        return trainable, opt_state, loss, gnorm
 
     # teacher activations cached once (ref fp_inps, algorithm.py:673-688)
     fp_hidden = []
@@ -152,19 +153,24 @@ def e2equant(params, qstate, tokens: np.ndarray, config: ModelConfig,
     history = []
     for epoch in range(tc.epochs):
         epoch_losses = []
+        last_gnorm = 0.0
         for bi, i in enumerate(range(0, n, tc.batch_size)):
             tok = jnp.asarray(tokens[i:i + tc.batch_size], jnp.int32)
             fp_h = jnp.asarray(fp_hidden[bi])
-            trainable, opt_state, loss = train_step(trainable, opt_state, tok, fp_h)
+            trainable, opt_state, loss, gnorm = train_step(trainable, opt_state,
+                                                           tok, fp_h)
             loss = float(loss)
             if not math.isfinite(loss):
                 raise FloatingPointError(
                     f"non-finite loss at epoch {epoch} step {bi} (ref algorithm.py:748)")
             epoch_losses.append(loss)
+            last_gnorm = float(gnorm)
         mean_loss = float(np.mean(epoch_losses))
         history.append(mean_loss)
         if logger is not None:
-            logger.info(f"[e2equant] epoch {epoch + 1}/{tc.epochs} loss {mean_loss:.6e}")
+            # per-epoch loss + grad-norm line (ref algorithm.py:757-759)
+            logger.info(f"[e2equant] epoch {epoch + 1}/{tc.epochs} "
+                        f"loss {mean_loss:.6e} grad_norm {last_gnorm:.3e}")
         if checkpoint_cb is not None:
             checkpoint_cb(epoch, {**static_state, **trainable})
 
