@@ -20,7 +20,6 @@ Extra metrics (W4A8 pallas/xla, prefill, per-config details) go to stderr.
 
 from __future__ import annotations
 
-import functools
 import json
 import sys
 import time
@@ -56,14 +55,27 @@ def time_decode_loop(chunk_fn, packed, cache, first_token, start_pos, rounds=4):
 
 
 def main():
+    import functools
+    import os
     import jax
     import jax.numpy as jnp
-    from __graft_entry__ import _build_packed_tinyllama
+    from __graft_entry__ import _build_packed_tinyllama as _build_base
     from mobilequant_tpu.models import get_config
     from mobilequant_tpu.models import model as M
     from mobilequant_tpu.runtime import engine as E
 
-    log(f"devices: {jax.devices()}")
+    # --smoke / MQTPU_BENCH_SMOKE=1: tiny model, CPU-runnable path validation
+    smoke = os.environ.get("MQTPU_BENCH_SMOKE") == "1" or "--smoke" in sys.argv
+    model_name = "test-llama" if smoke else "tinyllama-1.1b"
+    seq = 64 if smoke else 1024
+    global N_STEPS
+    if smoke:
+        N_STEPS = 8
+
+    def _build_packed_tinyllama(max_seq_len=1024, w_bits=8):
+        return _build_base(max_seq_len=seq, w_bits=w_bits, model_name=model_name)
+
+    log(f"devices: {jax.devices()} smoke={smoke}")
     results = {}
 
     # --- integer engine: W8A8 strict, W8A8 relaxed-16bit, W4A8(pallas) ---
@@ -71,8 +83,9 @@ def main():
     for name, w_bits, use_pallas, relax in (("w8a8", 8, False, False),
                                             ("w8a8_fast", 8, False, True),
                                             ("w4a8_pallas", 4, True, True)):
-        packed, cfg, policy, ecfg = _build_packed_tinyllama(max_seq_len=1024,
-                                                            w_bits=w_bits)
+        if use_pallas and jax.default_backend() == "cpu":
+            continue   # Pallas TPU kernels don't compile on the CPU backend
+        packed, cfg, policy, ecfg = _build_packed_tinyllama(w_bits=w_bits)
         if relax:
             policy = relax_16bit(policy)
         cache = E.init_kv_cache(ecfg, 1)
@@ -90,7 +103,7 @@ def main():
         del packed, cache
 
     # --- W8A8 batched decode (serving shape: weight reads amortize over slots) ---
-    packed, cfg, policy, ecfg = _build_packed_tinyllama(max_seq_len=1024, w_bits=8)
+    packed, cfg, policy, ecfg = _build_packed_tinyllama(w_bits=8)
     B = 8
     cache8 = E.init_kv_cache(ecfg, B)
 
@@ -106,9 +119,9 @@ def main():
     del packed, cache8
 
     # --- bf16 FP baseline (same in-graph loop shape) ---
-    cfg = get_config("tinyllama-1.1b")
+    cfg = get_config(model_name)
     params = M.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    kvshape = (cfg.num_layers, 1, 1024, cfg.num_kv_heads, cfg.head_dim_)
+    kvshape = (cfg.num_layers, 1, seq, cfg.num_kv_heads, cfg.head_dim_)
     fp_cache = M.KVCache(k=jnp.zeros(kvshape, jnp.bfloat16),
                          v=jnp.zeros(kvshape, jnp.bfloat16))
 
@@ -133,10 +146,10 @@ def main():
     del params, fp_cache
 
     # --- prefill throughput (W8A8), chained prompts ---
-    packed, cfg, policy, ecfg = _build_packed_tinyllama(max_seq_len=1024, w_bits=8)
+    packed, cfg, policy, ecfg = _build_packed_tinyllama(w_bits=8)
     prefill = jax.jit(lambda p, t: E.forward(p, t, cfg, policy)[0])
     rng = np.random.default_rng(0)
-    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 1024)), jnp.int32)
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, seq)), jnp.int32)
     out = prefill(packed, prompt)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
@@ -145,9 +158,9 @@ def main():
         prompt = jnp.argmax(out, -1).astype(jnp.int32)   # chain: next prompt from logits
         out = prefill(packed, prompt)
     jax.block_until_ready(out)
-    pf_tps = reps * 1024 / (time.perf_counter() - t0)
+    pf_tps = reps * seq / (time.perf_counter() - t0)
     results["w8a8_prefill_tok_s"] = pf_tps
-    log(f"W8A8 prefill: {pf_tps:.0f} tok/s (bs=1, T=1024, chained)")
+    log(f"W8A8 prefill: {pf_tps:.0f} tok/s (bs=1, T={seq}, chained)")
 
     log(json.dumps(results))
     headline = results["w8a8_decode_tok_s"]

@@ -393,7 +393,8 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
 
 def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolicy,
             positions=None, kv_cache: Optional[EngineKVCache] = None,
-            cache_position=None, kv_valid_len=None, use_pallas: bool = False):
+            cache_position=None, kv_valid_len=None, use_pallas: bool = False,
+            layer_unroll: int = 1):
     """Packed-int forward -> (logits, new_kv_cache)."""
     c = config
     B, T = tokens.shape
@@ -426,7 +427,7 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
                     jnp.zeros((c.num_layers, B, c.num_kv_heads, T, c.head_dim_), jnp.int8))
         cache_position = jnp.zeros((B,), jnp.int32)
 
-    h, kv_out = jax.lax.scan(body, x, xs)
+    h, kv_out = jax.lax.scan(body, x, xs, unroll=layer_unroll)
     new_cache = EngineKVCache(k=kv_out[0], v=kv_out[1])
 
     # final norm + lm_head: unquantized (ref qmodule.py:843-845)
@@ -446,7 +447,8 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
 def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
                 start_pos: jax.Array, n_steps: int, config: ModelConfig,
                 policy: QPolicy, use_pallas: bool = False,
-                temperature: float = 0.0, key: Optional[jax.Array] = None):
+                temperature: float = 0.0, key: Optional[jax.Array] = None,
+                layer_unroll: int = 1):
     """n_steps of autoregressive greedy/temperature decode inside ONE jitted graph
     (lax.scan over steps) — the whole token loop lives on-device, removing the
     per-token host dispatch that dominates single-step decode latency. This is the
@@ -464,7 +466,7 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
         logits, cache = forward(packed, token, config, policy,
                                 positions=pos[:, None], kv_cache=cache,
                                 cache_position=pos, kv_valid_len=pos + 1,
-                                use_pallas=use_pallas)
+                                use_pallas=use_pallas, layer_unroll=layer_unroll)
         last = logits[:, -1]
         if temperature > 0.0:
             nxt = jax.random.categorical(k_step, last / temperature, axis=-1)
