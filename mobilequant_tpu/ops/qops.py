@@ -21,12 +21,10 @@ explicit VMEM staging/fusion; engine code switches by flag.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from mobilequant_tpu.quant.quantizer import (
     QuantConfig, scale_offset_from_min_max, weight_min_max,
@@ -42,14 +40,6 @@ def quantize_act(x, scale, offset):
 
 def dequantize_act(q_i8, scale, offset):
     return (q_i8.astype(jnp.float32) + 128.0 - offset) * scale
-
-
-@dataclasses.dataclass(frozen=True)
-class PackSpec:
-    """Static description of one packed linear (hashable; closed over by jit)."""
-    bits: int = 8
-    per_channel: bool = False
-    symmetric: bool = False
 
 
 def pack_nibbles(q_i8: jax.Array) -> jax.Array:

@@ -26,13 +26,11 @@ HTP-vs-sim allclose gate (export.py:433-437).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import math
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from mobilequant_tpu.models.config import ModelConfig
 from mobilequant_tpu.models import model as M
@@ -97,8 +95,6 @@ def pack(params: dict, ranges: dict, config: ModelConfig, policy: QPolicy,
     def fuse(entries: list) -> dict:
         """Concatenate packed projections along the out axis; per-tensor scales
         and offsets become per-channel segments (exactly equivalent)."""
-        Ns = [e["wq"].shape[-1] for e in entries]
-
         def chan(e, key):
             v = e[key]
             if v.ndim == 1:  # per-tensor (L,) → (L,1,N)
