@@ -188,6 +188,22 @@ class ContinuousBatcher:
 
     def run(self) -> dict[int, list[int]]:
         """Drain the queue; returns rid -> generated token ids."""
+        t0 = time.perf_counter()
+        ticks = 0
+        tokens = 0
+        occupancy = 0
         while self.queue or self.active:
-            self.step()
+            n_active = self.step()
+            ticks += 1
+            tokens += max(n_active, 0)
+            occupancy += n_active
+        dt = time.perf_counter() - t0
+        total_out = sum(len(r.out) for r in self.done.values())
+        self.stats = {
+            "wall_s": dt,
+            "ticks": ticks,
+            "tokens_out": total_out,
+            "tok_s": total_out / dt if dt > 0 else 0.0,
+            "avg_slot_occupancy": occupancy / max(ticks, 1),
+        }
         return {rid: req.out for rid, req in self.done.items()}
