@@ -56,7 +56,7 @@ def _w4a8_kernel(x_ref, wp_ref, scale_ref, offset_ref, colsum_ref, bias_ref,
 
 @functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
 def w4a8_matmul(x_q: jax.Array, wq_packed: jax.Array, w_scale, w_offset,
-                colsum, bias, x_scale, x_offset, *, block_n: int = 512,
+                colsum, bias, x_scale, x_offset, *, block_n: int = 256,
                 interpret: bool = False):
     """x_q (M,K) int8 (shifted-uint8 acts) × nibble-packed W4 (K/2,N) → fp32 (M,N).
 
@@ -94,6 +94,8 @@ def w4a8_matmul(x_q: jax.Array, wq_packed: jax.Array, w_scale, w_offset,
             flops=2 * M * K * N,
             bytes_accessed=M * K + K2 * N + M * N * 4 + 4 * N * 4,
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x_q, wq_packed, w_scale, w_offset, colsum, bias, meta)
 
