@@ -25,24 +25,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _w4a8_kernel(x_ref, wp_ref, scale_ref, offset_ref, colsum_ref, bias_ref,
                  meta_ref, out_ref):
-    """Grid: (N // TN,). Blocks: x (M,K) VMEM; wp (K//2, TN) VMEM;
+    """Grid: (N // TN,). Blocks: x (M,K) VMEM; wp (K//2, TN) VMEM block-packed;
     scale/offset/colsum/bias (TN,)-ish VMEM; meta (x_scale, x_offset) SMEM."""
     x = x_ref[:]                                     # (M, K) int8
     wp = wp_ref[:]                                   # (K//2, TN) int8 packed
     # sign-extend nibbles on the VPU. Mosaic has no i8 shifts (arith.shli fails
     # to legalize), so widen to i32, split with shift+mask, and sign-extend the
-    # 4-bit values with a select.
+    # 4-bit values with a select. Block layout (qops.pack_nibbles): low nibbles
+    # are rows [0,K/2), high nibbles rows [K/2,K) — two MXU dots, no shuffles.
     wp32 = wp.astype(jnp.int32)
     lo_u = wp32 & 0xF
     hi_u = (wp32 >> 4) & 0xF
     lo = jnp.where(lo_u >= 8, lo_u - 16, lo_u).astype(jnp.int8)
     hi = jnp.where(hi_u >= 8, hi_u - 16, hi_u).astype(jnp.int8)
     K2, TN = wp.shape
-    w = jnp.stack([lo, hi], axis=1).reshape(K2 * 2, TN)  # interleave along K
 
     acc = jax.lax.dot_general(
-        x, w, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32).astype(jnp.float32)
+        x[:, :K2], lo, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    acc = acc + jax.lax.dot_general(
+        x[:, K2:], hi, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    acc = acc.astype(jnp.float32)
 
     x_scale = meta_ref[0]
     ox = meta_ref[1] - 128.0
@@ -56,7 +60,7 @@ def _w4a8_kernel(x_ref, wp_ref, scale_ref, offset_ref, colsum_ref, bias_ref,
 
 @functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
 def w4a8_matmul(x_q: jax.Array, wq_packed: jax.Array, w_scale, w_offset,
-                colsum, bias, x_scale, x_offset, *, block_n: int = 256,
+                colsum, bias, x_scale, x_offset, *, block_n: int = 512,
                 interpret: bool = False):
     """x_q (M,K) int8 (shifted-uint8 acts) × nibble-packed W4 (K/2,N) → fp32 (M,N).
 
@@ -159,17 +163,21 @@ def w8a8_matmul(x_q: jax.Array, wq: jax.Array, w_scale, w_offset,
 def _w4a16_kernel(x_ref, wp_ref, scale_ref, offset_ref, bias_ref, out_ref):
     """Weight-only: fp activations × W4 dequantized in VMEM (no HBM round trip
     for the unpacked weights — the point of the kernel)."""
-    x = x_ref[:]                                     # (M, K) fp32/bf16
+    x = x_ref[:].astype(jnp.float32)                 # (M, K)
     wp32 = wp_ref[:].astype(jnp.int32)
     lo_u = wp32 & 0xF
     hi_u = (wp32 >> 4) & 0xF
-    lo = jnp.where(lo_u >= 8, lo_u - 16, lo_u)
-    hi = jnp.where(hi_u >= 8, hi_u - 16, hi_u)
     K2, TN = wp_ref.shape
-    wq = jnp.stack([lo, hi], axis=1).reshape(K2 * 2, TN).astype(jnp.float32)
-    w = (wq - offset_ref[:]) * scale_ref[:]
+    # block layout: dequantize each half and accumulate two dots (no shuffles)
+    lo = (jnp.where(lo_u >= 8, lo_u - 16, lo_u).astype(jnp.float32)
+          - offset_ref[:]) * scale_ref[:]
+    hi = (jnp.where(hi_u >= 8, hi_u - 16, hi_u).astype(jnp.float32)
+          - offset_ref[:]) * scale_ref[:]
     acc = jax.lax.dot_general(
-        x.astype(jnp.float32), w, dimension_numbers=(((1,), (0,)), ((), ())),
+        x[:, :K2], lo, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc = acc + jax.lax.dot_general(
+        x[:, K2:], hi, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     out_ref[:] = acc + bias_ref[:]
 

@@ -1,0 +1,143 @@
+"""Accuracy gate on a trained tiny model (no-network analogue of the reference's
+eval/README.md regression numbers).
+
+Real checkpoints can't be downloaded in this environment, so: train a tiny llama
+on a structured synthetic language (order-2 Markov chain over 256 symbols) until
+it has real predictive structure, then run the full MobileQuant pipeline and
+report WikiText-style perplexities at every rung:
+
+  FP → W8A8 calibration-only → W8A8 + SmoothQuant init → W8A8 + e2e LET/LWC/LRL
+  → packed integer engine
+
+The gate asserts the reference's qualitative claims: e2e optimization strictly
+improves on calibration-only, and the engine matches the sim.
+
+Usage: PYTHONPATH=. python scripts/accuracy_gate.py [--w4]
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def make_markov_data(vocab=256, n_tokens=400_000, seed=0):
+    rng = np.random.default_rng(seed)
+    # sparse order-2 transition structure: each (a,b) context allows 8 symbols
+    ctx_next = rng.integers(0, vocab, size=(vocab, vocab, 8))
+    out = np.empty(n_tokens, np.int32)
+    a, b = 0, 1
+    choices = rng.integers(0, 8, size=n_tokens)
+    for i in range(n_tokens):
+        c = ctx_next[a, b, choices[i]]
+        out[i] = c
+        a, b = b, c
+    return out
+
+
+def train_tiny(params, cfg, stream, steps=300, seqlen=64, batch=16, lr=3e-3, seed=0):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from mobilequant_tpu.models import model as M
+
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+    rng = np.random.default_rng(seed)
+
+    @jax.jit
+    def step(params, opt_state, tok):
+        def loss_fn(p):
+            logits, _ = M.forward(p, tok[:, :-1], cfg)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            nll = -jnp.take_along_axis(logp, tok[:, 1:, None], -1)
+            return jnp.mean(nll)
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    n = len(stream) - seqlen - 1
+    for i in range(steps):
+        starts = rng.integers(0, n, size=batch)
+        tok = jnp.asarray(np.stack([stream[s:s + seqlen + 1] for s in starts]))
+        params, opt_state, loss = step(params, opt_state, tok)
+    return params, float(loss)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--w4", action="store_true")
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--epochs", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from mobilequant_tpu.models import get_config
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant.policy import default_policy
+    from mobilequant_tpu.quant.quantizer import QuantConfig
+    from mobilequant_tpu.quant import calibrate, qmodel, smooth, train
+    from mobilequant_tpu.runtime import engine as E
+    from mobilequant_tpu.eval.ppl import perplexity
+
+    cfg = get_config("test-llama").replace(num_layers=4, hidden_size=128,
+                                           intermediate_size=256, num_heads=8,
+                                           num_kv_heads=4, head_dim=16)
+    stream = make_markov_data()
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    params, final_loss = train_tiny(params, cfg, stream, steps=args.steps)
+    print(f"tiny model trained: final loss {final_loss:.3f} "
+          f"(uniform would be {np.log(cfg.vocab_size):.3f})")
+
+    eval_stream = stream[-40_000:]
+    seqlen = 64
+
+    def ppl_of(fwd):
+        return perplexity(fwd, eval_stream, seqlen=seqlen, batch_size=8,
+                          max_windows=64)
+
+    ppl_fp = ppl_of(lambda t: M.forward(params, t, cfg)[0])
+    print(f"FP ppl: {ppl_fp:.3f}")
+
+    wq = QuantConfig(bitwidth=4, is_per_channel=True, is_symmetric=True) \
+        if args.w4 else QuantConfig(bitwidth=8)
+    policy = default_policy(cfg, wq, QuantConfig(bitwidth=8))
+    calib = np.stack([stream[s:s + 64] for s in range(0, 64 * 64, 64)])
+
+    stats = calibrate.run_calibration(params, calib, cfg, policy, batch_size=16)
+    ranges = calibrate.stats_to_ranges(stats, policy)
+    ppl_cal = ppl_of(lambda t: qmodel.qforward(params, {"ranges": ranges}, t, cfg, policy)[0])
+    print(f"W{'4' if args.w4 else '8'}A8 calibration-only ppl: {ppl_cal:.3f} "
+          f"(Δ {ppl_cal - ppl_fp:+.3f})")
+
+    act_scales, act_shifts = calibrate.smooth_calib_inputs(stats)
+    let0 = smooth.smoothquant_let_init(cfg, act_scales, act_shifts, params)
+    stats2 = calibrate.run_calibration(params, calib, cfg, policy, let=let0, batch_size=16)
+    ranges2 = calibrate.stats_to_ranges(stats2, policy)
+    ppl_sq = ppl_of(lambda t: qmodel.qforward(params, {"let": let0, "ranges": ranges2},
+                                              t, cfg, policy)[0])
+    print(f"+SmoothQuant init ppl: {ppl_sq:.3f} (Δ {ppl_sq - ppl_fp:+.3f})")
+
+    tc = train.TrainConfig(epochs=args.epochs, batch_size=16)
+    qstate = train.init_qstate(params, cfg, policy, tc, ranges2, let=let0)
+    qstate, hist = train.e2equant(params, qstate, calib, cfg, policy, tc)
+    ppl_e2e = ppl_of(lambda t: qmodel.qforward(params, qstate, t, cfg, policy)[0])
+    print(f"+e2e LET/LWC/LRL ppl: {ppl_e2e:.3f} (Δ {ppl_e2e - ppl_fp:+.3f}); "
+          f"loss {hist[0]:.2e}→{hist[-1]:.2e}")
+
+    fparams, fstate = train.finalize(params, qstate, cfg, policy)
+    packed = E.pack(fparams, fstate["ranges"], cfg, policy)
+    ppl_eng = ppl_of(lambda t: E.forward(packed, t, cfg, policy)[0])
+    print(f"packed integer engine ppl: {ppl_eng:.3f} (Δ {ppl_eng - ppl_fp:+.3f})")
+
+    assert ppl_e2e <= ppl_cal + 1e-6, "e2e must not be worse than calibration-only"
+    assert abs(ppl_eng - ppl_of(lambda t: qmodel.qforward(
+        fparams, fstate, t, cfg, policy)[0])) < 0.05, "engine must match sim"
+    print("accuracy gate PASSED")
+
+
+if __name__ == "__main__":
+    main()
