@@ -29,15 +29,12 @@ def _w4a8_kernel(x_ref, wp_ref, scale_ref, offset_ref, colsum_ref, bias_ref,
     scale/offset/colsum/bias (TN,)-ish VMEM; meta (x_scale, x_offset) SMEM."""
     x = x_ref[:]                                     # (M, K) int8
     wp = wp_ref[:]                                   # (K//2, TN) int8 packed
-    # sign-extend nibbles on the VPU. Mosaic has no i8 shifts (arith.shli fails
-    # to legalize), so widen to i32, split with shift+mask, and sign-extend the
-    # 4-bit values with a select. Block layout (qops.pack_nibbles): low nibbles
-    # are rows [0,K/2), high nibbles rows [K/2,K) — two MXU dots, no shuffles.
-    wp32 = wp.astype(jnp.int32)
-    lo_u = wp32 & 0xF
-    hi_u = (wp32 >> 4) & 0xF
-    lo = jnp.where(lo_u >= 8, lo_u - 16, lo_u).astype(jnp.int8)
-    hi = jnp.where(hi_u >= 8, hi_u - 16, hi_u).astype(jnp.int8)
+    # UNSIGNED block nibbles (qops.pack_nibbles): low nibbles are rows [0,K/2),
+    # high nibbles rows [K/2,K); the 4-bit zero-point absorbs the sign, so
+    # unpack is 3 bit ops and the matmul is two MXU dots — no shuffles, no
+    # widening, no selects. (Mosaic lacks i8 shl, so shift via i32 only here.)
+    lo = wp & 0x0F
+    hi = ((wp.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
     K2, TN = wp.shape
 
     acc = jax.lax.dot_general(
@@ -164,14 +161,11 @@ def _w4a16_kernel(x_ref, wp_ref, scale_ref, offset_ref, bias_ref, out_ref):
     """Weight-only: fp activations × W4 dequantized in VMEM (no HBM round trip
     for the unpacked weights — the point of the kernel)."""
     x = x_ref[:].astype(jnp.float32)                 # (M, K)
-    wp32 = wp_ref[:].astype(jnp.int32)
-    lo_u = wp32 & 0xF
-    hi_u = (wp32 >> 4) & 0xF
+    wp = wp_ref[:]
     K2, TN = wp_ref.shape
-    # block layout: dequantize each half and accumulate two dots (no shuffles)
-    lo = (jnp.where(lo_u >= 8, lo_u - 16, lo_u).astype(jnp.float32)
-          - offset_ref[:]) * scale_ref[:]
-    hi = (jnp.where(hi_u >= 8, hi_u - 16, hi_u).astype(jnp.float32)
+    # unsigned block nibbles: dequantize each half, two dots (no shuffles)
+    lo = ((wp & 0x0F).astype(jnp.float32) - offset_ref[:]) * scale_ref[:]
+    hi = (((wp.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.float32)
           - offset_ref[:]) * scale_ref[:]
     acc = jax.lax.dot_general(
         x[:, :K2], lo, dimension_numbers=(((1,), (0,)), ((), ())),

@@ -59,9 +59,11 @@ def pack_nibbles(q_i8: jax.Array) -> jax.Array:
 
 
 def unpack_nibbles(packed: jax.Array) -> jax.Array:
-    """(K/2, N) packed bytes → (K, N) int8 in [-8, 7] (block layout, sign-extended)."""
-    lo = ((packed << 4).astype(jnp.int8)) >> 4       # arithmetic shift = sign extend
-    hi = packed >> 4                                  # int8 arithmetic shift
+    """(K/2, N) packed bytes → (K, N) int8 in [0, 15] (block layout, UNSIGNED
+    nibbles — the 4-bit zero-point absorbs the sign, so unpack is 3 cheap bit
+    ops with no widening or sign-extension selects)."""
+    lo = packed & 0x0F
+    hi = (packed >> 4) & 0x0F   # arithmetic i8 shift; mask clears sign bits
     return jnp.concatenate([lo, hi], axis=0)
 
 
@@ -80,13 +82,16 @@ def pack_weight(w, qcfg: QuantConfig):
     scale, offset = scale_offset_from_min_max(mn, mx, qcfg)
     wf = w.astype(jnp.float32)
     q = jnp.round(wf / scale) + offset
-    if qcfg.is_symmetric:
-        q = jnp.clip(q, qcfg.qmin, qcfg.qmax)
+    q = jnp.clip(q, qcfg.qmin, qcfg.qmax)
+    if qcfg.bitwidth == 4:
+        # store UNSIGNED nibbles q - qmin ∈ [0,15]; the zero-point shifts by
+        # -qmin so the affine corrections are unchanged (see unpack_nibbles)
+        shift = float(qcfg.qmin)
+    elif qcfg.is_symmetric:
         shift = 0.0
     else:
-        half = 2 ** (qcfg.bitwidth - 1)
-        q = jnp.clip(q, 0, 2 ** qcfg.bitwidth - 1) - half
-        shift = float(half)
+        shift = float(2 ** (qcfg.bitwidth - 1))   # uint8 stored as int8 − 128
+    q = q - shift
     q_i8 = q.astype(jnp.int8)
     wq = pack_nibbles(q_i8) if qcfg.bitwidth == 4 else q_i8
     colsum = jnp.sum(q.astype(jnp.float32), axis=0)  # (out,)

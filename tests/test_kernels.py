@@ -33,8 +33,9 @@ def test_w4a8_kernel_matches_int_linear(M, K, N, symmetric):
 
 
 def test_pack_unpack_nibbles_roundtrip():
+    # stored nibbles are UNSIGNED [0,15] (zero-point absorbs the sign)
     rng = np.random.default_rng(1)
-    q = jnp.asarray(rng.integers(-8, 8, size=(64, 32)), jnp.int8)
+    q = jnp.asarray(rng.integers(0, 16, size=(64, 32)), jnp.int8)
     p = qops.pack_nibbles(q)
     assert p.shape == (32, 32)
     np.testing.assert_array_equal(np.asarray(qops.unpack_nibbles(p)), np.asarray(q))
