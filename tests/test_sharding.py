@@ -104,3 +104,23 @@ def test_gemma_mq_attention_falls_back_to_replicated():
     with jax.set_mesh(mesh):
         out, _ = jax.jit(lambda p, x: M.forward(p, x, cfg))(params_sh, t)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_engine_tp_unfused_attention_sharding():
+    """Packing with fuse_projections=False lets attention weights go
+    column/row-parallel over tp (kv heads divide tp)."""
+    cfg, params, policy, tokens, ranges = _build()
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=32, fuse_projections=False)
+    packed = E.pack(params, ranges, cfg, policy, ecfg)
+    assert "q_proj" in packed["layers"] and "qkv_proj" not in packed["layers"]
+
+    t = jnp.asarray(tokens[:2])
+    ref, _ = E.forward(packed, t, cfg, policy)
+
+    mesh = S.make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    specs = S.packed_pspecs(packed, cfg, mesh)
+    assert specs["layers"]["q_proj"]["wq"] == P(None, None, "tp")
+    packed_sh = S.shard_tree(packed, specs, mesh)
+    with jax.set_mesh(mesh):
+        out, _ = jax.jit(lambda p, x: E.forward(p, x, cfg, policy))(packed_sh, t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
