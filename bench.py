@@ -31,27 +31,34 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-N_STEPS = 64
+N_STEPS = 64          # kept for smoke paths
+N1, N2 = 16, 80       # marginal-method loop lengths
+
+_run_counter = [0]
 
 
-def time_decode_loop(chunk_fn, packed, cache, first_token, start_pos, rounds=4):
-    """chunk_fn(packed, token, cache, pos) -> (tokens (B,n), cache, last_logits).
-    Chains `rounds` chunks; times all but the first (warmup+compile)."""
+def time_decode_loop(make_chunk, packed, cache_fn, batch, vocab):
+    """Marginal-cost timing: time an n1-step and an n2-step in-graph decode loop
+    (fresh cache + distinct first token per run so the relay cannot memoize) and
+    divide the difference. Returns tok/s per sequence.
+
+    make_chunk(n) -> jitted fn(packed, token, cache, pos) -> tokens (B,n)."""
     import jax
     import jax.numpy as jnp
-    token, pos = first_token, start_pos
-    toks, cache, last = chunk_fn(packed, token, cache, pos)
-    jax.block_until_ready(toks)
-    t0 = time.perf_counter()
-    n = 0
-    for r in range(rounds - 1):
-        token = toks[:, -1:]
-        pos = pos + N_STEPS
-        toks, cache, last = chunk_fn(packed, token, cache, pos)
-        n += N_STEPS
-    jax.block_until_ready(toks)
-    dt = time.perf_counter() - t0
-    return n / dt
+
+    def run(n, fn):
+        _run_counter[0] += 1
+        tok = jnp.full((batch, 1), _run_counter[0] % vocab, jnp.int32)
+        t0 = time.perf_counter()
+        toks = fn(packed, tok, cache_fn(), jnp.full((batch,), 0, jnp.int32))
+        np.asarray(toks)   # full fetch forces execution
+        return time.perf_counter() - t0
+
+    f1, f2 = make_chunk(N1), make_chunk(N2)
+    run(N1, f1); run(N2, f2)          # compile + first exec
+    d1 = run(N1, f1)
+    d2 = run(N2, f2)
+    return (N2 - N1) / max(d2 - d1, 1e-9)
 
 
 def main():
@@ -68,9 +75,9 @@ def main():
     smoke = os.environ.get("MQTPU_BENCH_SMOKE") == "1" or "--smoke" in sys.argv
     model_name = "test-llama" if smoke else "tinyllama-1.1b"
     seq = 64 if smoke else 1024
-    global N_STEPS
+    global N_STEPS, N1, N2
     if smoke:
-        N_STEPS = 8
+        N_STEPS, N1, N2 = 8, 4, 12
 
     def _build_packed_tinyllama(max_seq_len=1024, w_bits=8):
         return _build_base(max_seq_len=seq, w_bits=w_bits, model_name=model_name)
@@ -88,62 +95,66 @@ def main():
         packed, cfg, policy, ecfg = _build_packed_tinyllama(w_bits=w_bits)
         if relax:
             policy = relax_16bit(policy)
-        cache = E.init_kv_cache(ecfg, 1)
 
-        @functools.partial(jax.jit, donate_argnums=(2,))
-        def chunk(packed, token, cache, pos, _up=use_pallas, _c=cfg, _p=policy):
-            return E.decode_loop(packed, token, cache, pos, N_STEPS, _c, _p,
-                                 use_pallas=_up)
+        def make_chunk(n, _up=use_pallas, _c=cfg, _p=policy):
+            @jax.jit
+            def chunk(packed, token, cache, pos):
+                toks, _, _ = E.decode_loop(packed, token, cache, pos, n, _c, _p,
+                                           use_pallas=_up)
+                return toks
+            return chunk
 
-        tps = time_decode_loop(chunk, packed, cache,
-                               jnp.full((1, 1), 7, jnp.int32),
-                               jnp.full((1,), 256, jnp.int32))
+        tps = time_decode_loop(make_chunk, packed,
+                               lambda: E.init_kv_cache(ecfg, 1), 1, cfg.vocab_size)
         results[f"{name}_decode_tok_s"] = tps
-        log(f"{name} decode: {tps:.1f} tok/s (bs=1, S=1024, in-graph loop)")
-        del packed, cache
+        log(f"{name} decode: {tps:.1f} tok/s (bs=1, S=1024, marginal)")
+        del packed
 
     # --- W8A8 batched decode (serving shape: weight reads amortize over slots) ---
     packed, cfg, policy, ecfg = _build_packed_tinyllama(w_bits=8)
     B = 8
-    cache8 = E.init_kv_cache(ecfg, B)
 
-    @functools.partial(jax.jit, donate_argnums=(2,))
-    def chunk8(packed, token, cache, pos, _c=cfg, _p=policy):
-        return E.decode_loop(packed, token, cache, pos, N_STEPS, _c, _p)
+    def make_chunk8(n, _c=cfg, _p=policy):
+        @jax.jit
+        def chunk(packed, token, cache, pos):
+            toks, _, _ = E.decode_loop(packed, token, cache, pos, n, _c, _p)
+            return toks
+        return chunk
 
-    tps = time_decode_loop(chunk8, packed, cache8,
-                           jnp.full((B, 1), 7, jnp.int32),
-                           jnp.full((B,), 256, jnp.int32)) * B
+    tps = time_decode_loop(make_chunk8, packed,
+                           lambda: E.init_kv_cache(ecfg, B), B, cfg.vocab_size) * B
     results["w8a8_bs8_decode_tok_s"] = tps
-    log(f"w8a8 bs=8 decode: {tps:.1f} tok/s total (in-graph loop)")
-    del packed, cache8
+    log(f"w8a8 bs=8 decode: {tps:.1f} tok/s total (marginal)")
+    del packed
 
     # --- bf16 FP baseline (same in-graph loop shape) ---
     cfg = get_config(model_name)
     params = M.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     kvshape = (cfg.num_layers, 1, seq, cfg.num_kv_heads, cfg.head_dim_)
-    fp_cache = M.KVCache(k=jnp.zeros(kvshape, jnp.bfloat16),
+
+    def make_fp_chunk(n):
+        @jax.jit
+        def fp_chunk(params, token, cache, pos):
+            def step(carry, _):
+                token, cache, pos = carry
+                logits, cache = M.forward(params, token, cfg, positions=pos[:, None],
+                                          kv_cache=cache, cache_position=pos,
+                                          kv_valid_len=pos + 1)
+                nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+                return (nxt, cache, pos + 1), nxt[:, 0]
+            (tok, cache, pos), tokens = jax.lax.scan(
+                step, (token, cache, pos), None, length=n)
+            return jnp.transpose(tokens, (1, 0))
+        return fp_chunk
+
+    def fp_cache_fn():
+        return M.KVCache(k=jnp.zeros(kvshape, jnp.bfloat16),
                          v=jnp.zeros(kvshape, jnp.bfloat16))
 
-    @functools.partial(jax.jit, donate_argnums=(2,))
-    def fp_chunk(params, token, cache, pos):
-        def step(carry, _):
-            token, cache, pos = carry
-            logits, cache = M.forward(params, token, cfg, positions=pos[:, None],
-                                      kv_cache=cache, cache_position=pos,
-                                      kv_valid_len=pos + 1)
-            nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
-            return (nxt, cache, pos + 1), (nxt[:, 0], logits[:, -1])
-        (tok, cache, pos), (tokens, logits) = jax.lax.scan(
-            step, (token, cache, pos), None, length=N_STEPS)
-        return jnp.transpose(tokens, (1, 0)), cache, logits[-1]
-
-    fp_tps = time_decode_loop(fp_chunk, params, fp_cache,
-                              jnp.full((1, 1), 7, jnp.int32),
-                              jnp.full((1,), 256, jnp.int32))
+    fp_tps = time_decode_loop(make_fp_chunk, params, fp_cache_fn, 1, cfg.vocab_size)
     results["bf16_decode_tok_s"] = fp_tps
-    log(f"bf16 FP decode: {fp_tps:.1f} tok/s (bs=1, S=1024, in-graph loop)")
-    del params, fp_cache
+    log(f"bf16 FP decode: {fp_tps:.1f} tok/s (bs=1, S=1024, marginal)")
+    del params
 
     # --- prefill throughput (W8A8), chained prompts ---
     packed, cfg, policy, ecfg = _build_packed_tinyllama(w_bits=8)
