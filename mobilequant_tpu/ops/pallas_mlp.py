@@ -1,0 +1,186 @@
+"""Fused quantized-MLP megakernel.
+
+The whole gated-MLP block — W1/W3 int8 matmuls with zero-point corrections and
+8-bit output fake-quant, the decomposed SiLU (sigmoid fake-quant as input2),
+the gate multiply, the W2 input quantization, and the W2 int8 contraction —
+runs as ONE Pallas dispatch per layer, streaming w1/w3/w2 tiles HBM→VMEM
+exactly once with no HBM round-trips for the (M,F) intermediates.
+
+Motivation (BENCHMARKS.md): at bs=1 decode the engine carries ~1.9 ms/token of
+non-streaming time across ~40 XLA fusions/layer; the MLP block is ~60% of the
+layer's weights and ops.
+
+Exactness: bit-identical to the engine's XLA path (same fake-quant order as
+quant/qmodel.QuantOps) — asserted in tests/test_kernels.py in interpret mode.
+The caller applies the final W2 affine correction/scale/bias (per-channel) from
+the returned int32 accumulator and g8 row-sums.
+
+meta vector (fp32, SMEM):
+  [0] h_scale [1] h_offset                 (MLP-input encoding)
+  [2] w1out_s [3] w1out_o [4] w1out_en     (mlp.w1 output fq8)
+  [5] sig_s   [6] sig_o   [7] sig_en       (mlp.act_fn input2 fq8, silu only)
+  [8] actout_s [9] actout_o [10] actout_en (mlp.act_fn output fq8)
+  [11] w3out_s [12] w3out_o [13] w3out_en  (mlp.w3 output fq8)
+  [14] w2in_s [15] w2in_o                  (mlp.w2 input encoding)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+META_LEN = 16
+
+
+def _fq8(x, s, o, en):
+    q = jnp.round(x / s) + o
+    q = jnp.clip(q, 0.0, 255.0)
+    return jnp.where(en > 0.5, (q - o) * s, x)
+
+
+def _quant_u8s(x, s, o):
+    """fp → shifted-int8 (matches qops.quantize_act)."""
+    q = jnp.round(x / s) + o
+    return (jnp.clip(q, 0.0, 255.0) - 128.0).astype(jnp.int8)
+
+
+def _mlp_kernel(meta_ref, h_ref,
+                w1_ref, w3_ref, w2_ref,
+                s1_ref, o1_ref, c1_ref, b1_ref,
+                s3_ref, o3_ref, c3_ref, b3_ref,
+                out_ref, rsum_out_ref,
+                acc_ref, rsum_ref, *, act_kind: str, has_w3: bool):
+    j = pl.program_id(0)
+    nj = pl.num_programs(0)
+    M, K = h_ref.shape
+
+    h = h_ref[:]
+    ox_h = meta_ref[1] - 128.0
+    rowsum_h = jnp.sum(h.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.float32)
+
+    def int_mm(w_ref, s_ref, o_ref, c_ref, b_ref):
+        acc = jax.lax.dot_general(
+            h, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        acc = acc - ox_h * c_ref[:] - o_ref[:] * rowsum_h + K * ox_h * o_ref[:]
+        return acc * (meta_ref[0] * s_ref[:]) + b_ref[:]
+
+    g1 = int_mm(w1_ref, s1_ref, o1_ref, c1_ref, b1_ref)      # (M, TF)
+    g1 = _fq8(g1, meta_ref[2], meta_ref[3], meta_ref[4])
+
+    if act_kind == "silu":
+        sig = 1.0 / (1.0 + jnp.exp(-g1))
+        sig = _fq8(sig, meta_ref[5], meta_ref[6], meta_ref[7])
+        act = g1 * sig
+    else:  # tanh-approx gelu: 0.5x(1+tanh(√(2/π)(x+0.044715x³)))
+        t = 0.7978845608028654 * (g1 + 0.044715 * g1 * g1 * g1)
+        act = 0.5 * g1 * (1.0 + jnp.tanh(t))
+    act = _fq8(act, meta_ref[8], meta_ref[9], meta_ref[10])
+
+    if has_w3:
+        g3 = int_mm(w3_ref, s3_ref, o3_ref, c3_ref, b3_ref)
+        g3 = _fq8(g3, meta_ref[11], meta_ref[12], meta_ref[13])
+        act = act * g3
+
+    g8 = _quant_u8s(act, meta_ref[14], meta_ref[15])          # (M, TF) int8
+
+    part = jax.lax.dot_general(
+        g8, w2_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)                      # (M, N)
+    rsum_part = jnp.sum(g8.astype(jnp.int32), axis=1, keepdims=True)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = part
+        rsum_ref[:] = rsum_part
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+        rsum_ref[:] = rsum_ref[:] + rsum_part
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(jnp.float32)
+        rsum_out_ref[:] = rsum_ref[:].astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("act_kind", "block_f", "interpret"))
+def fused_mlp(h8: jax.Array, w13: dict, w2: dict, meta: jax.Array,
+              act_kind: str = "silu", *, block_f: int = 512,
+              interpret: bool = False):
+    """h8 (M,K) int8 × fused w13 pack (K, 2F) × w2 pack (F, N).
+
+    Returns (acc (M,N) fp32 = raw Σ g8·w2 int32, g8_rowsum (M,1) fp32); the
+    caller applies W2's affine corrections, per-channel scale, and bias.
+    """
+    M, K = h8.shape
+    K2, F2 = w13["wq"].shape
+    assert K2 == K, "fused MLP expects 8-bit (unpacked) weights"
+    F = F2 // 2
+    Fw2, N = w2["wq"].shape
+    assert Fw2 == F, (Fw2, F)
+    TF = min(block_f, F)
+    assert F % TF == 0, (F, TF)
+
+    def seg(arr):
+        return jnp.broadcast_to(jnp.reshape(arr, (1, -1)), (1, F2)).astype(jnp.float32)
+
+    s13 = seg(w13["scale"])
+    o13 = seg(w13["offset"])
+    c13 = jnp.reshape(w13["colsum"], (1, F2)).astype(jnp.float32)
+    b13 = jnp.reshape(w13["bias"], (1, F2)).astype(jnp.float32)
+
+    nF = F // TF
+
+    def tile1(j):
+        return (0, j)
+
+    def tile3(j):
+        return (0, nF + j)
+
+    kernel = functools.partial(_mlp_kernel, act_kind=act_kind, has_w3=True)
+    acc, rsum = pl.pallas_call(
+        kernel,
+        grid=(nF,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                         # meta
+            pl.BlockSpec((M, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, TF), tile1, memory_space=pltpu.VMEM),         # w1
+            pl.BlockSpec((K, TF), tile3, memory_space=pltpu.VMEM),         # w3
+            pl.BlockSpec((TF, N), lambda j: (j, 0), memory_space=pltpu.VMEM),  # w2
+            pl.BlockSpec((1, TF), tile1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TF), tile1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TF), tile1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TF), tile1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TF), tile3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TF), tile3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TF), tile3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TF), tile3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((M, N), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, N), jnp.float32),
+            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((M, N), jnp.int32),
+            pltpu.VMEM((M, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * F2 + 2 * M * F * N,
+            bytes_accessed=M * K + K * F2 + F * N + M * N * 4,
+            transcendentals=M * F),
+        interpret=interpret,
+    )(meta, h8, w13["wq"], w13["wq"], w2["wq"],
+      s13, o13, c13, b13, s13, o13, c13, b13)
+    return acc, rsum

@@ -348,6 +348,50 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
     else:
         h28, h2r = h8, hr
 
+    mlp_mode = ("mlp" in str(mode) and "w13_proj" in lp
+                and lp["w13_proj"]["wq"].shape[0] == h28.shape[-1]
+                and c.hidden_act in ("silu", "gelu_tanh"))
+    if mlp_mode:
+        # fused-MLP megakernel: one dispatch for w1/w3/act/mul/w2-contract
+        from mobilequant_tpu.ops.pallas_mlp import fused_mlp
+
+        def flag8(site, role):
+            cfg_ = getattr(policy[site], role, None)
+            return 1.0 if (cfg_ is not None and cfg_.enabled) else 0.0
+
+        def rng(site, role, default=(1.0, 0.0)):
+            entry = lr.get(site, {})
+            if role in entry:
+                return entry[role]["scale"], entry[role]["offset"]
+            return jnp.float32(default[0]), jnp.float32(default[1])
+
+        w1s, w1o = rng("mlp.w1", "output")
+        sgs, sgo = rng("mlp.act_fn", "input2")
+        aos, aoo = rng("mlp.act_fn", "output")
+        w3s, w3o = rng("mlp.w3", "output")
+        w2s_in, w2o_in = lr["mlp.w2"]["input"]["scale"], lr["mlp.w2"]["input"]["offset"]
+        meta = jnp.stack([
+            h2r["scale"], h2r["offset"],
+            w1s, w1o, jnp.float32(flag8("mlp.w1", "output")),
+            sgs, sgo, jnp.float32(flag8("mlp.act_fn", "input2")),
+            aos, aoo, jnp.float32(flag8("mlp.act_fn", "output")),
+            w3s, w3o, jnp.float32(flag8("mlp.w3", "output")),
+            w2s_in, w2o_in,
+        ]).astype(jnp.float32)
+        Dm = h28.shape[-1]
+        acc, rsum = fused_mlp(h28.reshape(-1, Dm), lp["w13_proj"], lp["w2"],
+                              meta, c.hidden_act)
+        w2p = lp["w2"]
+        Fk = w2p["wq"].shape[0]
+        ox2 = w2o_in - 128.0
+        ow2 = jnp.reshape(w2p["offset"], (-1,))
+        sw2 = jnp.reshape(w2p["scale"], (-1,))
+        y = (acc - ox2 * w2p["colsum"] - ow2 * rsum + Fk * ox2 * ow2) \
+            * (w2s_in * sw2) + w2p["bias"]
+        y = y.reshape(B, T, -1)
+        y = _fq16(y, lr["mlp.w2"]["output"], policy["mlp.w2"].output)
+        return resid + y, (k_all, v_all)
+
     g3 = None
     if "w13_proj" in lp:
         F = lp["w13_proj"]["wq"].shape[-1] // 2

@@ -134,3 +134,36 @@ def test_decode_attention_kernel_matches_engine():
             PA.decode_attention = orig
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_fused_mlp_kernel_matches_engine():
+    """Fused-MLP megakernel == the engine's XLA MLP block (strict + relaxed)."""
+    import jax
+    from mobilequant_tpu.models import get_config
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant.policy import default_policy, relax_16bit
+    from mobilequant_tpu.quant import calibrate
+    from mobilequant_tpu.runtime import engine as E
+
+    cfg = get_config("test-llama")
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    base_policy = default_policy(cfg, QuantConfig(bitwidth=8), QuantConfig(bitwidth=8))
+    tokens = np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 16)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, base_policy, batch_size=2)
+    ranges = calibrate.stats_to_ranges(stats, base_policy)
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=32)
+    packed = E.pack(params, ranges, cfg, base_policy, ecfg)
+    assert "w13_proj" in packed["layers"]
+
+    import mobilequant_tpu.ops.pallas_mlp as PM
+    orig = PM.fused_mlp
+    PM.fused_mlp = functools.partial(orig, interpret=True)
+    try:
+        for policy in (base_policy, relax_16bit(base_policy)):
+            t = jnp.asarray(tokens[:2, :8])
+            ref, _ = E.forward(packed, t, cfg, policy)
+            out, _ = E.forward(packed, t, cfg, policy, use_pallas="mlp")
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-4, atol=2e-4)
+    finally:
+        PM.fused_mlp = orig
