@@ -184,3 +184,185 @@ def fused_mlp(h8: jax.Array, w13: dict, w2: dict, meta: jax.Array,
     )(meta, h8, w13["wq"], w13["wq"], w2["wq"],
       s13, o13, c13, b13, s13, o13, c13, b13)
     return acc, rsum
+
+
+# ---------------------------------------------------------------------------
+# Whole-MLP-block kernel: norm + input quantize + MLP + W2 requant + residual
+# ---------------------------------------------------------------------------
+# extra meta (fp32, SMEM), appended after the base META_LEN entries:
+#   [16] ln_in_s [17] ln_in_o [18] ln_in_en    (norm input fq16)
+#   [19] norm_eps
+#   [20] w2out_s [21] w2out_o [22] w2out_en    (mlp.w2 output fq16)
+BLOCK_META_LEN = 23
+
+
+def _fq16b(x, s, o, en):
+    q = jnp.round(x / s) + o
+    q = jnp.clip(q, 0.0, 65535.0)
+    return jnp.where(en > 0.5, (q - o) * s, x)
+
+
+def _mlp_block_kernel(meta_ref, x_ref, nw_ref, nb_ref,
+                      w1_ref, w3_ref, w2_ref,
+                      s1_ref, o1_ref, c1_ref, b1_ref,
+                      s3_ref, o3_ref, c3_ref, b3_ref,
+                      s2_ref, o2_ref, c2_ref, b2_ref,
+                      out_ref,
+                      acc_ref, rsum_ref, h_ref,
+                      *, act_kind: str, norm_kind: str):
+    j = pl.program_id(0)
+    nj = pl.num_programs(0)
+    M, K = x_ref.shape
+
+    # norm + input quantization once, at the first grid step (VMEM-resident h)
+    @pl.when(j == 0)
+    def _():
+        x = _fq16b(x_ref[:], meta_ref[16], meta_ref[17], meta_ref[18])
+        if norm_kind == "layernorm":
+            mu = jnp.mean(x, axis=1, keepdims=True)
+            var = jnp.mean(jnp.square(x - mu), axis=1, keepdims=True)
+            y = (x - mu) * jax.lax.rsqrt(var + meta_ref[19])
+        else:
+            y = x * jax.lax.rsqrt(jnp.mean(x * x, axis=1, keepdims=True)
+                                  + meta_ref[19])
+        y = y * nw_ref[:] + nb_ref[:]
+        h_ref[:] = _quant_u8s(y, meta_ref[0], meta_ref[1])
+
+    h = h_ref[:]
+    ox_h = meta_ref[1] - 128.0
+    rowsum_h = jnp.sum(h.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.float32)
+
+    def int_mm(w_ref, s_ref, o_ref, c_ref, b_ref):
+        acc = jax.lax.dot_general(
+            h, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        acc = acc - ox_h * c_ref[:] - o_ref[:] * rowsum_h + K * ox_h * o_ref[:]
+        return acc * (meta_ref[0] * s_ref[:]) + b_ref[:]
+
+    g1 = int_mm(w1_ref, s1_ref, o1_ref, c1_ref, b1_ref)
+    g1 = _fq8(g1, meta_ref[2], meta_ref[3], meta_ref[4])
+    if act_kind == "silu":
+        sig = 1.0 / (1.0 + jnp.exp(-g1))
+        sig = _fq8(sig, meta_ref[5], meta_ref[6], meta_ref[7])
+        act = g1 * sig
+    else:
+        t = 0.7978845608028654 * (g1 + 0.044715 * g1 * g1 * g1)
+        act = 0.5 * g1 * (1.0 + jnp.tanh(t))
+    act = _fq8(act, meta_ref[8], meta_ref[9], meta_ref[10])
+    g3 = int_mm(w3_ref, s3_ref, o3_ref, c3_ref, b3_ref)
+    g3 = _fq8(g3, meta_ref[11], meta_ref[12], meta_ref[13])
+    act = act * g3
+
+    g8 = _quant_u8s(act, meta_ref[14], meta_ref[15])
+    part = jax.lax.dot_general(
+        g8, w2_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    rsum_part = jnp.sum(g8.astype(jnp.int32), axis=1, keepdims=True)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = part
+        rsum_ref[:] = rsum_part
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+        rsum_ref[:] = rsum_ref[:] + rsum_part
+
+    @pl.when(j == nj - 1)
+    def _():
+        F_total = nj * w1_ref.shape[1]
+        ox2 = meta_ref[15] - 128.0
+        y = acc_ref[:].astype(jnp.float32)
+        y = (y - ox2 * c2_ref[:] - o2_ref[:] * rsum_ref[:].astype(jnp.float32)
+             + F_total * ox2 * o2_ref[:]) * (meta_ref[14] * s2_ref[:]) + b2_ref[:]
+        y = _fq16b(y, meta_ref[20], meta_ref[21], meta_ref[22])
+        out_ref[:] = x_ref[:] + y
+
+
+@functools.partial(jax.jit, static_argnames=("act_kind", "norm_kind", "block_f",
+                                             "interpret"))
+def fused_mlp_block(x: jax.Array, norm_w, norm_b, w13: dict, w2: dict,
+                    meta: jax.Array, act_kind: str = "silu",
+                    norm_kind: str = "rmsnorm", *, block_f: int = 512,
+                    interpret: bool = False):
+    """Residual-stream x (M,D) fp32 → x + MLP(norm(x)) in ONE dispatch.
+
+    Absorbs the post-attention norm (with 16-bit input fake-quant), the MLP-input
+    quantization, the whole gated MLP, the W2 per-channel requantization, the
+    16-bit output fake-quant, and the residual add. meta: (BLOCK_META_LEN,).
+    """
+    M, K = x.shape
+    K2, F2 = w13["wq"].shape
+    assert K2 == K
+    F = F2 // 2
+    Fw2, N = w2["wq"].shape
+    assert Fw2 == F and N == K
+    TF = min(block_f, F)
+    assert F % TF == 0
+
+    def seg(arr, n):
+        return jnp.broadcast_to(jnp.reshape(arr, (1, -1)), (1, n)).astype(jnp.float32)
+
+    s13, o13 = seg(w13["scale"], F2), seg(w13["offset"], F2)
+    c13 = jnp.reshape(w13["colsum"], (1, F2)).astype(jnp.float32)
+    b13 = jnp.reshape(w13["bias"], (1, F2)).astype(jnp.float32)
+    s2, o2 = seg(w2["scale"], N), seg(w2["offset"], N)
+    c2 = jnp.reshape(w2["colsum"], (1, N)).astype(jnp.float32)
+    b2 = jnp.reshape(w2["bias"], (1, N)).astype(jnp.float32)
+    nw = jnp.reshape(norm_w, (1, K)).astype(jnp.float32)
+    nb = jnp.reshape(norm_b, (1, K)).astype(jnp.float32)
+
+    nF = F // TF
+
+    def tile1(j):
+        return (0, j)
+
+    def tile3(j):
+        return (0, nF + j)
+
+    def whole(j):
+        return (0, 0)
+
+    kernel = functools.partial(_mlp_block_kernel, act_kind=act_kind,
+                               norm_kind=norm_kind)
+    return pl.pallas_call(
+        kernel,
+        grid=(nF,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((M, K), whole, memory_space=pltpu.VMEM),      # x
+            pl.BlockSpec((1, K), whole, memory_space=pltpu.VMEM),      # norm w
+            pl.BlockSpec((1, K), whole, memory_space=pltpu.VMEM),      # norm b
+            pl.BlockSpec((K, TF), tile1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, TF), tile3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TF, N), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TF), tile1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TF), tile1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TF), tile1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TF), tile1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TF), tile3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TF), tile3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TF), tile3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TF), tile3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), whole, memory_space=pltpu.VMEM),      # s2
+            pl.BlockSpec((1, N), whole, memory_space=pltpu.VMEM),      # o2
+            pl.BlockSpec((1, N), whole, memory_space=pltpu.VMEM),      # c2
+            pl.BlockSpec((1, N), whole, memory_space=pltpu.VMEM),      # b2
+        ],
+        out_specs=pl.BlockSpec((M, N), whole, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((M, N), jnp.int32),
+            pltpu.VMEM((M, 1), jnp.int32),
+            pltpu.VMEM((M, K), jnp.int8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * F2 + 2 * M * F * N,
+            bytes_accessed=M * K * 4 + K * F2 + F * N + M * N * 4,
+            transcendentals=M * F),
+        interpret=interpret,
+    )(meta, x, nw, nb, w13["wq"], w13["wq"], w2["wq"],
+      s13, o13, c13, b13, s13, o13, c13, b13, s2, o2, c2, b2)

@@ -342,6 +342,48 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
     hidden = h if c.parallel_residual else resid
 
     # --- mlp ---
+    if ("mlpblock" in str(mode) and "w13_proj" in lp and "mlp_norm" in lp
+            and lp["w13_proj"]["wq"].shape[0] == resid.shape[-1]
+            and c.hidden_act in ("silu", "gelu_tanh") and not c.parallel_residual):
+        # whole MLP block (norm→quant→MLP→requant→residual) in ONE dispatch
+        from mobilequant_tpu.ops.pallas_mlp import fused_mlp_block
+
+        def flag8b(site, role):
+            cfg_ = getattr(policy[site], role, None)
+            return 1.0 if (cfg_ is not None and cfg_.enabled) else 0.0
+
+        def rngb(site, role, default=(1.0, 0.0)):
+            entry = lr.get(site, {})
+            if role in entry:
+                return entry[role]["scale"], entry[role]["offset"]
+            return jnp.float32(default[0]), jnp.float32(default[1])
+
+        nsite = "post_attention_layernorm"
+        w1s, w1o = rngb("mlp.w1", "output")
+        sgs, sgo = rngb("mlp.act_fn", "input2")
+        aos, aoo = rngb("mlp.act_fn", "output")
+        w3s, w3o = rngb("mlp.w3", "output")
+        lis, lio = rngb(nsite, "input")
+        w2os, w2oo = rngb("mlp.w2", "output")
+        meta = jnp.stack([
+            lr[nsite]["output"]["scale"], lr[nsite]["output"]["offset"],
+            w1s, w1o, jnp.float32(flag8b("mlp.w1", "output")),
+            sgs, sgo, jnp.float32(flag8b("mlp.act_fn", "input2")),
+            aos, aoo, jnp.float32(flag8b("mlp.act_fn", "output")),
+            w3s, w3o, jnp.float32(flag8b("mlp.w3", "output")),
+            lr["mlp.w2"]["input"]["scale"], lr["mlp.w2"]["input"]["offset"],
+            lis, lio, jnp.float32(flag8b(nsite, "input")),
+            jnp.float32(c.norm_eps),
+            w2os, w2oo, jnp.float32(flag8b("mlp.w2", "output")),
+        ]).astype(jnp.float32)
+        Dm = resid.shape[-1]
+        out = fused_mlp_block(
+            resid.reshape(-1, Dm).astype(jnp.float32),
+            lp["mlp_norm"]["w"], lp["mlp_norm"]["b"],
+            lp["w13_proj"], lp["w2"], meta, c.hidden_act,
+            "layernorm" if c.norm_class == "layernorm" else "rmsnorm")
+        return out.reshape(B, T, Dm).astype(x.dtype), (k_all, v_all)
+
     if "mlp_norm" in lp:
         h2 = norm(hidden, lp["mlp_norm"], "post_attention_layernorm")
         h28, h2r = out_q8(h2, "post_attention_layernorm")

@@ -167,3 +167,37 @@ def test_fused_mlp_kernel_matches_engine():
                                        rtol=2e-4, atol=2e-4)
     finally:
         PM.fused_mlp = orig
+
+
+def test_fused_mlp_block_kernel_matches_engine():
+    """Whole-MLP-block megakernel (norm+quant+MLP+requant+residual) == XLA path,
+    strict and relaxed, rmsnorm and layernorm."""
+    import jax
+    from mobilequant_tpu.models import get_config
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant.policy import default_policy, relax_16bit
+    from mobilequant_tpu.quant import calibrate
+    from mobilequant_tpu.runtime import engine as E
+    import mobilequant_tpu.ops.pallas_mlp as PM
+
+    for name in ("test-llama", "test-stablelm"):
+        cfg = get_config(name)
+        params = M.init_params(cfg, jax.random.PRNGKey(0))
+        base_policy = default_policy(cfg, QuantConfig(bitwidth=8), QuantConfig(bitwidth=8))
+        tokens = np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 16)).astype(np.int32)
+        stats = calibrate.run_calibration(params, tokens, cfg, base_policy, batch_size=2)
+        ranges = calibrate.stats_to_ranges(stats, base_policy)
+        ecfg = E.EngineConfig(model=cfg, max_seq_len=32)
+        packed = E.pack(params, ranges, cfg, base_policy, ecfg)
+
+        orig = PM.fused_mlp_block
+        PM.fused_mlp_block = functools.partial(orig, interpret=True)
+        try:
+            for policy in (base_policy, relax_16bit(base_policy)):
+                t = jnp.asarray(tokens[:2, :8])
+                ref, _ = E.forward(packed, t, cfg, policy)
+                out, _ = E.forward(packed, t, cfg, policy, use_pallas="mlpblock")
+                np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                           rtol=3e-4, atol=3e-4, err_msg=name)
+        finally:
+            PM.fused_mlp_block = orig
