@@ -35,7 +35,36 @@ MODEL_CONFIGS: dict[str, ModelConfig] = {
         hidden_act="silu", rope_theta=10000.0, max_position_embeddings=4096,
         partial_rotary_factor=0.25, use_qkv_bias_only=True,
     ),
+    "phi-2": ModelConfig(
+        vocab_size=51200, hidden_size=2560, intermediate_size=10240,
+        num_layers=32, num_heads=32, num_kv_heads=32, head_dim=80,
+        norm_class="layernorm", norm_eps=1e-5, num_linears_per_mlp=2,
+        hidden_act="gelu_tanh", rope_theta=10000.0, max_position_embeddings=2048,
+        partial_rotary_factor=0.4, shared_attention_norm=True,
+        parallel_residual=True, attention_bias=True,
+    ),
+    "qwen2-1.5b": ModelConfig(
+        vocab_size=151936, hidden_size=1536, intermediate_size=8960,
+        num_layers=28, num_heads=12, num_kv_heads=2, head_dim=128,
+        norm_class="rmsnorm", norm_eps=1e-6, num_linears_per_mlp=3,
+        hidden_act="silu", rope_theta=1000000.0, max_position_embeddings=32768,
+        use_qkv_bias_only=True, tie_word_embeddings=True,
+    ),
     # Small configs for tests / CI (same knob coverage, tiny shapes).
+    "test-qwen2": ModelConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+        norm_class="rmsnorm", num_linears_per_mlp=3, hidden_act="silu",
+        use_qkv_bias_only=True, max_position_embeddings=128,
+    ),
+    "test-phi": ModelConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=4, head_dim=16,
+        norm_class="layernorm", num_linears_per_mlp=2, hidden_act="gelu_tanh",
+        partial_rotary_factor=0.5, shared_attention_norm=True,
+        parallel_residual=True, attention_bias=True,
+        max_position_embeddings=128,
+    ),
     "test-llama": ModelConfig(
         vocab_size=256, hidden_size=64, intermediate_size=128,
         num_layers=3, num_heads=4, num_kv_heads=2, head_dim=16,

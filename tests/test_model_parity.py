@@ -142,3 +142,46 @@ def test_moe_parity_vs_mixtral():
     params = convert_hf_model(hf, cfg, "mixtral")
     ours = _logits_ours(params, tokens.astype(np.int32), cfg)
     np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_qwen2_parity():
+    torch.manual_seed(0)
+    cfg = get_config("test-qwen2")
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size, num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads, num_key_value_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim_, rms_norm_eps=cfg.norm_eps,
+        rope_theta=cfg.rope_theta, max_position_embeddings=cfg.max_position_embeddings,
+        tie_word_embeddings=False,
+    )
+    hf = transformers.Qwen2ForCausalLM(hf_cfg).float()
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, cfg.vocab_size, size=(2, 11), dtype=np.int64)
+    ref = _run_torch(hf, tokens)
+    params = convert_hf_model(hf, cfg, "qwen2")
+    ours = _logits_ours(params, tokens.astype(np.int32), cfg)
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_phi_parity():
+    """Phi exercises the shared-attention-norm + parallel-residual + 2-linear
+    MLP + partial-rotary paths (ref phi support, convert_ckpt.py:28)."""
+    torch.manual_seed(0)
+    cfg = get_config("test-phi")
+    hf_cfg = transformers.PhiConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size, num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads, num_key_value_heads=cfg.num_kv_heads,
+        layer_norm_eps=cfg.norm_eps, rope_theta=cfg.rope_theta,
+        partial_rotary_factor=cfg.partial_rotary_factor,
+        hidden_act="gelu_new", max_position_embeddings=cfg.max_position_embeddings,
+        tie_word_embeddings=False,
+    )
+    hf = transformers.PhiForCausalLM(hf_cfg).float()
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, cfg.vocab_size, size=(2, 11), dtype=np.int64)
+    ref = _run_torch(hf, tokens)
+    params = convert_hf_model(hf, cfg, "phi")
+    ours = _logits_ours(params, tokens.astype(np.int32), cfg)
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
