@@ -278,18 +278,61 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
     k8_new = jnp.transpose(k8_new, (0, 2, 1, 3))
     v8_new = jnp.transpose(v8_new, (0, 2, 1, 3))
 
-    k_cache, v_cache = kv
-    if cache_position is not None:
-        upd = jax.vmap(lambda cache, new, start: jax.lax.dynamic_update_slice(
-            cache, new, (0, start, 0)))
-        k_all = upd(k_cache, k8_new, cache_position)
-        v_all = upd(v_cache, v8_new, cache_position)
-    else:
-        k_all, v_all = k8_new, v8_new
-
-    S = k_all.shape[2]
     mode = {False: "none", True: "w4"}.get(use_pallas, use_pallas)
-    if T == 1 and "attn" in str(mode) and kv_valid_len is not None:
+    k_cache, v_cache = kv
+    decode_light = (cache_position is not None and T == 1
+                    and "attn" not in str(mode))
+    if decode_light:
+        # Decode fast path: do NOT rewrite the full cache inside the layer scan
+        # (profiling showed the per-layer full-cache ys writes + while-boundary
+        # carry copies cost ~80 µs/step). Attention decomposes into scores over
+        # the *stale* cache (masked to positions < pos) plus the self-attention
+        # term for the new token; the new K/V rows are emitted as scan outputs
+        # and scattered into the cache ONCE after the scan (engine.forward).
+        S = k_cache.shape[2]
+        qg = jnp.transpose(q8.reshape(B, 1, Hkv, G, hd), (0, 2, 3, 1, 4))
+        qg = qg.reshape(B, Hkv, G, hd)
+        scores_c = qops.int_matmul_qk(qg, k_cache,
+                                      qk["input"]["scale"], qk["input"]["offset"],
+                                      qk["input2"]["scale"], qk["input2"]["offset"])
+        # self term: (q−oq)·(k_new−ok)·sq·sk over hd
+        oqv = qk["input"]["offset"] - 128.0
+        okv = qk["input2"]["offset"] - 128.0
+        qf = qg.astype(jnp.float32)                       # (B,Hkv,G,hd)
+        kf = k8_new.astype(jnp.float32)                   # (B,Hkv,1,hd)
+        s_self = jnp.sum((qf - oqv) * (kf - okv), axis=-1, keepdims=True) \
+            * (qk["input"]["scale"] * qk["input2"]["scale"])  # (B,Hkv,G,1)
+        qk_out_cfg = policy["self_attn.qk_bmm"].output
+        scores_c = _fq16(scores_c, qk["output"], qk_out_cfg)
+        s_self = _fq16(s_self, qk["output"], qk_out_cfg)
+        inv = 1.0 / math.sqrt(hd)
+        col = jnp.arange(S)[None, None, None, :]
+        maskc = jnp.where(col < cache_position[:, None, None, None], 0.0, c.neg_inf)
+        logits_full = jnp.concatenate(
+            [scores_c * inv + maskc, s_self * inv], axis=-1)  # (B,Hkv,G,S+1)
+        probs = jax.nn.softmax(logits_full.astype(jnp.float32), axis=-1)
+        probs = _fq16(probs, pv["input"], policy["self_attn.pv_bmm"].input)
+        p_c, p_self = probs[..., :S], probs[..., S:]
+        attn = qops.int_matmul_pv(p_c, v_cache,
+                                  pv["input2"]["scale"], pv["input2"]["offset"])
+        v_new_f = (v8_new.astype(jnp.float32) + 128.0
+                   - pv["input2"]["offset"]) * pv["input2"]["scale"]  # (B,Hkv,1,hd)
+        attn = attn + p_self * v_new_f
+        attn = attn.reshape(B, Hkv, G, 1, hd)
+        attn = jnp.transpose(attn, (0, 3, 1, 2, 4)).reshape(B, 1, Hq * hd)
+        k_all, v_all = k8_new, v8_new        # scan ys: just the new rows
+    elif True:
+        if cache_position is not None:
+            upd = jax.vmap(lambda cache, new, start: jax.lax.dynamic_update_slice(
+                cache, new, (0, start, 0)))
+            k_all = upd(k_cache, k8_new, cache_position)
+            v_all = upd(v_cache, v8_new, cache_position)
+        else:
+            k_all, v_all = k8_new, v8_new
+        S = k_all.shape[2]
+    if decode_light:
+        pass
+    elif T == 1 and "attn" in str(mode) and kv_valid_len is not None:
         # fused decode-attention kernel: one dispatch per layer
         from mobilequant_tpu.ops.pallas_attention import decode_attention
 
@@ -510,7 +553,18 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
         cache_position = jnp.zeros((B,), jnp.int32)
 
     h, kv_out = jax.lax.scan(body, x, xs, unroll=layer_unroll)
-    new_cache = EngineKVCache(k=kv_out[0], v=kv_out[1])
+    mode_s = str({False: "none", True: "w4"}.get(use_pallas, use_pallas))
+    if kv_cache is not None and T == 1 and "attn" not in mode_s:
+        # decode-light: the scan emitted only the new K/V rows; scatter them into
+        # the cache with ONE batched update instead of per-layer full rewrites
+        scat = jax.vmap(
+            lambda cache_b, new_b, start: jax.lax.dynamic_update_slice(
+                cache_b, new_b, (0, 0, start, 0)),
+            in_axes=(1, 1, 0), out_axes=1)
+        new_cache = EngineKVCache(k=scat(kv_cache.k, kv_out[0], cache_position),
+                                  v=scat(kv_cache.v, kv_out[1], cache_position))
+    else:
+        new_cache = EngineKVCache(k=kv_out[0], v=kv_out[1])
 
     # final norm + lm_head: unquantized (ref qmodule.py:843-845)
     xf = h.astype(jnp.float32)
