@@ -183,6 +183,8 @@ def packed_pspecs(packed: dict, config: ModelConfig, mesh: Mesh) -> dict:
         "ranges": jax.tree.map(lambda a: P(*([None] * a.ndim)), packed["ranges"]),
         "norm": {"w": P(None), "b": P(None)},
     }
+    if "rvec" in packed:
+        specs["rvec"] = P(None, None)
     if "lm_head" in packed:
         specs["lm_head"] = {"w": P(None, "tp")}
     return specs

@@ -149,10 +149,16 @@ def pack(params: dict, ranges: dict, config: ModelConfig, policy: QPolicy,
             L = rr[site][role]["scale"].shape[0]
             rr[site][role] = {"scale": jnp.full((L,), s), "offset": jnp.full((L,), o)}
 
+    # consolidate all per-layer range scalars into ONE (L, 2R) array so the
+    # layer scan slices a single vector instead of ~40 tiny leaves (profiling:
+    # 0.3 µs/slice × 40 × 22 layers ≈ 0.27 ms/token)
+    rvec = build_rvec(rr)                     # (L, 2R)
+
     packed = {
         "embed": params["embed"]["w"].astype(ecfg.act_dtype),
         "layers": layers,
         "ranges": rr,
+        "rvec": rvec,
         "norm": {"w": params["norm"]["w"].astype(jnp.float32),
                  "b": params["norm"]["b"].astype(jnp.float32)},
     }
@@ -167,6 +173,37 @@ def init_kv_cache(ecfg: EngineConfig, batch_size: int) -> EngineKVCache:
     # -128 == uint8 zero; exact value is irrelevant (masked out until written)
     return EngineKVCache(k=jnp.full(shape, -128, jnp.int8),
                         v=jnp.full(shape, -128, jnp.int8))
+
+
+def build_rvec(ranges: dict):
+    """Stack all per-layer range scalars into one (L, 2R) fp32 array (see pack)."""
+    idx_map = _range_index_map(ranges)
+    cols = []
+    for (site, role), k in sorted(idx_map.items(), key=lambda kv: kv[1]):
+        cols.append(ranges[site][role]["scale"].astype(jnp.float32))
+        cols.append(ranges[site][role]["offset"].astype(jnp.float32))
+    return jnp.stack(cols, axis=1)
+
+
+def _range_index_map(ranges: dict) -> dict:
+    """Canonical (site, role) → column index into the packed rvec (scale at k,
+    offset at k+1). Derived from the ranges dict structure so pack() and
+    forward() agree regardless of the runtime policy."""
+    items = []
+    for site in sorted(ranges):
+        for role in sorted(ranges[site]):
+            items.append((site, role))
+    return {sr: 2 * i for i, sr in enumerate(items)}
+
+
+def _lr_from_rvec(rv, ranges_struct: dict) -> dict:
+    """Rebuild the per-layer lr dict from one sliced (2R,) vector; the element
+    extractions are constant-index and fuse into their consumers."""
+    idx = _range_index_map(ranges_struct)
+    out = {}
+    for (site, role), k in idx.items():
+        out.setdefault(site, {})[role] = {"scale": rv[k], "offset": rv[k + 1]}
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -535,7 +572,11 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
 
     def body(carry, xs):
         h = carry
-        lp, lr, kv = xs["lp"], xs["lr"], xs.get("kv")
+        lp, kv = xs["lp"], xs.get("kv")
+        if "rv" in xs:
+            lr = _lr_from_rvec(xs["rv"], packed["ranges"])
+        else:
+            lr = xs["lr"]
         if kv is None:
             kv = (None, None)
         h, kv_new = _layer_forward(lp, lr, h, cos, sin, mask, kv,
@@ -543,7 +584,11 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
                                    kv_valid_len)
         return h, kv_new
 
-    xs = {"lp": packed["layers"], "lr": packed["ranges"]}
+    xs = {"lp": packed["layers"]}
+    if "rvec" in packed:
+        xs["rv"] = packed["rvec"]
+    else:
+        xs["lr"] = packed["ranges"]
     if kv_cache is not None:
         xs["kv"] = (kv_cache.k, kv_cache.v)
     else:
