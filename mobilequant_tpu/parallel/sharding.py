@@ -154,7 +154,11 @@ def packed_pspecs(packed: dict, config: ModelConfig, mesh: Mesh) -> dict:
         template = proj(kind)
         out = {}
         for k, v in entry.items():
-            spec = template[k]
+            spec = template.get(k)
+            if spec is None:
+                # auxiliary leaves (e.g. fused out_scale/out_offset) replicate
+                out[k] = P(*([None] * v.ndim))
+                continue
             out[k] = spec(v) if callable(spec) else spec
         return out
 

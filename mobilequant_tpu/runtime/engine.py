@@ -110,15 +110,41 @@ def pack(params: dict, ranges: dict, config: ModelConfig, policy: QPolicy,
             "bias": jnp.concatenate([e["bias"] for e in entries], axis=-1),
         }
 
+    rr0 = jax.tree.map(jnp.asarray, ranges)
+
+    def fq_vec(sites, widths):
+        """Per-channel output fq vectors for a fused projection: one fake_quant
+        with segment-constant scales ≡ the per-tensor fq of each segment.
+        Frozen from the ranges at pack time (pack = the freeze step)."""
+        L_ = rr0[sites[0]]["output"]["scale"].shape[0]
+        scs, ofs = [], []
+        for site, w in zip(sites, widths):
+            r = rr0[site]["output"]
+            scs.append(jnp.broadcast_to(r["scale"][:, None, None], (L_, 1, w)))
+            ofs.append(jnp.broadcast_to(r["offset"][:, None, None], (L_, 1, w)))
+        return (jnp.concatenate(scs, -1).astype(jnp.float32),
+                jnp.concatenate(ofs, -1).astype(jnp.float32))
+
     layers = {}
     for pkey, site in _PROJ_SITES.items():
         if pkey in params["layers"]:
             layers[pkey] = pack_proj(pkey, site)
     if ecfg.fuse_projections and not config.is_moe:
+        widths_qkv = [layers["q_proj"]["wq"].shape[-1],
+                      layers["k_proj"]["wq"].shape[-1],
+                      layers["v_proj"]["wq"].shape[-1]]
         layers["qkv_proj"] = fuse([layers.pop("q_proj"), layers.pop("k_proj"),
                                    layers.pop("v_proj")])
+        osc, oof = fq_vec(["self_attn.q_proj", "self_attn.k_proj",
+                           "self_attn.v_proj"], widths_qkv)
+        layers["qkv_proj"]["out_scale"] = osc
+        layers["qkv_proj"]["out_offset"] = oof
         if "w3" in layers:
+            widths_w13 = [layers["w1"]["wq"].shape[-1], layers["w3"]["wq"].shape[-1]]
             layers["w13_proj"] = fuse([layers.pop("w1"), layers.pop("w3")])
+            osc, oof = fq_vec(["mlp.w1", "mlp.w3"], widths_w13)
+            layers["w13_proj"]["out_scale"] = osc
+            layers["w13_proj"]["out_offset"] = oof
 
     # norm weights: bake the 16-bit weight quantization (policy norm_w16)
     def bake_norm(nkey, site):
@@ -289,12 +315,18 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         qkv = _int_linear(h8, hr["scale"], hr["offset"], lp["qkv_proj"],
                           lp["qkv_proj"]["bias"], use_pallas)
         qd, kvd = Hq * hd, Hkv * hd
-        q = _fq16(qkv[..., :qd], lr["self_attn.q_proj"]["output"],
-                  policy["self_attn.q_proj"].output)
-        k = _fq16(qkv[..., qd:qd + kvd], lr["self_attn.k_proj"]["output"],
-                  policy["self_attn.k_proj"].output)
-        v = _fq16(qkv[..., qd + kvd:], lr["self_attn.v_proj"]["output"],
-                  policy["self_attn.v_proj"].output)
+        qcfg8 = policy["self_attn.q_proj"].output
+        if "out_scale" in lp["qkv_proj"] and qcfg8 is not None and qcfg8.enabled:
+            # one per-channel fq (segment-constant scales) ≡ three per-tensor fqs
+            qkv = fake_quant(qkv, lp["qkv_proj"]["out_scale"][0],
+                             lp["qkv_proj"]["out_offset"][0], qcfg8)
+            q, k, v = (qkv[..., :qd], qkv[..., qd:qd + kvd], qkv[..., qd + kvd:])
+        else:
+            q = _fq16(qkv[..., :qd], lr["self_attn.q_proj"]["output"], qcfg8)
+            k = _fq16(qkv[..., qd:qd + kvd], lr["self_attn.k_proj"]["output"],
+                      policy["self_attn.k_proj"].output)
+            v = _fq16(qkv[..., qd + kvd:], lr["self_attn.v_proj"]["output"],
+                      policy["self_attn.v_proj"].output)
         q = q.reshape(B, T, Hq, hd)
         k = k.reshape(B, T, Hkv, hd)
         v = v.reshape(B, T, Hkv, hd)
@@ -519,8 +551,14 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         F = lp["w13_proj"]["wq"].shape[-1] // 2
         g13 = _int_linear(h28, h2r["scale"], h2r["offset"], lp["w13_proj"],
                           lp["w13_proj"]["bias"], use_pallas)
-        g1 = _fq16(g13[..., :F], lr["mlp.w1"]["output"], policy["mlp.w1"].output)
-        g3 = _fq16(g13[..., F:], lr["mlp.w3"]["output"], policy["mlp.w3"].output)
+        w1cfg8 = policy["mlp.w1"].output
+        if "out_scale" in lp["w13_proj"] and w1cfg8 is not None and w1cfg8.enabled:
+            g13 = fake_quant(g13, lp["w13_proj"]["out_scale"][0],
+                             lp["w13_proj"]["out_offset"][0], w1cfg8)
+            g1, g3 = g13[..., :F], g13[..., F:]
+        else:
+            g1 = _fq16(g13[..., :F], lr["mlp.w1"]["output"], w1cfg8)
+            g3 = _fq16(g13[..., F:], lr["mlp.w3"]["output"], policy["mlp.w3"].output)
     else:
         g1 = _int_linear(h28, h2r["scale"], h2r["offset"], lp["w1"], lp["w1"]["bias"],
                          use_pallas)
