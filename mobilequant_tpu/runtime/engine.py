@@ -335,13 +335,20 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         k = proj("k_proj", "self_attn.k_proj").reshape(B, T, Hkv, hd)
         v = proj("v_proj", "self_attn.v_proj").reshape(B, T, Hkv, hd)
 
-    q = M.apply_rope(q, cos, sin, c.rotary_dim)
-    k = M.apply_rope(k, cos, sin, c.rotary_dim)
-
+    # joint RoPE over q‖k (same cos/sin, same head_dim) and joint quantization
+    # with per-head-segment scales: 2 ops instead of 4
     qk = lr["self_attn.qk_bmm"]
     pv = lr["self_attn.pv_bmm"]
-    q8 = qops.quantize_act(q, qk["input"]["scale"], qk["input"]["offset"])
-    k8_new = qops.quantize_act(k, qk["input2"]["scale"], qk["input2"]["offset"])
+    qk_cat = jnp.concatenate([q, k], axis=2)            # (B,T,Hq+Hkv,hd)
+    qk_cat = M.apply_rope(qk_cat, cos, sin, c.rotary_dim)
+    seg_scale = jnp.concatenate([
+        jnp.broadcast_to(qk["input"]["scale"], (Hq,)),
+        jnp.broadcast_to(qk["input2"]["scale"], (Hkv,))])[None, None, :, None]
+    seg_off = jnp.concatenate([
+        jnp.broadcast_to(qk["input"]["offset"], (Hq,)),
+        jnp.broadcast_to(qk["input2"]["offset"], (Hkv,))])[None, None, :, None]
+    qk8 = qops.quantize_act(qk_cat, seg_scale, seg_off)
+    q8, k8_new = qk8[:, :, :Hq], qk8[:, :, Hq:]
     v8_new = qops.quantize_act(v, pv["input2"]["scale"], pv["input2"]["offset"])
     # → head-major (B,Hkv,T,hd) for the cache layout
     k8_new = jnp.transpose(k8_new, (0, 2, 1, 3))
