@@ -94,7 +94,7 @@ def pack_weight(w, qcfg: QuantConfig):
     q = q - shift
     q_i8 = q.astype(jnp.int8)
     wq = pack_nibbles(q_i8) if qcfg.bitwidth == 4 else q_i8
-    colsum = jnp.sum(q.astype(jnp.float32), axis=0)  # (out,)
+    colsum = jnp.sum(q.astype(jnp.float32), axis=-2)  # (out,) / (E, out) for MoE
     return {
         "wq": wq,
         "scale": jnp.asarray(scale, jnp.float32),
@@ -147,6 +147,43 @@ def weight_only_linear(x, pack: dict, bias):
     if bias is not None:
         y = y + bias
     return y.astype(x.dtype)
+
+
+def int_expert_linear(x_q, x_scale, x_offset, pack: dict, bias,
+                      x_has_expert_axis: bool = False):
+    """MoE expert integer matmul, affine-exact per expert (dense-dispatch twin of
+    int_linear; plays the role of the reference's per-expert QLinear instances in
+    HFMoEBlock, ref hf_model.py:1065-1162):
+
+      x (..., K)    x wq (E, K, N) -> fp32 (..., E, N)   (dispatch form: w1/w3)
+      x (..., E, K) x wq (E, K, N) -> fp32 (..., E, N)   (x_has_expert_axis: w2)
+
+    8-bit only; nibble-packed W4 experts are rejected at pack() time.
+    """
+    wq = pack["wq"]
+    E, K, N = wq.shape
+    if x_has_expert_axis:
+        acc = jnp.einsum("...ek,ekn->...en", x_q.astype(jnp.int8),
+                         wq.astype(jnp.int8),
+                         preferred_element_type=jnp.int32).astype(jnp.float32)
+        rowsum = jnp.sum(x_q.astype(jnp.int32), axis=-1)[..., None]   # (...,E,1)
+    else:
+        acc = jnp.einsum("...k,ekn->...en", x_q.astype(jnp.int8),
+                         wq.astype(jnp.int8),
+                         preferred_element_type=jnp.int32).astype(jnp.float32)
+        rowsum = jnp.sum(x_q.astype(jnp.int32), axis=-1)[..., None, None]
+    rowsum = rowsum.astype(jnp.float32)
+    ox = x_offset - 128.0
+    if pack["offset"].ndim == 3:      # per-channel (E, 1, N): broadcast as (E, N)
+        ow, sw = pack["offset"][:, 0], pack["scale"][:, 0]
+    else:                             # per-tensor scalar across the expert stack
+        ow = jnp.reshape(pack["offset"], (-1,))
+        sw = jnp.reshape(pack["scale"], (-1,))
+    acc = acc - ox * pack["colsum"] - ow * rowsum + K * ox * ow
+    out = acc * (x_scale * sw)
+    if bias is not None:
+        out = out + bias
+    return out
 
 
 def int_matmul_qk(q_i8, k_i8, q_scale, q_offset, k_scale, k_offset):

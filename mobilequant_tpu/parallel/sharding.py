@@ -162,11 +162,30 @@ def packed_pspecs(packed: dict, config: ModelConfig, mesh: Mesh) -> dict:
             out[k] = spec(v) if callable(spec) else spec
         return out
 
+    # MoE packed experts (L, E, K, N): shard the stacked expert axis over "ep"
+    # when the mesh has one that divides E (dense-dispatch EP — each device
+    # computes its expert slice, the combine einsum reduces across ep).
+    ep = None
+    if "ep" in mesh.shape and mesh.shape["ep"] > 1 \
+            and config.is_moe and config.num_local_experts % mesh.shape["ep"] == 0:
+        ep = "ep"
+
+    def build_moe_proj(entry):
+        out = {}
+        for k, v in entry.items():
+            spec = [None] * v.ndim
+            if v.ndim >= 2:           # (L, E, ...) leaves; (L,) scalars replicate
+                spec[1] = ep
+            out[k] = P(*spec)
+        return out
+
     attn_kind = ("col", "row") if attn_ok else ("rep", "rep")
     layers = {}
     for pkey, entry in packed["layers"].items():
         if pkey in ("attn_norm", "mlp_norm"):
             layers[pkey] = {"w": P(None, None), "b": P(None, None)}
+        elif pkey == "router":
+            layers[pkey] = {"w": P(None, None, None)}
         elif pkey in ("q_proj", "k_proj", "v_proj"):
             layers[pkey] = build_proj(entry, attn_kind[0])
         elif pkey in ("qkv_proj", "w13_proj"):
@@ -177,9 +196,11 @@ def packed_pspecs(packed: dict, config: ModelConfig, mesh: Mesh) -> dict:
         elif pkey == "o_proj":
             layers[pkey] = build_proj(entry, attn_kind[1])
         elif pkey in ("w1", "w3"):
-            layers[pkey] = build_proj(entry, "col")
+            layers[pkey] = build_moe_proj(entry) if entry["wq"].ndim == 4 \
+                else build_proj(entry, "col")
         elif pkey == "w2":
-            layers[pkey] = build_proj(entry, "row")
+            layers[pkey] = build_moe_proj(entry) if entry["wq"].ndim == 4 \
+                else build_proj(entry, "row")
 
     specs = {
         "embed": P("tp", None),

@@ -88,6 +88,11 @@ def pack(params: dict, ranges: dict, config: ModelConfig, policy: QPolicy,
     def pack_proj(pkey, site):
         wq_cfg = policy[site].weight
         entry = params["layers"][pkey]
+        if entry["w"].ndim == 4 and wq_cfg.bitwidth < 8:
+            # (L,E,D,F) stacked experts: nibble packing operates on the leading
+            # axis and would fold the E axis — W4 MoE is a round-2 kernel.
+            raise NotImplementedError(
+                "engine MoE requires >=8-bit expert weights (W4 MoE: round 2)")
         packed = jax.vmap(lambda w: qops.pack_weight(w, wq_cfg))(entry["w"])
         packed["bias"] = entry["b"].astype(jnp.float32)
         return packed
@@ -129,6 +134,10 @@ def pack(params: dict, ranges: dict, config: ModelConfig, policy: QPolicy,
     for pkey, site in _PROJ_SITES.items():
         if pkey in params["layers"]:
             layers[pkey] = pack_proj(pkey, site)
+    if c.is_moe:
+        # router stays FP — the sim's moe_block routes on the unquantized
+        # gate matmul (models/model.py moe_block; ref hf_model.py:1100-1108)
+        layers["router"] = {"w": params["layers"]["router"]["w"].astype(jnp.float32)}
     if ecfg.fuse_projections and not config.is_moe:
         widths_qkv = [layers["q_proj"]["wq"].shape[-1],
                       layers["k_proj"]["wq"].shape[-1],
@@ -508,6 +517,49 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         h28, h2r = out_q8(h2, "post_attention_layernorm")
     else:
         h28, h2r = h8, hr
+
+    if c.is_moe and "router" in lp:
+        # --- MoE tail (Mixtral): dense dispatch + integer expert matmuls ---
+        # Router runs FP on the fake-quanted normed hidden == dequant(h28),
+        # exactly the sim's moe_block input; combine-weight mixing replicates
+        # models/model.py moe_block (ref HFMoEBlock, hf_model.py:1065-1162).
+        h2fq = qops.dequantize_act(h28, h2r["scale"], h2r["offset"])
+        logits = h2fq @ lp["router"]["w"]
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        top_vals, top_idx = jax.lax.top_k(probs, c.num_experts_per_tok)
+        top_vals = top_vals / jnp.sum(top_vals, axis=-1, keepdims=True)
+        combine = jnp.sum(
+            jax.nn.one_hot(top_idx, c.num_local_experts, dtype=top_vals.dtype)
+            * top_vals[..., None], axis=-2)                       # (B,T,E)
+
+        g1 = qops.int_expert_linear(h28, h2r["scale"], h2r["offset"],
+                                    lp["w1"], lp["w1"]["bias"])   # (B,T,E,F)
+        g1 = _fq16(g1, lr["mlp.w1"]["output"], policy["mlp.w1"].output)
+        if c.hidden_act == "silu":
+            sig = jax.nn.sigmoid(g1)
+            af = lr["mlp.act_fn"]
+            if "input2" in af:
+                sig = _fq16(sig, af["input2"], policy["mlp.act_fn"].input2)
+            act = g1 * sig
+        elif c.hidden_act == "gelu_tanh":
+            act = jax.nn.gelu(g1, approximate=True)
+        else:
+            act = jax.nn.gelu(g1, approximate=False)
+        act = _fq16(act, lr["mlp.act_fn"]["output"], policy["mlp.act_fn"].output)
+        if "w3" in lp:
+            g3 = qops.int_expert_linear(h28, h2r["scale"], h2r["offset"],
+                                        lp["w3"], lp["w3"]["bias"])
+            g3 = _fq16(g3, lr["mlp.w3"]["output"], policy["mlp.w3"].output)
+            act = act * g3
+
+        w2r = lr["mlp.w2"]["input"]
+        act8 = qops.quantize_act(act, w2r["scale"], w2r["offset"])
+        y = qops.int_expert_linear(act8, w2r["scale"], w2r["offset"],
+                                   lp["w2"], lp["w2"]["bias"],
+                                   x_has_expert_axis=True)        # (B,T,E,D)
+        y = _fq16(y, lr["mlp.w2"]["output"], policy["mlp.w2"].output)
+        y = jnp.einsum("bted,bte->btd", y, combine.astype(jnp.float32))
+        return resid + y, (k_all, v_all)
 
     mlp_mode = ("mlp" in str(mode) and "w13_proj" in lp
                 and lp["w13_proj"]["wq"].shape[0] == h28.shape[-1]

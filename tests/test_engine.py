@@ -58,8 +58,10 @@ def _build(name="test-llama", w_bits=8, S=32):
 
 
 @pytest.mark.parametrize("name,w_bits", [("test-llama", 8), ("test-llama", 4),
-                                         ("test-gemma", 8), ("test-stablelm", 8)],
-                         ids=["llama-w8", "llama-w4", "gemma-w8", "stablelm-w8"])
+                                         ("test-gemma", 8), ("test-stablelm", 8),
+                                         ("test-mixtral", 8)],
+                         ids=["llama-w8", "llama-w4", "gemma-w8", "stablelm-w8",
+                              "mixtral-w8"])
 def test_engine_matches_sim(name, w_bits):
     cfg, params, policy, ranges, packed, ecfg, tokens = _build(name, w_bits)
     t = jnp.asarray(tokens[:2])
@@ -71,9 +73,17 @@ def test_engine_matches_sim(name, w_bits):
     assert rel < 2e-3, rel
 
 
-def test_engine_decode_matches_prefill():
+def test_engine_moe_w4_pack_rejected():
+    """Nibble packing would fold the stacked expert axis — pack() must refuse."""
+    with pytest.raises(NotImplementedError):
+        _build("test-mixtral", w_bits=4)
+
+
+@pytest.mark.parametrize("name", ["test-llama", "test-mixtral"],
+                         ids=["llama", "mixtral"])
+def test_engine_decode_matches_prefill(name):
     """Token-by-token decode through the int8 KV cache == full prefill logits."""
-    cfg, params, policy, ranges, packed, ecfg, tokens = _build()
+    cfg, params, policy, ranges, packed, ecfg, tokens = _build(name)
     T = 10
     t = jnp.asarray(tokens[:2, :T])
     full, _ = E.forward(packed, t, cfg, policy)

@@ -124,3 +124,24 @@ def test_engine_tp_unfused_attention_sharding():
     with jax.set_mesh(mesh):
         out, _ = jax.jit(lambda p, x: E.forward(p, x, cfg, policy))(packed_sh, t)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_engine_moe_ep_sharding():
+    """Packed MoE engine shards expert stacks over an ep axis and matches the
+    single-device forward (dense-dispatch EP; combine reduces across experts)."""
+    cfg, params, policy, tokens, ranges = _build("test-mixtral")
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=32)
+    packed = E.pack(params, ranges, cfg, policy, ecfg)
+    assert "router" in packed["layers"]
+    t = jnp.asarray(tokens[:2])
+    ref, _ = E.forward(packed, t, cfg, policy)
+
+    mesh = S.make_mesh(dp=2, tp=1, ep=2, devices=jax.devices()[:4])
+    specs = S.packed_pspecs(packed, cfg, mesh)
+    assert specs["layers"]["w1"]["wq"] == P(None, "ep", None, None)
+    packed_sh = S.shard_tree(packed, specs, mesh)
+    t_sh = jax.device_put(t, NamedSharding(mesh, P("dp", None)))
+
+    with jax.set_mesh(mesh):
+        out, _ = jax.jit(lambda p, x: E.forward(p, x, cfg, policy))(packed_sh, t_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
