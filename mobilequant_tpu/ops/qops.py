@@ -43,7 +43,8 @@ def dequantize_act(q_i8, scale, offset):
 
 
 def pack_nibbles(q_i8: jax.Array) -> jax.Array:
-    """(K, N) int8 values in [-8, 7] → (K/2, N) int8, two values per byte.
+    """(..., K, N) int8 values in [-8, 7] → (..., K/2, N) int8, two per byte;
+    leading axes (stacked MoE experts) pack independently along their K axis.
 
     BLOCK layout: row k of the packed array holds row k (low nibble) and row
     k + K/2 (high nibble) of the original. Unpacking is then a concat — or,
@@ -51,20 +52,20 @@ def pack_nibbles(q_i8: jax.Array) -> jax.Array:
     dot(x[:, K/2:], hi). An interleaved (even/odd) layout forces stride-2
     sublane shuffles in Mosaic, which measured 5× slower than W8.
     `jnp.int4` arrays are avoided entirely (PJRT transfer bugs)."""
-    assert q_i8.shape[0] % 2 == 0, "K must be even for nibble packing"
-    half = q_i8.shape[0] // 2
-    lo = q_i8[:half] & 0x0F
-    hi = q_i8[half:] & 0x0F
+    assert q_i8.shape[-2] % 2 == 0, "K must be even for nibble packing"
+    half = q_i8.shape[-2] // 2
+    lo = q_i8[..., :half, :] & 0x0F
+    hi = q_i8[..., half:, :] & 0x0F
     return (lo | (hi << 4)).astype(jnp.int8)
 
 
 def unpack_nibbles(packed: jax.Array) -> jax.Array:
-    """(K/2, N) packed bytes → (K, N) int8 in [0, 15] (block layout, UNSIGNED
-    nibbles — the 4-bit zero-point absorbs the sign, so unpack is 3 cheap bit
-    ops with no widening or sign-extension selects)."""
+    """(..., K/2, N) packed bytes → (..., K, N) int8 in [0, 15] (block layout,
+    UNSIGNED nibbles — the 4-bit zero-point absorbs the sign, so unpack is 3
+    cheap bit ops with no widening or sign-extension selects)."""
     lo = packed & 0x0F
     hi = (packed >> 4) & 0x0F   # arithmetic i8 shift; mask clears sign bits
-    return jnp.concatenate([lo, hi], axis=0)
+    return jnp.concatenate([lo, hi], axis=-2)
 
 
 def pack_weight(w, qcfg: QuantConfig):
@@ -158,9 +159,13 @@ def int_expert_linear(x_q, x_scale, x_offset, pack: dict, bias,
       x (..., K)    x wq (E, K, N) -> fp32 (..., E, N)   (dispatch form: w1/w3)
       x (..., E, K) x wq (E, K, N) -> fp32 (..., E, N)   (x_has_expert_axis: w2)
 
-    8-bit only; nibble-packed W4 experts are rejected at pack() time.
+    W4 expert stacks arrive nibble-packed (E, K/2, N) and unpack along K
+    (block layout, see unpack_nibbles).
     """
     wq = pack["wq"]
+    K = x_q.shape[-1]
+    if wq.shape[-2] * 2 == K:             # nibble-packed 4-bit (shape-inferred)
+        wq = unpack_nibbles(wq)
     E, K, N = wq.shape
     if x_has_expert_axis:
         acc = jnp.einsum("...ek,ekn->...en", x_q.astype(jnp.int8),

@@ -88,11 +88,6 @@ def pack(params: dict, ranges: dict, config: ModelConfig, policy: QPolicy,
     def pack_proj(pkey, site):
         wq_cfg = policy[site].weight
         entry = params["layers"][pkey]
-        if entry["w"].ndim == 4 and wq_cfg.bitwidth < 8:
-            # (L,E,D,F) stacked experts: nibble packing operates on the leading
-            # axis and would fold the E axis — W4 MoE is a round-2 kernel.
-            raise NotImplementedError(
-                "engine MoE requires >=8-bit expert weights (W4 MoE: round 2)")
         packed = jax.vmap(lambda w: qops.pack_weight(w, wq_cfg))(entry["w"])
         packed["bias"] = entry["b"].astype(jnp.float32)
         return packed
@@ -284,9 +279,34 @@ def _int_linear(x_q, s, o, pack, bias, use_pallas):
     return qops.int_linear(x_q, s, o, pack, bias)
 
 
+def _attn_meta(lr, policy, c):
+    """(13,) fp32 meta vector shared by the fused attention kernels
+    (ops/pallas_attention.py and ops/pallas_prefill_attention.py)."""
+    qk = lr["self_attn.qk_bmm"]
+    pv = lr["self_attn.pv_bmm"]
+
+    def flag(cfg):
+        return 1.0 if (cfg is not None and cfg.enabled) else 0.0
+
+    qk_out_cfg = policy["self_attn.qk_bmm"].output
+    pv_in_cfg = policy["self_attn.pv_bmm"].input
+    return jnp.stack([
+        qk["input"]["scale"], qk["input"]["offset"],
+        qk["input2"]["scale"], qk["input2"]["offset"],
+        pv["input2"]["scale"], pv["input2"]["offset"],
+        jnp.where(flag(qk_out_cfg) > 0, qk["output"]["scale"], 1.0),
+        jnp.where(flag(qk_out_cfg) > 0, qk["output"]["offset"], 0.0),
+        jnp.float32(flag(qk_out_cfg)),
+        jnp.where(flag(pv_in_cfg) > 0, pv["input"]["scale"], 1.0),
+        jnp.where(flag(pv_in_cfg) > 0, pv["input"]["offset"], 0.0),
+        jnp.float32(flag(pv_in_cfg)),
+        jnp.float32(c.neg_inf),
+    ]).astype(jnp.float32)
+
+
 def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
                    config: ModelConfig, policy: QPolicy, use_pallas=False,
-                   kv_valid_len=None):
+                   kv_valid_len=None, positions=None):
     """One decoder layer on packed ints. lp/lr = this layer's packed params/ranges.
     kv = (k8, v8) slices (B,S,Hkv,hd). Mirrors quant/qmodel.QuantOps order exactly."""
     c = config
@@ -421,28 +441,22 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         # fused decode-attention kernel: one dispatch per layer
         from mobilequant_tpu.ops.pallas_attention import decode_attention
 
-        def flag(cfg):
-            return 1.0 if (cfg is not None and cfg.enabled) else 0.0
-
-        qk_out_cfg = policy["self_attn.qk_bmm"].output
-        pv_in_cfg = policy["self_attn.pv_bmm"].input
-        meta = jnp.stack([
-            qk["input"]["scale"], qk["input"]["offset"],
-            qk["input2"]["scale"], qk["input2"]["offset"],
-            pv["input2"]["scale"], pv["input2"]["offset"],
-            jnp.where(flag(qk_out_cfg) > 0, qk["output"]["scale"], 1.0),
-            jnp.where(flag(qk_out_cfg) > 0, qk["output"]["offset"], 0.0),
-            jnp.float32(flag(qk_out_cfg)),
-            jnp.where(flag(pv_in_cfg) > 0, pv["input"]["scale"], 1.0),
-            jnp.where(flag(pv_in_cfg) > 0, pv["input"]["offset"], 0.0),
-            jnp.float32(flag(pv_in_cfg)),
-            jnp.float32(c.neg_inf),
-        ]).astype(jnp.float32)
+        meta = _attn_meta(lr, policy, c)
         qg = jnp.transpose(q8.reshape(B, 1, Hkv, G, hd), (0, 2, 3, 1, 4))
         qg = qg.reshape(B, Hkv, G, hd)
         attn = decode_attention(qg, k_all, v_all, meta, kv_valid_len)
         attn = attn.reshape(B, Hkv, G, 1, hd)
         attn = jnp.transpose(attn, (0, 3, 1, 2, 4)).reshape(B, 1, Hq * hd)
+    elif T > 1 and "attn" in str(mode) and positions is not None:
+        # fused prefill-attention kernel: no HBM (T,S) score/prob tensors
+        from mobilequant_tpu.ops.pallas_prefill_attention import prefill_attention
+
+        meta = _attn_meta(lr, policy, c)
+        valid = kv_valid_len if kv_valid_len is not None \
+            else jnp.full((B,), S, jnp.int32)
+        qg = jnp.transpose(q8.reshape(B, T, Hkv, G, hd), (0, 2, 3, 1, 4))
+        attn = prefill_attention(qg, k_all, v_all, meta, positions, valid)
+        attn = jnp.transpose(attn, (0, 3, 1, 2, 4)).reshape(B, T, Hq * hd)
     else:
         # q: (B,T,Hq,hd) → (B,Hkv,G·T,hd) batched over kv heads
         qg = jnp.transpose(q8.reshape(B, T, Hkv, G, hd), (0, 2, 3, 1, 4))
@@ -678,7 +692,7 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
             kv = (None, None)
         h, kv_new = _layer_forward(lp, lr, h, cos, sin, mask, kv,
                                    cache_position, c, policy, use_pallas,
-                                   kv_valid_len)
+                                   kv_valid_len, positions)
         return h, kv_new
 
     xs = {"lp": packed["layers"]}

@@ -134,12 +134,22 @@ def main():
     ppl_eng = ppl_of(lambda t: E.forward(packed, t, cfg, policy)[0])
     print(f"packed integer engine ppl: {ppl_eng:.3f} (Δ {ppl_eng - ppl_fp:+.3f})")
 
+    # production serving config: 16-bit sim sites relaxed (policy.relax_16bit —
+    # they simulate the NPU integer datapath, which the TPU engine doesn't have)
+    from mobilequant_tpu.quant.policy import relax_16bit
+    rpolicy = relax_16bit(policy)
+    ppl_rel = ppl_of(lambda t: E.forward(packed, t, cfg, rpolicy)[0])
+    print(f"engine (relaxed 16-bit, serving config) ppl: {ppl_rel:.3f} "
+          f"(Δ {ppl_rel - ppl_fp:+.3f})")
+
     # the paper-style gate: quantized ppl within a small Δ of FP
     # (on real checkpoints the reference's W8A8 Δ-vs-FP16 is ≈0–1 ppl points;
     # here deltas are noise-level, so gate at 2%)
     assert ppl_e2e <= ppl_fp * 1.02, (ppl_e2e, ppl_fp)
     assert abs(ppl_eng - ppl_of(lambda t: qmodel.qforward(
         fparams, fstate, t, cfg, policy)[0])) < 0.05, "engine must match sim"
+    assert abs(ppl_rel - ppl_eng) <= max(0.02 * ppl_eng, 0.05), \
+        "relaxed serving config must be accuracy-neutral"
     print("accuracy gate PASSED")
 
 

@@ -59,9 +59,9 @@ def _build(name="test-llama", w_bits=8, S=32):
 
 @pytest.mark.parametrize("name,w_bits", [("test-llama", 8), ("test-llama", 4),
                                          ("test-gemma", 8), ("test-stablelm", 8),
-                                         ("test-mixtral", 8)],
+                                         ("test-mixtral", 8), ("test-mixtral", 4)],
                          ids=["llama-w8", "llama-w4", "gemma-w8", "stablelm-w8",
-                              "mixtral-w8"])
+                              "mixtral-w8", "mixtral-w4"])
 def test_engine_matches_sim(name, w_bits):
     cfg, params, policy, ranges, packed, ecfg, tokens = _build(name, w_bits)
     t = jnp.asarray(tokens[:2])
@@ -73,10 +73,16 @@ def test_engine_matches_sim(name, w_bits):
     assert rel < 2e-3, rel
 
 
-def test_engine_moe_w4_pack_rejected():
-    """Nibble packing would fold the stacked expert axis — pack() must refuse."""
-    with pytest.raises(NotImplementedError):
-        _build("test-mixtral", w_bits=4)
+def test_expert_nibble_pack_roundtrip():
+    """Per-expert block-nibble packing packs each expert's K axis independently."""
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.integers(0, 16, (3, 8, 16)), jnp.int8)
+    p = qops.pack_nibbles(q)
+    assert p.shape == (3, 4, 16)
+    np.testing.assert_array_equal(np.asarray(qops.unpack_nibbles(p)), np.asarray(q))
+    for e in range(3):   # must equal the 2-D packing of each expert slice
+        np.testing.assert_array_equal(np.asarray(p[e]),
+                                      np.asarray(qops.pack_nibbles(q[e])))
 
 
 @pytest.mark.parametrize("name", ["test-llama", "test-mixtral"],

@@ -201,3 +201,47 @@ def test_fused_mlp_block_kernel_matches_engine():
                                            rtol=3e-4, atol=3e-4, err_msg=name)
         finally:
             PM.fused_mlp_block = orig
+
+
+def test_prefill_attention_kernel_matches_engine():
+    """Fused prefill-attention kernel == the XLA prefill attention, strict and
+    relaxed policies, with and without a KV cache (GQA shapes)."""
+    import jax
+    from mobilequant_tpu.models import get_config
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant.policy import default_policy, relax_16bit
+    from mobilequant_tpu.quant import calibrate
+    from mobilequant_tpu.runtime import engine as E
+    import mobilequant_tpu.ops.pallas_prefill_attention as PP
+
+    cfg = get_config("test-llama")
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    base_policy = default_policy(cfg, QuantConfig(bitwidth=8), QuantConfig(bitwidth=8))
+    tokens = np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 16)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, base_policy, batch_size=2)
+    ranges = calibrate.stats_to_ranges(stats, base_policy)
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=32)
+    packed = E.pack(params, ranges, cfg, base_policy, ecfg)
+
+    orig = PP.prefill_attention
+    PP.prefill_attention = functools.partial(orig, interpret=True)
+    try:
+        for policy in (base_policy, relax_16bit(base_policy)):
+            t = jnp.asarray(tokens[:2])
+            # no-cache prefill (T == S, odd T exercises the padding path)
+            ref, _ = E.forward(packed, t[:, :13], cfg, policy)
+            out, _ = E.forward(packed, t[:, :13], cfg, policy, use_pallas="attn")
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-4, atol=2e-4)
+            # prefill into a cache (S = max_seq_len > T, kv_valid_len mask)
+            cache = E.init_kv_cache(ecfg, 2)
+            pos = jnp.broadcast_to(jnp.arange(16)[None, :], (2, 16))
+            args = dict(positions=pos, kv_cache=cache,
+                        cache_position=jnp.zeros((2,), jnp.int32),
+                        kv_valid_len=jnp.full((2,), 16, jnp.int32))
+            ref, _ = E.forward(packed, t, cfg, policy, **args)
+            out, _ = E.forward(packed, t, cfg, policy, use_pallas="attn", **args)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-4, atol=2e-4)
+    finally:
+        PP.prefill_attention = orig
