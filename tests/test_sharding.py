@@ -145,3 +145,43 @@ def test_engine_moe_ep_sharding():
     with jax.set_mesh(mesh):
         out, _ = jax.jit(lambda p, x: E.forward(p, x, cfg, policy))(packed_sh, t_sh)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_parallel_matches_single_device():
+    """GPipe pipeline over a "pp" mesh axis == unpipelined sim forward, and the
+    pipelined loss is differentiable w.r.t. the quant state (the e2equant use)."""
+    from jax.sharding import Mesh
+    from mobilequant_tpu.parallel import pipeline as PP
+
+    cfg = get_config("test-llama").replace(num_layers=4)
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    policy = default_policy(cfg, QuantConfig(bitwidth=8), QuantConfig(bitwidth=8))
+    tokens = np.random.default_rng(0).integers(0, cfg.vocab_size, (4, 16)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, policy, batch_size=4)
+    ranges = calibrate.stats_to_ranges(stats, policy)
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("pp",))
+    t = jnp.asarray(tokens)                      # (4, 16): n_micro=2 → mb=2
+    qstate = {"ranges": ranges}
+
+    ref, _, _ = qmodel.qforward_hidden(params, qstate, t, cfg, policy)
+    out = PP.pipeline_qforward_hidden(params, qstate, t, cfg, policy,
+                                      mesh, n_micro=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # FP (teacher) path, no quant state
+    ref_fp, _, _ = M.forward_hidden(params, t, cfg)
+    out_fp = PP.pipeline_qforward_hidden(params, None, t, cfg, None,
+                                         mesh, n_micro=2)
+    np.testing.assert_allclose(np.asarray(out_fp), np.asarray(ref_fp),
+                               rtol=2e-5, atol=2e-5)
+
+    # differentiability: grad of the quant-vs-FP MSE w.r.t. ranges is finite
+    def loss_fn(qs):
+        qh = PP.pipeline_qforward_hidden(params, qs, t, cfg, policy,
+                                         mesh, n_micro=2,
+                                         apply_final_norm=False)
+        return jnp.mean(jnp.square(qh - ref_fp))
+    g = jax.grad(loss_fn)(qstate)
+    leaves = jax.tree.leaves(g)
+    assert leaves and all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
