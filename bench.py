@@ -156,22 +156,41 @@ def main():
     log(f"bf16 FP decode: {fp_tps:.1f} tok/s (bs=1, S=1024, marginal)")
     del params
 
-    # --- prefill throughput (W8A8), chained prompts ---
-    packed, cfg, policy, ecfg = _build_packed_tinyllama(w_bits=8)
-    prefill = jax.jit(lambda p, t: E.forward(p, t, cfg, policy)[0])
-    rng = np.random.default_rng(0)
-    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, seq)), jnp.int32)
-    out = prefill(packed, prompt)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    reps = 5
-    for _ in range(reps):
-        prompt = jnp.argmax(out, -1).astype(jnp.int32)   # chain: next prompt from logits
-        out = prefill(packed, prompt)
-    jax.block_until_ready(out)
-    pf_tps = reps * seq / (time.perf_counter() - t0)
+    # --- prefill throughput (W8A8), marginal method with per-rep token fetch
+    # (block_until_ready alone is NOT enough: the relay lazily skips chained
+    # work whose results are never fetched — np.asarray each rep forces it) ---
+    packed, cfg, policy8, ecfg = _build_packed_tinyllama(w_bits=8)
+    policy_pf = relax_16bit(policy8)
+    r1, r2 = (2, 4) if smoke else (2, 8)
+
+    def measure_prefill(use_pallas):
+        @jax.jit
+        def step(p, t):
+            logits, _ = E.forward(p, t, cfg, policy_pf, use_pallas=use_pallas)
+            return jnp.argmax(logits, -1).astype(jnp.int32)
+
+        rng = np.random.default_rng(0)
+
+        def run(reps, salt):
+            t = jnp.asarray((rng.integers(0, cfg.vocab_size, (1, seq)) + salt)
+                            % cfg.vocab_size, jnp.int32)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                t = (step(packed, t) + 1) % cfg.vocab_size
+                np.asarray(t)                      # fetch forces the chain
+            return time.perf_counter() - t0
+
+        run(r1, 0)                                 # compile + warm
+        d1, d2 = run(r1, 1), run(r2, 2)
+        return (r2 - r1) * seq / max(d2 - d1, 1e-9)
+
+    pf_tps = measure_prefill(False)
     results["w8a8_prefill_tok_s"] = pf_tps
-    log(f"W8A8 prefill: {pf_tps:.0f} tok/s (bs=1, T={seq}, chained)")
+    log(f"W8A8 prefill (xla): {pf_tps:.0f} tok/s (bs=1, T={seq}, marginal)")
+    if jax.default_backend() != "cpu":
+        pf_k = measure_prefill("attn")             # fused prefill-attention kernel
+        results["w8a8_prefill_pallas_tok_s"] = pf_k
+        log(f"W8A8 prefill (fused attn kernel): {pf_k:.0f} tok/s")
 
     log(json.dumps(results))
     # headline = the production serving config (relaxed 16-bit sim sites —
