@@ -32,7 +32,9 @@ def log(*a):
 
 
 N_STEPS = 64          # kept for smoke paths
-N1, N2 = 16, 80       # marginal-method loop lengths
+N1, N2 = 64, 320      # marginal-method loop lengths (short chunks are noise-
+                      # dominated: 16/80 once reported W4 at 1296 tok/s — 8%
+                      # above the SOL bound; 64/320 reproduces within ±1%)
 
 _run_counter = [0]
 

@@ -209,7 +209,7 @@ def _mlp_block_kernel(meta_ref, x_ref, nw_ref, nb_ref,
                       s2_ref, o2_ref, c2_ref, b2_ref,
                       out_ref,
                       acc_ref, rsum_ref, h_ref,
-                      *, act_kind: str, norm_kind: str):
+                      *, act_kind: str, norm_kind: str, mm_kind: str = "mxu"):
     j = pl.program_id(0)
     nj = pl.num_programs(0)
     M, K = x_ref.shape
@@ -232,10 +232,23 @@ def _mlp_block_kernel(meta_ref, x_ref, nw_ref, nb_ref,
     ox_h = meta_ref[1] - 128.0
     rowsum_h = jnp.sum(h.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.float32)
 
+    def raw_mm(a, w_ref):
+        """int8 (M,Kc) × int8 (Kc,Nc) → int32 (M,Nc). mm_kind="vpu" uses the
+        broadcast·multiply·reduce formulation (M==1 only): XLA's own lowering
+        for M=1 int8 dots, which keeps up with HBM where the 1/8-utilized MXU
+        path cannot."""
+        if mm_kind == "vpu":
+            # i32 BEFORE the (1,K)->(K,1) reshape: Mosaic only supports
+            # non-no-op minor-dim insertion for 32-bit types
+            acol = a.astype(jnp.int32).reshape(a.shape[1], 1)
+            return jnp.sum(acol * w_ref[:].astype(jnp.int32), axis=0,
+                           keepdims=True)
+        return jax.lax.dot_general(
+            a, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
     def int_mm(w_ref, s_ref, o_ref, c_ref, b_ref):
-        acc = jax.lax.dot_general(
-            h, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32).astype(jnp.float32)
+        acc = raw_mm(h, w_ref).astype(jnp.float32)
         acc = acc - ox_h * c_ref[:] - o_ref[:] * rowsum_h + K * ox_h * o_ref[:]
         return acc * (meta_ref[0] * s_ref[:]) + b_ref[:]
 
@@ -254,9 +267,7 @@ def _mlp_block_kernel(meta_ref, x_ref, nw_ref, nb_ref,
     act = act * g3
 
     g8 = _quant_u8s(act, meta_ref[14], meta_ref[15])
-    part = jax.lax.dot_general(
-        g8, w2_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
+    part = raw_mm(g8, w2_ref)
     rsum_part = jnp.sum(g8.astype(jnp.int32), axis=1, keepdims=True)
 
     @pl.when(j == 0)
@@ -281,11 +292,11 @@ def _mlp_block_kernel(meta_ref, x_ref, nw_ref, nb_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("act_kind", "norm_kind", "block_f",
-                                             "interpret"))
+                                             "interpret", "mm_kind"))
 def fused_mlp_block(x: jax.Array, norm_w, norm_b, w13: dict, w2: dict,
                     meta: jax.Array, act_kind: str = "silu",
                     norm_kind: str = "rmsnorm", *, block_f: int = 512,
-                    interpret: bool = False):
+                    interpret: bool = False, mm_kind: str = "mxu"):
     """Residual-stream x (M,D) fp32 → x + MLP(norm(x)) in ONE dispatch.
 
     Absorbs the post-attention norm (with 16-bit input fake-quant), the MLP-input
@@ -324,8 +335,9 @@ def fused_mlp_block(x: jax.Array, norm_w, norm_b, w13: dict, w2: dict,
     def whole(j):
         return (0, 0)
 
+    assert mm_kind == "mxu" or M == 1, "vpu matvec formulation requires M == 1"
     kernel = functools.partial(_mlp_block_kernel, act_kind=act_kind,
-                               norm_kind=norm_kind)
+                               norm_kind=norm_kind, mm_kind=mm_kind)
     return pl.pallas_call(
         kernel,
         grid=(nF,),

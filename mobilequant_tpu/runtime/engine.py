@@ -519,11 +519,13 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
             w2os, w2oo, jnp.float32(flag8b("mlp.w2", "output")),
         ]).astype(jnp.float32)
         Dm = resid.shape[-1]
+        mm_kind = "vpu" if ("vpu" in str(mode) and B * T == 1) else "mxu"
         out = fused_mlp_block(
             resid.reshape(-1, Dm).astype(jnp.float32),
             lp["mlp_norm"]["w"], lp["mlp_norm"]["b"],
             lp["w13_proj"], lp["w2"], meta, c.hidden_act,
-            "layernorm" if c.norm_class == "layernorm" else "rmsnorm")
+            "layernorm" if c.norm_class == "layernorm" else "rmsnorm",
+            mm_kind=mm_kind)
         return out.reshape(B, T, Dm).astype(x.dtype), (k_all, v_all)
 
     if "mlp_norm" in lp:

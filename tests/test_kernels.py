@@ -245,3 +245,26 @@ def test_prefill_attention_kernel_matches_engine():
                                        rtol=2e-4, atol=2e-4)
     finally:
         PP.prefill_attention = orig
+
+
+def test_fused_mlp_block_vpu_matvec_matches_mxu():
+    """mm_kind="vpu" (broadcast·multiply·reduce matvec, M=1 decode shape) is
+    bit-identical to the MXU formulation."""
+    from mobilequant_tpu.ops.pallas_mlp import fused_mlp_block, BLOCK_META_LEN
+    rng = np.random.default_rng(7)
+    M, K, F = 1, 128, 256
+    def pack(k, n):
+        return {"wq": jnp.asarray(rng.integers(-128, 128, (k, n)), jnp.int8),
+                "scale": jnp.full((n,), 0.01, jnp.float32),
+                "offset": jnp.full((n,), 4.0, jnp.float32),
+                "colsum": jnp.asarray(rng.normal(size=(n,)), jnp.float32),
+                "bias": jnp.asarray(rng.normal(size=(n,)), jnp.float32)}
+    w13, w2 = pack(K, 2 * F), pack(F, K)
+    x = jnp.asarray(rng.normal(size=(M, K)), jnp.float32)
+    meta = jnp.asarray(rng.uniform(0.01, 1.0, BLOCK_META_LEN), jnp.float32)
+    meta = meta.at[19].set(1e-5)
+    a = fused_mlp_block(x, jnp.ones(K), jnp.zeros(K), w13, w2, meta,
+                        interpret=True, block_f=128)
+    b = fused_mlp_block(x, jnp.ones(K), jnp.zeros(K), w13, w2, meta,
+                        interpret=True, block_f=128, mm_kind="vpu")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
