@@ -455,7 +455,14 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         valid = kv_valid_len if kv_valid_len is not None \
             else jnp.full((B,), S, jnp.int32)
         qg = jnp.transpose(q8.reshape(B, T, Hkv, G, hd), (0, 2, 3, 1, 4))
-        attn = prefill_attention(qg, k_all, v_all, meta, positions, valid)
+
+        def _on(cfg):
+            return bool(cfg is not None and cfg.enabled)
+
+        attn = prefill_attention(
+            qg, k_all, v_all, meta, positions, valid,
+            qk_fq=_on(policy["self_attn.qk_bmm"].output),
+            pv_fq=_on(policy["self_attn.pv_bmm"].input))
         attn = jnp.transpose(attn, (0, 3, 1, 2, 4)).reshape(B, T, Hq * hd)
     else:
         # q: (B,T,Hq,hd) → (B,Hkv,G·T,hd) batched over kv heads
