@@ -143,10 +143,11 @@ def prefill_attention(q8: jax.Array, k8: jax.Array, v8: jax.Array,
     B, Hkv, G, T, hd = q8.shape
     S = k8.shape[2]
 
-    # Q-block rows sized so the (G·BQ, S) fp32 score scratch stays ≲4 MB;
-    # bigger blocks amortize per-program grid overhead (128 programs/layer at
-    # the old 1 MB budget measured slower than 32)
-    rows = max(64, min(1024, (4 << 20) // (4 * S) // 8 * 8))
+    # Q-block rows sized so the (G·BQ, S) fp32 score scratch stays ≲8 MB;
+    # bigger blocks amortize per-program grid AND fori-loop overhead (the
+    # per-iteration fixed cost dominates once compute is a few µs: 128
+    # programs/layer measured slower than 32, 32 slower than 16)
+    rows = max(64, min(2048, (8 << 20) // (4 * S) // 8 * 8))
     BQ = max(8, min(rows // G, (T + 7) // 8 * 8))
     if T % BQ != 0:
         pad = BQ - T % BQ
@@ -155,7 +156,7 @@ def prefill_attention(q8: jax.Array, k8: jax.Array, v8: jax.Array,
         positions = jnp.pad(positions, ((0, 0), (0, pad)), constant_values=-1)
     Tp = q8.shape[3]
     pos3 = positions.astype(jnp.int32)[:, :, None]    # (B, Tp, 1): VMEM-tileable
-    BS = min(S, 256)
+    BS = min(S, 512)
     assert S % BS == 0, (S, BS)
 
     grid = (B, Hkv, Tp // BQ)
@@ -183,7 +184,7 @@ def prefill_attention(q8: jax.Array, k8: jax.Array, v8: jax.Array,
             pltpu.VMEM((G * BQ, S), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=12 * 1024 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * Hkv * G * Tp * S * hd * 2,
             bytes_accessed=B * Hkv * (G * Tp * hd + 2 * S * hd + G * Tp * hd * 4),

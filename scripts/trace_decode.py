@@ -5,7 +5,7 @@ big int8 matmuls already stream at speed-of-light and located the remaining time
 in the small-fusion tail, the KV-cache scan copies, and the lm_head matmul.
 
 Usage (on the TPU):
-  PYTHONPATH=. python scripts/trace_decode.py [use_pallas_mode] [w_bits]
+  PYTHONPATH=. python scripts/trace_decode.py [use_pallas_mode] [w_bits] [batch]
   PYTHONPATH=. python scripts/trace_decode.py --analyze /tmp/jax-trace-decode
 """
 
@@ -24,7 +24,7 @@ sys.path.insert(0, ".")
 TRACE_DIR = "/tmp/jax-trace-decode"
 
 
-def capture(mode: str = "", w_bits: int = 8, n_steps: int = 32):
+def capture(mode: str = "", w_bits: int = 8, n_steps: int = 32, batch: int = 1):
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _build_packed_tinyllama
@@ -42,8 +42,9 @@ def capture(mode: str = "", w_bits: int = 8, n_steps: int = 32):
         return toks
 
     def run(seed):
-        t = chunk(packed, jnp.full((1, 1), seed, jnp.int32),
-                  E.init_kv_cache(ecfg, 1), jnp.zeros((1,), jnp.int32), n_steps)
+        t = chunk(packed, jnp.full((batch, 1), seed, jnp.int32),
+                  E.init_kv_cache(ecfg, batch), jnp.zeros((batch,), jnp.int32),
+                  n_steps)
         np.asarray(t)
 
     run(3)  # compile
@@ -82,4 +83,5 @@ if __name__ == "__main__":
         analyze(sys.argv[2])
     else:
         capture(sys.argv[1] if len(sys.argv) > 1 else "",
-                int(sys.argv[2]) if len(sys.argv) > 2 else 8)
+                int(sys.argv[2]) if len(sys.argv) > 2 else 8,
+                batch=int(sys.argv[3]) if len(sys.argv) > 3 else 1)
