@@ -721,13 +721,21 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
     mode_s = str({False: "none", True: "w4"}.get(use_pallas, use_pallas))
     if kv_cache is not None and T == 1 and "attn" not in mode_s:
         # decode-light: the scan emitted only the new K/V rows; scatter them into
-        # the cache with ONE batched update instead of per-layer full rewrites
-        scat = jax.vmap(
-            lambda cache_b, new_b, start: jax.lax.dynamic_update_slice(
-                cache_b, new_b, (0, 0, start, 0)),
-            in_axes=(1, 1, 0), out_axes=1)
-        new_cache = EngineKVCache(k=scat(kv_cache.k, kv_out[0], cache_position),
-                                  v=scat(kv_cache.v, kv_out[1], cache_position))
+        # the cache with ONE batched update instead of per-layer full rewrites.
+        # Unrolled per-batch dynamic_update_slice (NOT vmap): the vmapped form
+        # lowers to a scatter that XLA cannot update in place — at bs=8 the
+        # resulting full-cache copies cost 0.44 ms/step (trace_decode, 14%)
+        zero = jnp.int32(0)
+
+        def scat(cache, new):
+            for b in range(cache.shape[1]):
+                cache = jax.lax.dynamic_update_slice(
+                    cache, new[:, b:b + 1],
+                    (zero, jnp.int32(b), zero, cache_position[b], zero))
+            return cache
+
+        new_cache = EngineKVCache(k=scat(kv_cache.k, kv_out[0]),
+                                  v=scat(kv_cache.v, kv_out[1]))
     else:
         new_cache = EngineKVCache(k=kv_out[0], v=kv_out[1])
 
