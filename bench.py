@@ -194,6 +194,61 @@ def main():
         results["w8a8_prefill_pallas_tok_s"] = pf_k
         log(f"W8A8 prefill (fused attn kernel): {pf_k:.0f} tok/s")
 
+    # --- other reference target models (gemma-2b, stablelm-2-1.6b): gated —
+    # each adds several minutes of compile+run to the official bench ---
+    if os.environ.get("MQTPU_BENCH_ALL_MODELS") == "1" and not smoke:
+        for mname in ("stablelm-2-1.6b", "gemma-2b"):
+            mcfg = get_config(mname)
+            packed, _, mpolicy, mecfg = _build_base(max_seq_len=seq, w_bits=8,
+                                                    model_name=mname)
+            mpolicy = relax_16bit(mpolicy)
+
+            def make_chunk_m(n, _c=mcfg, _p=mpolicy):
+                @jax.jit
+                def chunk(packed, token, cache, pos):
+                    toks, _, _ = E.decode_loop(packed, token, cache, pos, n,
+                                               _c, _p)
+                    return toks
+                return chunk
+
+            tps = time_decode_loop(make_chunk_m, packed,
+                                   lambda: E.init_kv_cache(mecfg, 1), 1,
+                                   mcfg.vocab_size)
+            results[f"{mname}_w8a8_decode_tok_s"] = tps
+            log(f"{mname} W8A8 decode: {tps:.1f} tok/s (bs=1, marginal)")
+            del packed
+
+            params = M.init_params(mcfg, jax.random.PRNGKey(0),
+                                   dtype=jnp.bfloat16)
+            kvshape_m = (mcfg.num_layers, 1, seq, mcfg.num_kv_heads,
+                         mcfg.head_dim_)
+
+            def make_fp_m(n, _c=mcfg):
+                @jax.jit
+                def fp_chunk(params, token, cache, pos):
+                    def step(carry, _):
+                        token, cache, pos = carry
+                        logits, cache = M.forward(
+                            params, token, _c, positions=pos[:, None],
+                            kv_cache=cache, cache_position=pos,
+                            kv_valid_len=pos + 1)
+                        nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+                        return (nxt, cache, pos + 1), nxt[:, 0]
+                    (tok, cache, pos), tokens = jax.lax.scan(
+                        step, (token, cache, pos), None, length=n)
+                    return jnp.transpose(tokens, (1, 0))
+                return fp_chunk
+
+            fp_m = time_decode_loop(
+                make_fp_m, params,
+                lambda: M.KVCache(k=jnp.zeros(kvshape_m, jnp.bfloat16),
+                                  v=jnp.zeros(kvshape_m, jnp.bfloat16)),
+                1, mcfg.vocab_size)
+            results[f"{mname}_bf16_decode_tok_s"] = fp_m
+            log(f"{mname} bf16 decode: {fp_m:.1f} tok/s "
+                f"(W8A8 is {results[f'{mname}_w8a8_decode_tok_s']/fp_m:.2f}x)")
+            del params
+
     log(json.dumps(results))
     # headline = the production serving config (relaxed 16-bit sim sites —
     # accuracy-neutral per scripts/accuracy_gate.py's relaxed rung; all W8A8

@@ -37,6 +37,13 @@ class Generator:
 
         cfg, pol = config, policy
 
+        # fused prefill-attention kernel on TPU (23% less device time at
+        # T=1024, BENCHMARKS.md); CPU backends fall back to the XLA path
+        if jax.default_backend() != "cpu":
+            up_prefill = "w4_attn" if self.ecfg.weight_bits == 4 else "attn"
+        else:
+            up_prefill = False
+
         @jax.jit
         def _prefill(packed, tokens, cache):
             B, T = tokens.shape
@@ -44,7 +51,8 @@ class Generator:
             logits, new_cache = E.forward(
                 packed, tokens, cfg, pol, positions=positions, kv_cache=cache,
                 cache_position=jnp.zeros((B,), jnp.int32),
-                kv_valid_len=jnp.full((B,), T, jnp.int32))
+                kv_valid_len=jnp.full((B,), T, jnp.int32),
+                use_pallas=up_prefill)
             return logits, new_cache
 
         @functools.partial(jax.jit, donate_argnums=(2,))

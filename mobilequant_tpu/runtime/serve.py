@@ -52,11 +52,17 @@ class ContinuousBatcher:
                  prefill_buckets: tuple = (32, 128, 512, 1024),
                  sampler: SamplerConfig = SamplerConfig(greedy=True),
                  eos_token_id: Optional[int] = None, seed: int = 0,
-                 mesh=None):
+                 mesh=None, chunk_prefill: Optional[int] = None):
         """mesh: optional jax.sharding.Mesh — weights go tensor-parallel over
         "tp" and the slot axis of the KV cache shards over "dp"
         (parallel/sharding.packed_pspecs / kv_cache_pspec). batch_slots must be
-        divisible by the dp size."""
+        divisible by the dp size.
+
+        chunk_prefill: if set, prompts prefill in fixed chunks of this size
+        through a per-slot scratch cache (ONE compiled shape regardless of
+        prompt length, prompts up to max_seq_len with no length buckets);
+        the causal-block-skipping prefill kernel makes each chunk pay only
+        for the KV prefix it can see."""
         if mesh is not None:
             from jax.sharding import NamedSharding
             from mobilequant_tpu.parallel import sharding as S
@@ -100,12 +106,20 @@ class ContinuousBatcher:
 
         self._decode = decode_step
 
+        # fused prefill-attention kernel on TPU (23% less device time at
+        # T=1024, BENCHMARKS.md); CPU backends fall back to the XLA path
+        if jax.default_backend() != "cpu":
+            up_prefill = "w4_attn" if self.ecfg.weight_bits == 4 else "attn"
+        else:
+            up_prefill = False
+
         @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(2, 3))
         def prefill_slot(packed, tokens, k_cache, v_cache, bucket, slot, length):
             # tokens: (1, bucket) padded prompt; writes K/V into `slot`
             positions = jnp.arange(bucket)[None, :]
             logits, seg = E.forward(packed, tokens, cfg, pol, positions=positions,
-                                    kv_valid_len=jnp.asarray([length]))
+                                    kv_valid_len=jnp.asarray([length]),
+                                    use_pallas=up_prefill)
             k_cache = jax.lax.dynamic_update_slice(
                 k_cache, seg.k, (0, slot[0], 0, 0, 0))
             v_cache = jax.lax.dynamic_update_slice(
@@ -114,6 +128,56 @@ class ContinuousBatcher:
             return last, k_cache, v_cache
 
         self._prefill = prefill_slot
+
+        self.chunk = chunk_prefill
+        if chunk_prefill is not None:
+            assert self.ecfg.max_seq_len % chunk_prefill == 0
+
+            @functools.partial(jax.jit, donate_argnums=(2,))
+            def prefill_chunk(packed, tokens, slot_cache, start, valid):
+                # tokens (1, C); slot_cache (L, 1, Hkv, S, hd); start scalar
+                C = tokens.shape[1]
+                positions = (start + jnp.arange(C))[None, :]
+                logits, nc = E.forward(
+                    packed, tokens, cfg, pol, positions=positions,
+                    kv_cache=slot_cache,
+                    cache_position=jnp.full((1,), start, jnp.int32),
+                    kv_valid_len=jnp.asarray([valid], jnp.int32),
+                    use_pallas=up_prefill)
+                return logits, nc.k, nc.v
+
+            @functools.partial(jax.jit, donate_argnums=(1, 2))
+            def adopt_slot(slot, k_cache, v_cache, sk, sv):
+                k_cache = jax.lax.dynamic_update_slice(
+                    k_cache, sk, (0, slot, 0, 0, 0))
+                v_cache = jax.lax.dynamic_update_slice(
+                    v_cache, sv, (0, slot, 0, 0, 0))
+                return k_cache, v_cache
+
+            self._prefill_chunk = prefill_chunk
+            self._adopt_slot = adopt_slot
+
+    def _prefill_chunked(self, req: "Request", slot: int):
+        """Chunked prefill: run the prompt through a per-slot scratch cache in
+        fixed-size pieces, then adopt the scratch into the slot."""
+        C = self.chunk
+        T = len(req.prompt)
+        n_chunks = -(-T // C)
+        scratch = E.init_kv_cache(self.ecfg, 1)
+        sk, sv = scratch.k, scratch.v
+        last = None
+        for ci in range(n_chunks):
+            tok = np.zeros((1, C), np.int32)
+            piece = req.prompt[ci * C:(ci + 1) * C]
+            tok[0, :len(piece)] = piece
+            last, sk, sv = self._prefill_chunk(
+                self.packed, jnp.asarray(tok),
+                E.EngineKVCache(k=sk, v=sv),
+                jnp.int32(ci * C), jnp.int32(min(T, (ci + 1) * C)))
+        k, v = self._adopt_slot(jnp.int32(slot), self.cache.k, self.cache.v,
+                                sk, sv)
+        self.cache = E.EngineKVCache(k=k, v=v)
+        return last[0, (T - 1) % C if T % C else C - 1]
 
     # ------------------------------------------------------------------
     def submit(self, prompt_tokens, max_new_tokens: int) -> int:
@@ -135,13 +199,16 @@ class ContinuousBatcher:
             req = self.queue.popleft()
             req.slot = slot
             T = len(req.prompt)
-            bucket = self._bucket_for(T)
-            tok = np.zeros((1, bucket), np.int32)
-            tok[0, :T] = req.prompt
-            last_logits, k, v = self._prefill(
-                self.packed, jnp.asarray(tok), self.cache.k, self.cache.v,
-                bucket, jnp.asarray([slot]), jnp.asarray(T))
-            self.cache = E.EngineKVCache(k=k, v=v)
+            if self.chunk is not None:
+                last_logits = self._prefill_chunked(req, slot)
+            else:
+                bucket = self._bucket_for(T)
+                tok = np.zeros((1, bucket), np.int32)
+                tok[0, :T] = req.prompt
+                last_logits, k, v = self._prefill(
+                    self.packed, jnp.asarray(tok), self.cache.k, self.cache.v,
+                    bucket, jnp.asarray([slot]), jnp.asarray(T))
+                self.cache = E.EngineKVCache(k=k, v=v)
             self.key, sk = jax.random.split(self.key)
             first = int(jax.device_get(sample(last_logits[None], sk, self.sampler))[0])
             req.out.append(first)

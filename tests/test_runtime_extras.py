@@ -100,6 +100,16 @@ def test_continuous_batching_matches_sequential():
     for rid, want in zip(rids, seq_out):
         assert outs[rid] == want, (rid, outs[rid], want)
 
+    # chunked prefill (fixed 8-token chunks through a per-slot scratch cache,
+    # one compiled shape for any prompt length) must match exactly
+    cbc = ContinuousBatcher(packed, cfg, policy, ecfg, batch_slots=2,
+                            sampler=SamplerConfig(greedy=True),
+                            chunk_prefill=8)
+    rids = [cbc.submit(p, 6) for p in prompts]
+    outs = cbc.run()
+    for rid, want in zip(rids, seq_out):
+        assert outs[rid] == want, ("chunked", rid, outs[rid], want)
+
 
 def test_perplexity_on_tiny_model():
     from mobilequant_tpu.eval.ppl import perplexity
