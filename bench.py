@@ -81,20 +81,27 @@ def main():
     if smoke:
         N_STEPS, N1, N2 = 8, 4, 12
 
-    def _build_packed_tinyllama(max_seq_len=1024, w_bits=8):
-        return _build_base(max_seq_len=seq, w_bits=w_bits, model_name=model_name)
+    def _build_packed_tinyllama(max_seq_len=1024, w_bits=8, head_bits=16):
+        return _build_base(max_seq_len=seq, w_bits=w_bits, model_name=model_name,
+                           head_bits=head_bits)
 
     log(f"devices: {jax.devices()} smoke={smoke}")
     results = {}
 
     # --- integer engine: W8A8 strict, W8A8 relaxed-16bit, W4A8(pallas) ---
     from mobilequant_tpu.quant.policy import relax_16bit
-    for name, w_bits, use_pallas, relax in (("w8a8", 8, False, False),
-                                            ("w8a8_fast", 8, False, True),
-                                            ("w4a8_pallas", 4, True, True)):
+    for name, w_bits, use_pallas, relax, head_bits in (
+            ("w8a8", 8, False, False, 16),
+            ("w8a8_fast", 8, False, True, 16),
+            ("w8a8_fast_h8", 8, False, True, 8),
+            ("w4a8_pallas", 4, True, True, 16),
+            ("w4a8_pallas_h4", 4, True, True, 4)):
         if use_pallas and jax.default_backend() == "cpu":
             continue   # Pallas TPU kernels don't compile on the CPU backend
-        packed, cfg, policy, ecfg = _build_packed_tinyllama(w_bits=w_bits)
+        if head_bits == 4 and jax.default_backend() == "cpu":
+            continue   # W4 head decode path uses the Pallas fused-unpack kernel
+        packed, cfg, policy, ecfg = _build_packed_tinyllama(w_bits=w_bits,
+                                                            head_bits=head_bits)
         if relax:
             policy = relax_16bit(policy)
 
@@ -199,24 +206,27 @@ def main():
     if os.environ.get("MQTPU_BENCH_ALL_MODELS") == "1" and not smoke:
         for mname in ("stablelm-2-1.6b", "gemma-2b"):
             mcfg = get_config(mname)
-            packed, _, mpolicy, mecfg = _build_base(max_seq_len=seq, w_bits=8,
-                                                    model_name=mname)
-            mpolicy = relax_16bit(mpolicy)
+            for mtag, mw, mup, mhb in (("w8a8", 8, False, 16),
+                                       ("w8a8_h8", 8, False, 8),
+                                       ("w4a8_h4", 4, True, 4)):
+                packed, _, mpolicy, mecfg = _build_base(
+                    max_seq_len=seq, w_bits=mw, model_name=mname, head_bits=mhb)
+                mpolicy = relax_16bit(mpolicy)
 
-            def make_chunk_m(n, _c=mcfg, _p=mpolicy):
-                @jax.jit
-                def chunk(packed, token, cache, pos):
-                    toks, _, _ = E.decode_loop(packed, token, cache, pos, n,
-                                               _c, _p)
-                    return toks
-                return chunk
+                def make_chunk_m(n, _c=mcfg, _p=mpolicy, _up=mup):
+                    @jax.jit
+                    def chunk(packed, token, cache, pos):
+                        toks, _, _ = E.decode_loop(packed, token, cache, pos, n,
+                                                   _c, _p, use_pallas=_up)
+                        return toks
+                    return chunk
 
-            tps = time_decode_loop(make_chunk_m, packed,
-                                   lambda: E.init_kv_cache(mecfg, 1), 1,
-                                   mcfg.vocab_size)
-            results[f"{mname}_w8a8_decode_tok_s"] = tps
-            log(f"{mname} W8A8 decode: {tps:.1f} tok/s (bs=1, marginal)")
-            del packed
+                tps = time_decode_loop(make_chunk_m, packed,
+                                       lambda: E.init_kv_cache(mecfg, 1), 1,
+                                       mcfg.vocab_size)
+                results[f"{mname}_{mtag}_decode_tok_s"] = tps
+                log(f"{mname} {mtag} decode: {tps:.1f} tok/s (bs=1, marginal)")
+                del packed
 
             params = M.init_params(mcfg, jax.random.PRNGKey(0),
                                    dtype=jnp.bfloat16)
@@ -253,7 +263,9 @@ def main():
     # headline = the production serving config (relaxed 16-bit sim sites —
     # accuracy-neutral per scripts/accuracy_gate.py's relaxed rung; all W8A8
     # integer math and the int8 KV cache are identical to the strict config)
-    headline = results.get("w8a8_fast_decode_tok_s", results["w8a8_decode_tok_s"])
+    headline = results.get("w8a8_fast_h8_decode_tok_s",
+                           results.get("w8a8_fast_decode_tok_s",
+                                       results["w8a8_decode_tok_s"]))
     print(json.dumps({
         "metric": "tinyllama1.1b_w8a8_decode_tok_s_per_chip",
         "value": round(headline, 2),

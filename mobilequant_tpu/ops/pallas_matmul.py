@@ -208,6 +208,19 @@ def w4a16_matmul(x: jax.Array, wq_packed: jax.Array, w_scale, w_offset, bias,
     )(x, wq_packed, w_scale, w_offset, bias)
 
 
+def _pick_block_n(K2: int, N: int) -> int:
+    """Largest power-of-two-ish block width that divides N, capped so a weight
+    block stays ≤ 8 MB (double-buffered 16 MB in VMEM). Wide blocks matter at
+    M=1: the grid-step overhead is fixed, so e.g. Gemma's w1|w3 (N=32768) at
+    512-wide blocks runs 64 steps/layer and measures ~25% slower end-to-end
+    than 8 steps at 4096."""
+    cap = max(256, min(4096, (8 * 1024 * 1024) // max(K2, 1)))
+    for tn in (4096, 2048, 1024, 512, 256, 128):
+        if tn <= cap and N % tn == 0:
+            return tn
+    return min(N, 128)
+
+
 def int_linear_pallas(x_q, x_scale, x_offset, pack: dict, bias, *,
                       interpret: bool = False):
     """Drop-in for qops.int_linear on nibble-packed 4-bit weights.
@@ -215,8 +228,9 @@ def int_linear_pallas(x_q, x_scale, x_offset, pack: dict, bias, *,
     lead = x_q.shape[:-1]
     K = x_q.shape[-1]
     x2 = x_q.reshape(-1, K)
-    N = pack["wq"].shape[1]
+    K2, N = pack["wq"].shape
     out = w4a8_matmul(x2, pack["wq"], pack["scale"], pack["offset"],
                       pack["colsum"], bias if bias is not None else jnp.zeros((N,)),
-                      x_scale, x_offset, interpret=interpret)
+                      x_scale, x_offset, block_n=_pick_block_n(K2, N),
+                      interpret=interpret)
     return out.reshape(*lead, N)

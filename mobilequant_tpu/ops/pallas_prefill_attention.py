@@ -143,6 +143,17 @@ def prefill_attention(q8: jax.Array, k8: jax.Array, v8: jax.Array,
     B, Hkv, G, T, hd = q8.shape
     S = k8.shape[2]
 
+    # KV-length alignment: score-scratch column stores are offset by multiples
+    # of BS, which Mosaic requires to be 128-lane-aligned; pad S up (to a 512
+    # multiple when S > 512 so full-width S blocks divide it). Padded columns
+    # have col >= valid_len, so the causal/valid mask already zeroes them.
+    align = 512 if S > 512 else 128
+    s_pad = (-S) % align
+    if s_pad:
+        k8 = jnp.pad(k8, ((0, 0), (0, 0), (0, s_pad), (0, 0)))
+        v8 = jnp.pad(v8, ((0, 0), (0, 0), (0, s_pad), (0, 0)))
+        S += s_pad
+
     # Q-block rows sized so the (G·BQ, S) fp32 score scratch stays ≲8 MB;
     # bigger blocks amortize per-program grid AND fori-loop overhead (the
     # per-iteration fixed cost dominates once compute is a few µs: 128

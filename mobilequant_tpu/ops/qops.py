@@ -134,6 +134,53 @@ def int_linear(x_q: jax.Array, x_scale, x_offset, pack: dict, bias,
     return out
 
 
+def dynamic_quantize_act(x):
+    """Per-row (last-axis) symmetric dynamic int8 quantization: (q, scale).
+
+    The dynamic analogue of quantize_act for sites with no calibrated static
+    range (here: the final-norm output feeding the quantized lm_head). Stored
+    as plain signed int8 (zero-point = 0), so in the shifted-uint8 convention
+    of int_linear it corresponds to offset = 128 (ox = 0)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127.0, 127.0)
+    return q.astype(jnp.int8), scale
+
+
+def int_head_linear(x, pack: dict, bias=None):
+    """Quantized lm_head matmul: dynamic per-token symmetric A8 activations ×
+    per-channel symmetric W8/W4 weights → fp32 logits.
+
+    TPU-native twin of the reference's on-device head: the QNN graph runs
+    w2/lm_head as `SLinear` = per-row scale × int linear (sim_layers.py:34-44,
+    `impl_sym_pch_as_slinear`, convert_sim.py:144-159). With both sides
+    symmetric the affine corrections vanish except the W4 unsigned-nibble
+    zero-point term (ow·rowsum):
+
+      out = s_x·s_w · (x_q @ w_q − o_w·Σ_k x_q) (+ bias)
+    """
+    x_q, sx = dynamic_quantize_act(x)
+    K = x_q.shape[-1]
+    wq = pack["wq"]
+    if wq.shape[0] * 2 == K:              # nibble-packed 4-bit
+        wq = unpack_nibbles(wq)
+    acc = jax.lax.dot_general(
+        x_q, wq.astype(jnp.int8),
+        dimension_numbers=(((x_q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    ow = jnp.reshape(pack["offset"], (-1,))   # 0 for sym W8; −qmin shift for W4
+    sw = jnp.reshape(pack["scale"], (-1,))
+    rowsum = jnp.sum(x_q.astype(jnp.int32), axis=-1,
+                     keepdims=True).astype(jnp.float32)
+    acc = acc - ow * rowsum
+    out = acc * (sx * sw)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 def weight_only_linear(x, pack: dict, bias):
     """W4A16/W8A16: fp activations × integer weights dequantized on the fly —
     the role of the reference's auto_gptq real-W4 kernels (qmodule.py:803-829).

@@ -66,6 +66,15 @@ class EngineConfig:
                                        # segments — numerically exact); decode at
                                        # bs=1 is dispatch-overhead-bound, fewer
                                        # ops per layer measurably helps
+    head_bits: int = 16                # lm_head weights: 16 = keep act_dtype
+                                       # (bf16/fp32); 8/4 = per-channel symmetric
+                                       # int weights × dynamic per-token A8 —
+                                       # the reference device graph runs the
+                                       # head as int8 SLinear (sim_layers.py:
+                                       # 34-44, convert_sim.py:144-159); on TPU
+                                       # this halves/quarters the head's HBM
+                                       # read per decode step (dominant for
+                                       # large-vocab models like Gemma's 256k)
 
 
 # ---------------------------------------------------------------------------
@@ -192,9 +201,40 @@ def pack(params: dict, ranges: dict, config: ModelConfig, policy: QPolicy,
         "norm": {"w": params["norm"]["w"].astype(jnp.float32),
                  "b": params["norm"]["b"].astype(jnp.float32)},
     }
-    if not c.tie_word_embeddings:
+    if ecfg.head_bits in (4, 8):
+        # quantized head (SLinear analogue): per-channel symmetric W8/W4 over
+        # the (D, vocab) head matrix; activations quantized dynamically per
+        # token at run time (qops.int_head_linear). The embed table keeps its
+        # fp storage for the lookup path (one row read per token — the
+        # reference keeps the embedding fp on host too, capp export_bin.py).
+        head_w = params["embed"]["w"].T if c.tie_word_embeddings \
+            else params["lm_head"]["w"]
+        hcfg = QuantConfig(bitwidth=ecfg.head_bits, is_symmetric=True,
+                           is_per_channel=True)
+        packed["head_q"] = pack_head(jnp.asarray(head_w), hcfg)
+    elif not c.tie_word_embeddings:
         packed["lm_head"] = {"w": params["lm_head"]["w"].astype(ecfg.act_dtype)}
     return packed
+
+
+def pack_head(head_w: jax.Array, hcfg: QuantConfig) -> dict:
+    """Pack the (D, vocab) head with per-channel symmetric W8/W4 quantization,
+    padding the vocab axis to a multiple of 512 so the Pallas fused-unpack
+    kernel runs full-width 512-column blocks (Gemma's 256128 vocab otherwise
+    forces 128-wide blocks — 2001 tiny grid steps, measured slower than the
+    bf16 head). forward() slices logits back to config.vocab_size (padded
+    columns have scale 0 ⇒ logits exactly 0 — sliced away, never read)."""
+    hq = qops.pack_weight(head_w, hcfg)
+    V = head_w.shape[1]
+    pad = (-V) % 4096
+    if pad:
+        hq = {
+            "wq": jnp.pad(hq["wq"], ((0, 0), (0, pad))),
+            "scale": jnp.pad(hq["scale"].reshape(1, -1), ((0, 0), (0, pad))),
+            "offset": jnp.pad(hq["offset"].reshape(1, -1), ((0, 0), (0, pad))),
+            "colsum": jnp.pad(hq["colsum"], (0, pad)),
+        }
+    return hq
 
 
 def init_kv_cache(ecfg: EngineConfig, batch_size: int) -> EngineKVCache:
@@ -748,8 +788,31 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
     else:
         y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + c.norm_eps)
     y = y * packed["norm"]["w"] + packed["norm"]["b"]
-    head = packed["embed"].T if c.tie_word_embeddings else packed["lm_head"]["w"]
-    logits = jnp.dot(y.astype(head.dtype), head, preferred_element_type=jnp.float32)
+    if "head_q" in packed:
+        hq = packed["head_q"]
+        D = y.shape[-1]
+        w4_packed = hq["wq"].shape[0] * 2 == D
+        if w4_packed and mode_s != "none" and B * T == 1:
+            # W4 head through the fused-unpack kernel (XLA would materialize
+            # the unpacked int8 table in HBM every step); the per-token dynamic
+            # scale is a scalar at decode. Symmetric acts ⇒ shifted offset 128.
+            # The packed head is vocab-padded to a 4096 multiple (pack_head):
+            # wide blocks keep the grid short — Gemma's 256k vocab at 512-wide
+            # blocks is 501 grid steps, measured per-step-overhead-bound.
+            from mobilequant_tpu.ops.pallas_matmul import w4a8_matmul
+            x_q, sx = qops.dynamic_quantize_act(y.reshape(1, D))
+            Vp = hq["wq"].shape[1]
+            logits = w4a8_matmul(
+                x_q, hq["wq"], hq["scale"], hq["offset"], hq["colsum"],
+                jnp.zeros((Vp,), jnp.float32), sx.reshape(()),
+                jnp.float32(128.0), block_n=4096)
+            logits = logits[:, :c.vocab_size].reshape(B, T, c.vocab_size)
+        else:
+            logits = qops.int_head_linear(y, hq)[..., :c.vocab_size]
+    else:
+        head = packed["embed"].T if c.tie_word_embeddings else packed["lm_head"]["w"]
+        logits = jnp.dot(y.astype(head.dtype), head,
+                         preferred_element_type=jnp.float32)
     return logits, new_cache
 
 

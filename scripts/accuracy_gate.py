@@ -16,11 +16,17 @@ Usage: PYTHONPATH=. python scripts/accuracy_gate.py [--w4]
 """
 
 import argparse
+import os
 import sys
 
 import numpy as np
 
 sys.path.insert(0, ".")
+# CPU tool (tiny model): don't require the axon TPU relay, whose plugin also
+# breaks when PYTHONPATH=. displaces /root/.axon_site
+os.environ.setdefault("MQTPU_GATE_DEVICE", "cpu")
+if os.environ["MQTPU_GATE_DEVICE"] == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 
 def make_markov_data(vocab=256, n_tokens=400_000, seed=0):
@@ -141,6 +147,18 @@ def main():
     ppl_rel = ppl_of(lambda t: E.forward(packed, t, cfg, rpolicy)[0])
     print(f"engine (relaxed 16-bit, serving config) ppl: {ppl_rel:.3f} "
           f"(Δ {ppl_rel - ppl_fp:+.3f})")
+
+    # quantized lm_head (the device graph's SLinear head): dynamic-A8 ×
+    # per-channel sym W8 must be accuracy-neutral; W4 head within 2%
+    for hb in (8, 4):
+        ecfg_h = E.EngineConfig(model=cfg, head_bits=hb)
+        packed_h = E.pack(fparams, fstate["ranges"], cfg, policy, ecfg_h)
+        ppl_h = ppl_of(lambda t: E.forward(packed_h, t, cfg, rpolicy)[0])
+        print(f"engine (relaxed + W{hb} head) ppl: {ppl_h:.3f} "
+              f"(Δ {ppl_h - ppl_fp:+.3f})")
+        tol = 0.01 * ppl_rel if hb == 8 else 0.02 * ppl_rel
+        assert ppl_h <= ppl_rel + max(tol, 0.05), \
+            f"W{hb} head must stay accuracy-neutral ({ppl_h} vs {ppl_rel})"
 
     # the paper-style gate: quantized ppl within a small Δ of FP
     # (on real checkpoints the reference's W8A8 Δ-vs-FP16 is ≈0–1 ppl points;

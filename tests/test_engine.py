@@ -177,3 +177,49 @@ def test_pad8_mode_matches_default():
                        cache_position=jnp.zeros((2,), jnp.int32),
                        kv_valid_len=jnp.ones((2,), jnp.int32), use_pallas="pad8")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_int_head_linear_matches_closed_form():
+    """Dynamic-A8 × per-channel sym W8/W4 head == fq_dyn(x) @ fq(w) exactly."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(5, 32)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(32, 48)), jnp.float32)
+    for bits in (8, 4):
+        wcfg = QuantConfig(bitwidth=bits, is_symmetric=True, is_per_channel=True)
+        # closed-form dynamic per-row symmetric act fq
+        s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-8) / 127.0
+        xfq = jnp.round(jnp.clip(x / s, -127, 127)) * s
+        ref = xfq @ fake_quant_weight(w, wcfg)
+        out = qops.int_head_linear(x, qops.pack_weight(w, wcfg))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"bits={bits}")
+
+
+@pytest.mark.parametrize("name,head_bits", [("test-llama", 8), ("test-gemma", 8),
+                                            ("test-llama", 4)],
+                         ids=["untied-w8", "tied-w8", "untied-w4"])
+def test_engine_quantized_head(name, head_bits):
+    """head_bits=8/4 (the device graph's SLinear head) stays close to the fp
+    head on the same packed model; decode-through-cache stays self-consistent."""
+    cfg = get_config(name)
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    policy = default_policy(cfg, QuantConfig(bitwidth=8), QuantConfig(bitwidth=8))
+    tokens = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 12)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, policy, batch_size=2)
+    ranges = calibrate.stats_to_ranges(stats, policy)
+    ecfg_fp = E.EngineConfig(model=cfg, max_seq_len=32)
+    ecfg_q = E.EngineConfig(model=cfg, max_seq_len=32, head_bits=head_bits)
+    packed_fp = E.pack(params, ranges, cfg, policy, ecfg_fp)
+    packed_q = E.pack(params, ranges, cfg, policy, ecfg_q)
+    assert "head_q" in packed_q and "lm_head" not in packed_q
+    t = jnp.asarray(tokens)
+    ref, _ = E.forward(packed_fp, t, cfg, policy)
+    out, _ = E.forward(packed_q, t, cfg, policy)
+    ref_np, out_np = np.asarray(ref), np.asarray(out)
+    rel = np.abs(out_np - ref_np).max() / (np.abs(ref_np).max() + 1e-9)
+    assert rel < (0.02 if head_bits == 8 else 0.15), rel
+    # argmax (greedy token choice) should essentially never flip at W8
+    if head_bits == 8:
+        agree = (ref_np.argmax(-1) == out_np.argmax(-1)).mean()
+        assert agree > 0.95, agree
