@@ -260,14 +260,19 @@ def main():
             del params
 
     log(json.dumps(results))
-    # headline = the production serving config (relaxed 16-bit sim sites —
-    # accuracy-neutral per scripts/accuracy_gate.py's relaxed rung; all W8A8
-    # integer math and the int8 KV cache are identical to the strict config)
-    headline = results.get("w8a8_fast_h8_decode_tok_s",
-                           results.get("w8a8_fast_decode_tok_s",
-                                       results["w8a8_decode_tok_s"]))
+    # headline = the best production serving config (relaxed 16-bit sim sites —
+    # accuracy-neutral per scripts/accuracy_gate.py's relaxed rung). Since the
+    # stacked-layer W4 kernel landed, W4A8+W4-head beats W8A8 on every target
+    # model (BENCHMARKS.md), so the headline follows the best of the two; the
+    # metric name carries the winning config.
+    candidates = [(tag, results[f"{tag}_decode_tok_s"])
+                  for tag in ("w4a8_pallas_h4", "w8a8_fast_h8", "w8a8_fast",
+                              "w8a8")
+                  if f"{tag}_decode_tok_s" in results]
+    tag, headline = max(candidates, key=lambda kv: kv[1])
+    short = "w4a8" if "w4a8" in tag else "w8a8"
     print(json.dumps({
-        "metric": "tinyllama1.1b_w8a8_decode_tok_s_per_chip",
+        "metric": f"tinyllama1.1b_{short}_decode_tok_s_per_chip",
         "value": round(headline, 2),
         "unit": "tok/s",
         "vs_baseline": round(headline / fp_tps, 3),

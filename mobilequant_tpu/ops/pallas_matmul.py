@@ -208,6 +208,114 @@ def w4a16_matmul(x: jax.Array, wq_packed: jax.Array, w_scale, w_offset, bias,
     )(x, wq_packed, w_scale, w_offset, bias)
 
 
+def _w4a8_kernel_stacked(idx_ref, x_ref, wp_ref, scale_ref, offset_ref,
+                         colsum_ref, bias_ref, meta_ref, out_ref):
+    """Stacked-layer variant: per-layer operands carry a leading L axis and the
+    layer is selected by the scalar-prefetch index in the BlockSpec index maps,
+    so the DMA streams blocks straight out of the (L, K2, N) stack in HBM.
+
+    Why this exists: inside the engine's layer scan, XLA materializes each
+    layer's dynamic-slice before a Pallas custom call (it cannot fuse a slice
+    into the call the way it fuses slices into its own ops) — a full HBM→HBM
+    copy of the weights per layer per step. Traced on Gemma-2B W4 decode:
+    102.6 µs/layer of dynamic-slice_bitcast_fusion vs the kernel's own 49.5 µs
+    — the copies cost more than the matmuls (BENCHMARKS.md)."""
+    del idx_ref  # consumed by the index maps
+    x = x_ref[:]
+    wp = wp_ref[0]
+    lo = wp & 0x0F
+    hi = ((wp.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
+    K2, TN = wp.shape
+
+    acc = jax.lax.dot_general(
+        x[:, :K2], lo, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    acc = acc + jax.lax.dot_general(
+        x[:, K2:], hi, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    acc = acc.astype(jnp.float32)
+
+    x_scale = meta_ref[0]
+    ox = meta_ref[1] - 128.0
+    K = x.shape[1]
+    rowsum = jnp.sum(x.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.float32)
+    sw = scale_ref[0]
+    ow = offset_ref[0]
+    acc = acc - ox * colsum_ref[0] - ow * rowsum + K * ox * ow
+    out_ref[:] = acc * (x_scale * sw) + bias_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def w4a8_matmul_stacked(x_q, wq_L, scale_L, offset_L, colsum_L, bias_L,
+                        x_scale, x_offset, layer_idx, *, block_n: int = 512,
+                        interpret: bool = False):
+    """x_q (M,K) int8 × layer `layer_idx` of a stacked nibble-packed W4 stack
+    wq_L (L,K2,N) → fp32 (M,N). scale/offset (L,1,N) or (L,); colsum/bias (L,N).
+    Same contract as w4a8_matmul on the selected layer."""
+    M, K = x_q.shape
+    L, K2, N = wq_L.shape
+    assert K2 * 2 == K, (K2, K)
+    TN = min(block_n, N)
+    assert N % TN == 0, (N, TN)
+
+    def chan(v):
+        return jnp.broadcast_to(jnp.reshape(v, (L, 1, -1)),
+                                (L, 1, N)).astype(jnp.float32)
+
+    meta = jnp.stack([jnp.asarray(x_scale, jnp.float32),
+                      jnp.asarray(x_offset, jnp.float32)])
+    idx = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N // TN,),
+        in_specs=[
+            pl.BlockSpec((M, K), lambda j, idx: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K2, TN), lambda j, idx: (idx[0], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN), lambda j, idx: (idx[0], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN), lambda j, idx: (idx[0], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN), lambda j, idx: (idx[0], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN), lambda j, idx: (idx[0], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((M, TN), lambda j, idx: (0, j),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _w4a8_kernel_stacked,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * N,
+            bytes_accessed=M * K + K2 * N + M * N * 4 + 4 * N * 4,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(idx, x_q, wq_L, chan(scale_L), chan(offset_L), chan(colsum_L),
+      chan(bias_L), meta)
+
+
+def int_linear_pallas_stacked(x_q, x_scale, x_offset, spack: dict, layer_idx,
+                              *, interpret: bool = False):
+    """qops.int_linear on layer `layer_idx` of the engine's stacked per-layer
+    pack {wq (L,K2,N), scale, offset, colsum, bias} — no per-layer slice/copy."""
+    lead = x_q.shape[:-1]
+    K = x_q.shape[-1]
+    x2 = x_q.reshape(-1, K)
+    L, K2, N = spack["wq"].shape
+    out = w4a8_matmul_stacked(x2, spack["wq"], spack["scale"], spack["offset"],
+                              spack["colsum"], spack["bias"], x_scale, x_offset,
+                              layer_idx, block_n=_pick_block_n(K2, N),
+                              interpret=interpret)
+    return out.reshape(*lead, N)
+
+
 def _pick_block_n(K2: int, N: int) -> int:
     """Largest power-of-two-ish block width that divides N, capped so a weight
     block stays ≤ 8 MB (double-buffered 16 MB in VMEM). Wide blocks matter at

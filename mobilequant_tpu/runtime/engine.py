@@ -286,11 +286,18 @@ def _fq16(x, r, cfg: QuantConfig):
     return fake_quant(x, r["scale"], r["offset"], cfg)
 
 
-def _int_linear(x_q, s, o, pack, bias, use_pallas):
+def _int_linear(x_q, s, o, pack, bias, use_pallas, spack=None, li=None):
     """use_pallas: False/"none" | True/"w4" (fused-unpack kernel for packed 4-bit)
     | "all" (also route decode-sized 8-bit matmuls through the Pallas kernel —
     XLA lowers M≲8 int8 dots as broadcast·multiply·reduce on the VPU instead of
-    the MXU, which is several× slower than the bandwidth bound)."""
+    the MXU, which is several× slower than the bandwidth bound).
+
+    spack/li: the layer-STACKED pack + traced layer index. Inside the layer
+    scan the Pallas kernel must take the stacked array directly (layer selected
+    by a scalar-prefetch index map) — XLA materializes the scan's per-layer
+    dynamic-slice before a custom call, a full HBM→HBM weight copy per layer
+    per step that costs more than the matmul itself (BENCHMARKS.md, Gemma W4
+    trace: 102.6 µs/layer of slice copies vs 49.5 µs of kernel)."""
     mode = {False: "none", True: "w4"}.get(use_pallas, use_pallas)
     K = x_q.shape[-1]
     lead = x_q.shape[:-1]
@@ -298,7 +305,10 @@ def _int_linear(x_q, s, o, pack, bias, use_pallas):
     for d in lead:
         m_flat *= d
     if mode != "none" and pack["wq"].shape[0] * 2 == K:
-        from mobilequant_tpu.ops.pallas_matmul import int_linear_pallas
+        from mobilequant_tpu.ops.pallas_matmul import (int_linear_pallas,
+                                                       int_linear_pallas_stacked)
+        if spack is not None and li is not None:
+            return int_linear_pallas_stacked(x_q, s, o, spack, li)
         return int_linear_pallas(x_q, s, o, pack, bias)
     if "all" in str(mode) and pack["wq"].shape[0] == K and m_flat <= 32:
         from mobilequant_tpu.ops.pallas_matmul import w8a8_matmul
@@ -346,13 +356,20 @@ def _attn_meta(lr, policy, c):
 
 def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
                    config: ModelConfig, policy: QPolicy, use_pallas=False,
-                   kv_valid_len=None, positions=None):
+                   kv_valid_len=None, positions=None, sp=None, li=None):
     """One decoder layer on packed ints. lp/lr = this layer's packed params/ranges.
+    sp/li: the full layer-stacked packed dict + this layer's traced index —
+    lets the W4 Pallas path read weights straight from the stack (see
+    _int_linear) instead of through the scan's materialized slice.
     kv = (k8, v8) slices (B,S,Hkv,hd). Mirrors quant/qmodel.QuantOps order exactly."""
     c = config
     B, T, D = x.shape
     hd, Hq, Hkv = c.head_dim_, c.num_heads, c.num_kv_heads
     G = Hq // Hkv
+
+    def _sp(key):
+        return sp[key] if (sp is not None and li is not None
+                           and key in sp) else None
 
     def norm(x, nw, site):
         x = _fq16(x, lr[site]["input"], policy[site].input)
@@ -377,12 +394,12 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
 
     def proj(pkey, site):
         y = _int_linear(h8, hr["scale"], hr["offset"], lp[pkey], lp[pkey]["bias"],
-                        use_pallas)
+                        use_pallas, _sp(pkey), li)
         return _fq16(y, lr[site]["output"], policy[site].output)
 
     if "qkv_proj" in lp:
         qkv = _int_linear(h8, hr["scale"], hr["offset"], lp["qkv_proj"],
-                          lp["qkv_proj"]["bias"], use_pallas)
+                          lp["qkv_proj"]["bias"], use_pallas, _sp("qkv_proj"), li)
         qd, kvd = Hq * hd, Hkv * hd
         qcfg8 = policy["self_attn.q_proj"].output
         if "out_scale" in lp["qkv_proj"] and qcfg8 is not None and qcfg8.enabled:
@@ -524,7 +541,7 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         attn = jnp.transpose(attn, (0, 3, 1, 2, 4)).reshape(B, T, Hq * hd)
     a8, ar = out_q8(attn, "self_attn.pv_bmm")
     o = _int_linear(a8, ar["scale"], ar["offset"], lp["o_proj"], lp["o_proj"]["bias"],
-                    use_pallas)
+                    use_pallas, _sp("o_proj"), li)
     o = _fq16(o, lr["self_attn.o_proj"]["output"], policy["self_attn.o_proj"].output)
 
     resid = x + o
@@ -672,7 +689,7 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
     if "w13_proj" in lp:
         F = lp["w13_proj"]["wq"].shape[-1] // 2
         g13 = _int_linear(h28, h2r["scale"], h2r["offset"], lp["w13_proj"],
-                          lp["w13_proj"]["bias"], use_pallas)
+                          lp["w13_proj"]["bias"], use_pallas, _sp("w13_proj"), li)
         w1cfg8 = policy["mlp.w1"].output
         if "out_scale" in lp["w13_proj"] and w1cfg8 is not None and w1cfg8.enabled:
             g13 = fake_quant(g13, lp["w13_proj"]["out_scale"][0],
@@ -683,7 +700,7 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
             g3 = _fq16(g13[..., F:], lr["mlp.w3"]["output"], policy["mlp.w3"].output)
     else:
         g1 = _int_linear(h28, h2r["scale"], h2r["offset"], lp["w1"], lp["w1"]["bias"],
-                         use_pallas)
+                         use_pallas, _sp("w1"), li)
         g1 = _fq16(g1, lr["mlp.w1"]["output"], policy["mlp.w1"].output)
     if c.hidden_act == "silu":
         sig = jax.nn.sigmoid(g1)
@@ -699,7 +716,7 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
 
     if g3 is None and "w3" in lp:
         g3 = _int_linear(h28, h2r["scale"], h2r["offset"], lp["w3"], lp["w3"]["bias"],
-                         use_pallas)
+                         use_pallas, _sp("w3"), li)
         g3 = _fq16(g3, lr["mlp.w3"]["output"], policy["mlp.w3"].output)
     if g3 is not None:
         act = act * g3
@@ -707,7 +724,7 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
     w2r = lr["mlp.w2"]["input"]
     act8 = qops.quantize_act(act, w2r["scale"], w2r["offset"])
     y = _int_linear(act8, w2r["scale"], w2r["offset"], lp["w2"], lp["w2"]["bias"],
-                    use_pallas)
+                    use_pallas, _sp("w2"), li)
     y = _fq16(y, lr["mlp.w2"]["output"], policy["mlp.w2"].output)
 
     return resid + y, (k_all, v_all)
@@ -741,10 +758,21 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
             kv = (None, None)
         h, kv_new = _layer_forward(lp, lr, h, cos, sin, mask, kv,
                                    cache_position, c, policy, use_pallas,
-                                   kv_valid_len, positions)
+                                   kv_valid_len, positions,
+                                   sp=sp, li=xs.get("li"))
         return h, kv_new
 
+    # W4 Pallas path: hand the kernels the layer-STACKED weights (closure, a
+    # loop-invariant operand of the scan) + a per-iteration layer index; the
+    # sliced lp weights those sites no longer touch are DCE'd away, and with
+    # them the per-layer HBM->HBM copies a custom call otherwise forces
+    # (see _int_linear)
+    w4_mode = str({False: "none", True: "w4"}.get(use_pallas, use_pallas))
+    sp = packed["layers"] if w4_mode != "none" else None
+
     xs = {"lp": packed["layers"]}
+    if sp is not None:
+        xs["li"] = jnp.arange(c.num_layers, dtype=jnp.int32)
     if "rvec" in packed:
         xs["rv"] = packed["rvec"]
     else:

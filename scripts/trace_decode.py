@@ -24,7 +24,8 @@ sys.path.insert(0, ".")
 TRACE_DIR = "/tmp/jax-trace-decode"
 
 
-def capture(mode: str = "", w_bits: int = 8, n_steps: int = 32, batch: int = 1):
+def capture(mode: str = "", w_bits: int = 8, n_steps: int = 32, batch: int = 1,
+            model: str = "tinyllama-1.1b", head_bits: int = 16):
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _build_packed_tinyllama
@@ -32,7 +33,9 @@ def capture(mode: str = "", w_bits: int = 8, n_steps: int = 32, batch: int = 1):
     from mobilequant_tpu.quant.policy import relax_16bit
 
     packed, cfg, policy, ecfg = _build_packed_tinyllama(max_seq_len=1024,
-                                                        w_bits=w_bits)
+                                                        w_bits=w_bits,
+                                                        model_name=model,
+                                                        head_bits=head_bits)
     policy = relax_16bit(policy)
 
     @functools.partial(jax.jit, static_argnums=(4,))
@@ -84,4 +87,6 @@ if __name__ == "__main__":
     else:
         capture(sys.argv[1] if len(sys.argv) > 1 else "",
                 int(sys.argv[2]) if len(sys.argv) > 2 else 8,
-                batch=int(sys.argv[3]) if len(sys.argv) > 3 else 1)
+                batch=int(sys.argv[3]) if len(sys.argv) > 3 else 1,
+                model=sys.argv[4] if len(sys.argv) > 4 else "tinyllama-1.1b",
+                head_bits=int(sys.argv[5]) if len(sys.argv) > 5 else 16)

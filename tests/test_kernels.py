@@ -268,3 +268,69 @@ def test_fused_mlp_block_vpu_matvec_matches_mxu():
     b = fused_mlp_block(x, jnp.ones(K), jnp.zeros(K), w13, w2, meta,
                         interpret=True, block_f=128, mm_kind="vpu")
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_w4a8_stacked_kernel_matches_per_layer():
+    """Stacked-layer kernel (scalar-prefetch layer select) == the per-layer
+    kernel/closed form on every layer of an (L,K2,N) stack."""
+    from mobilequant_tpu.ops.pallas_matmul import int_linear_pallas_stacked
+
+    rng = np.random.default_rng(5)
+    L, M, K, N = 3, 2, 256, 512
+    x = jnp.asarray(rng.normal(size=(M, K)), jnp.float32)
+    acfg = QuantConfig(bitwidth=8)
+    wcfg = QuantConfig(bitwidth=4, is_per_channel=True, is_symmetric=True)
+    s, o = scale_offset_from_min_max(jnp.min(x), jnp.max(x), acfg)
+    x8 = qops.quantize_act(x, s, o)
+
+    packs = [qops.pack_weight(jnp.asarray(rng.normal(size=(K, N)), jnp.float32),
+                              wcfg) for _ in range(L)]
+    biases = [jnp.asarray(rng.normal(size=(N,)), jnp.float32) for _ in range(L)]
+    spack = {
+        "wq": jnp.stack([p["wq"] for p in packs]),
+        "scale": jnp.stack([p["scale"] for p in packs]),
+        "offset": jnp.stack([p["offset"] for p in packs]),
+        "colsum": jnp.stack([p["colsum"] for p in packs]),
+        "bias": jnp.stack(biases),
+    }
+    for li in range(L):
+        ref = qops.int_linear(x8, s, o, packs[li], biases[li])
+        out = int_linear_pallas_stacked(x8, s, o, spack, jnp.int32(li),
+                                        interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4, err_msg=f"layer {li}")
+
+
+def test_engine_stacked_w4_path_matches_unstacked():
+    """engine.forward with use_pallas=True routes the scan through the stacked
+    kernel; logits must equal the non-pallas engine path exactly."""
+    import mobilequant_tpu.ops.pallas_matmul as PM
+    from mobilequant_tpu.models import get_config
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant import calibrate
+    from mobilequant_tpu.quant.policy import default_policy
+    from mobilequant_tpu.runtime import engine as E
+
+    cfg = get_config("test-llama")
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    policy = default_policy(cfg,
+                            QuantConfig(bitwidth=4, is_per_channel=True,
+                                        is_symmetric=True),
+                            QuantConfig(bitwidth=8))
+    tokens = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 8)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, policy, batch_size=2)
+    ranges = calibrate.stats_to_ranges(stats, policy)
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=16, weight_bits=4)
+    packed = E.pack(params, ranges, cfg, policy, ecfg)
+    t = jnp.asarray(tokens)
+
+    ref, _ = E.forward(packed, t, cfg, policy)        # XLA int path
+    orig = PM.int_linear_pallas_stacked
+    PM.int_linear_pallas_stacked = functools.partial(orig, interpret=True)
+    try:
+        out, _ = E.forward(packed, t, cfg, policy, use_pallas=True)
+    finally:
+        PM.int_linear_pallas_stacked = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
