@@ -317,12 +317,14 @@ def int_linear_pallas_stacked(x_q, x_scale, x_offset, spack: dict, layer_idx,
 
 
 def _pick_block_n(K2: int, N: int) -> int:
-    """Largest power-of-two-ish block width that divides N, capped so a weight
-    block stays ≤ 8 MB (double-buffered 16 MB in VMEM). Wide blocks matter at
-    M=1: the grid-step overhead is fixed, so e.g. Gemma's w1|w3 (N=32768) at
-    512-wide blocks runs 64 steps/layer and measures ~25% slower end-to-end
-    than 8 steps at 4096."""
-    cap = max(256, min(4096, (8 * 1024 * 1024) // max(K2, 1)))
+    """Largest power-of-two-ish block width that divides N, with a weight
+    block ≤ 4 MB and at least 2 grid steps. Fitted to a TPU-v5e sweep at M=1
+    over all TinyLlama/Gemma projection shapes (scripts/ktune.py, 2026-08-17):
+    a single-block grid exposes the whole DMA (o_proj 6.5 vs 3.8 µs), blocks
+    over ~4 MB pipeline poorly (Gemma w2 tn=2048 42.4 vs tn=512 30.7 µs), and
+    within those bounds wider is mildly better (fixed ~0.1 µs/grid-step).
+    Every shape lands within ~1 µs of its measured-best width."""
+    cap = max(128, min(4096, (4 * 1024 * 1024) // max(K2, 1), N // 2))
     for tn in (4096, 2048, 1024, 512, 256, 128):
         if tn <= cap and N % tn == 0:
             return tn
