@@ -378,3 +378,232 @@ def fused_mlp_block(x: jax.Array, norm_w, norm_b, w13: dict, w2: dict,
         interpret=interpret,
     )(meta, x, nw, nb, w13["wq"], w13["wq"], w2["wq"],
       s13, o13, c13, b13, s13, o13, c13, b13, s2, o2, c2, b2)
+
+
+# ---------------------------------------------------------------------------
+# W4 stacked whole-MLP-block kernel (layer scan edition)
+# ---------------------------------------------------------------------------
+# Same contract as fused_mlp_block but:
+#   - weights are nibble-packed W4 AND layer-stacked: the layer is selected by
+#     a scalar-prefetch index in the BlockSpec index maps (no scan slice copy,
+#     see ops/pallas_matmul.w4a8_matmul_stacked);
+#   - w2 is F-packed (rows [0,F/2) low nibbles / [F/2,F) high — the global
+#     qops.pack_nibbles layout), so each grid step computes a PAIR of
+#     F-segments (j·TFh.. and F/2+j·TFh..): exactly the two g8 row groups the
+#     j-th packed-w2 row block contains;
+#   - the per-column vectors (scale/offset/colsum/bias) ride as ONE full-width
+#     (4, 2F) aux operand with a constant index map — fetched once per layer
+#     (≤2% of the weight traffic), sliced per segment in VMEM.
+
+
+def _w4_mlp_block_kernel(idx_ref, meta_ref, x_ref, nw_ref, nb_ref,
+                         w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
+                         w2p_ref, aux2_ref, out_ref,
+                         acc_ref, rsum_ref, h_ref,
+                         *, act_kind: str, norm_kind: str, half_f: int):
+    del idx_ref
+    j = pl.program_id(0)
+    nj = pl.num_programs(0)
+    M, K = x_ref.shape
+    K2 = K // 2
+    TFh = w2p_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        x = _fq16b(x_ref[:], meta_ref[16], meta_ref[17], meta_ref[18])
+        if norm_kind == "layernorm":
+            mu = jnp.mean(x, axis=1, keepdims=True)
+            var = jnp.mean(jnp.square(x - mu), axis=1, keepdims=True)
+            y = (x - mu) * jax.lax.rsqrt(var + meta_ref[19])
+        else:
+            y = x * jax.lax.rsqrt(jnp.mean(x * x, axis=1, keepdims=True)
+                                  + meta_ref[19])
+        y = y * nw_ref[0] + nb_ref[0]
+        h_ref[:] = _quant_u8s(y, meta_ref[0], meta_ref[1])
+
+    h = h_ref[:]
+    ox_h = meta_ref[1] - 128.0
+    rowsum_h = jnp.sum(h.astype(jnp.int32), axis=1,
+                       keepdims=True).astype(jnp.float32)
+    h_lo, h_hi = h[:, :K2], h[:, K2:]
+
+    def w4_mm(wp_ref, col0):
+        """K-packed W4 block (1,K2,TFh) × h → corrected fp32 (M,TFh).
+        col0: this segment's column offset into the (4, 2F) aux13 operand."""
+        wp = wp_ref[0]
+        lo = wp & 0x0F
+        hi = ((wp.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            h_lo, lo, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc = acc + jax.lax.dot_general(
+            h_hi, hi, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc = acc.astype(jnp.float32)
+        s = aux13_ref[0, 0:1, pl.ds(col0, TFh)]
+        o = aux13_ref[0, 1:2, pl.ds(col0, TFh)]
+        cs = aux13_ref[0, 2:3, pl.ds(col0, TFh)]
+        b = aux13_ref[0, 3:4, pl.ds(col0, TFh)]
+        acc = acc - ox_h * cs - o * rowsum_h + K * ox_h * o
+        return acc * (meta_ref[0] * s) + b
+
+    def gate(g1, g3):
+        g1 = _fq8(g1, meta_ref[2], meta_ref[3], meta_ref[4])
+        if act_kind == "silu":
+            sig = 1.0 / (1.0 + jnp.exp(-g1))
+            sig = _fq8(sig, meta_ref[5], meta_ref[6], meta_ref[7])
+            act = g1 * sig
+        else:
+            t = 0.7978845608028654 * (g1 + 0.044715 * g1 * g1 * g1)
+            act = 0.5 * g1 * (1.0 + jnp.tanh(t))
+        act = _fq8(act, meta_ref[8], meta_ref[9], meta_ref[10])
+        g3 = _fq8(g3, meta_ref[11], meta_ref[12], meta_ref[13])
+        return act * g3
+
+    c_lo = j * TFh                      # w1 seg_lo columns
+    c_hi = half_f + j * TFh             # w1 seg_hi
+    F = 2 * half_f
+    act_lo = gate(w4_mm(w1lo_ref, c_lo), w4_mm(w3lo_ref, F + c_lo))
+    act_hi = gate(w4_mm(w1hi_ref, c_hi), w4_mm(w3hi_ref, F + c_hi))
+    g8_lo = _quant_u8s(act_lo, meta_ref[14], meta_ref[15])
+    g8_hi = _quant_u8s(act_hi, meta_ref[14], meta_ref[15])
+
+    w2p = w2p_ref[0]                    # (TFh, K) packed: lo=seg_lo, hi=seg_hi
+    lo2 = w2p & 0x0F
+    hi2 = ((w2p.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
+    part = jax.lax.dot_general(
+        g8_lo, lo2, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    part = part + jax.lax.dot_general(
+        g8_hi, hi2, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    rsum_part = (jnp.sum(g8_lo.astype(jnp.int32), axis=1, keepdims=True)
+                 + jnp.sum(g8_hi.astype(jnp.int32), axis=1, keepdims=True))
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = part
+        rsum_ref[:] = rsum_part
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+        rsum_ref[:] = rsum_ref[:] + rsum_part
+
+    @pl.when(j == nj - 1)
+    def _():
+        F_total = 2 * nj * TFh
+        ox2 = meta_ref[15] - 128.0
+        s2 = aux2_ref[0, 0:1, :]
+        o2 = aux2_ref[0, 1:2, :]
+        c2 = aux2_ref[0, 2:3, :]
+        b2 = aux2_ref[0, 3:4, :]
+        y = acc_ref[:].astype(jnp.float32)
+        y = (y - ox2 * c2 - o2 * rsum_ref[:].astype(jnp.float32)
+             + F_total * ox2 * o2) * (meta_ref[14] * s2) + b2
+        y = _fq16b(y, meta_ref[20], meta_ref[21], meta_ref[22])
+        out_ref[:] = x_ref[:] + y
+
+
+def _pick_block_fh(K: int, half_f: int) -> int:
+    """Packed-w2 row-block (= F-segment width). Must divide F/2 and keep the
+    per-step weight bytes (4 w13 blocks of K/2·TFh + w2 TFh·K) ≤ ~4 MB with
+    ≥2 steps (the pipelining rules measured in scripts/ktune.py)."""
+    cap = max(128, min(1024, (4 * 1024 * 1024) // (3 * K), half_f // 2))
+    for t in (1024, 512, 256, 128):
+        if t <= cap and half_f % t == 0:
+            return t
+    return 0  # no aligned tiling — caller falls back
+
+
+def w4_mlp_block_supported(K: int, F: int) -> bool:
+    return (K % 256 == 0 and F % 256 == 0
+            and _pick_block_fh(K, F // 2) != 0)
+
+
+@functools.partial(jax.jit, static_argnames=("act_kind", "norm_kind",
+                                             "interpret"))
+def fused_mlp_block_w4_stacked(x: jax.Array, nw_L, nb_L, w13sp: dict,
+                               w2sp: dict, meta: jax.Array, layer_idx,
+                               act_kind: str = "silu",
+                               norm_kind: str = "rmsnorm", *,
+                               interpret: bool = False):
+    """Residual x (M,K) fp32 → x + MLP(norm(x)) for layer `layer_idx` of the
+    stacked W4 packs, in ONE dispatch. w13sp: {wq (L,K/2,2F), scale/offset
+    (L,1,2F), colsum/bias (L,2F)}; w2sp: {wq (L,F/2,K), ...}."""
+    M, K = x.shape
+    L, K2, F2 = w13sp["wq"].shape
+    assert K2 * 2 == K, (K2, K)
+    F = F2 // 2
+    Lw, F2h, Kw = w2sp["wq"].shape
+    assert F2h * 2 == F and Kw == K, (F2h, F, Kw, K)
+    half_f = F // 2
+    TFh = _pick_block_fh(K, half_f)
+    assert TFh, (K, F)
+    nh = half_f // TFh
+
+    def aux(spd, n):
+        def row(v):
+            return jnp.broadcast_to(jnp.reshape(v, (L, 1, -1)),
+                                    (L, 1, n)).astype(jnp.float32)
+        return jnp.concatenate([row(spd["scale"]), row(spd["offset"]),
+                                row(spd["colsum"]), row(spd["bias"])], axis=1)
+
+    aux13 = aux(w13sp, F2)                       # (L, 4, 2F)
+    aux2 = aux(w2sp, K)                          # (L, 4, K)
+    # (L,1,K): Mosaic requires the 2nd-minor block dim to be 8-divisible or
+    # equal to the array dim — a (1,K) block of an (L,K) array is neither
+    nw3 = jnp.reshape(nw_L, (L, 1, K)).astype(jnp.float32)
+    nb3 = jnp.reshape(nb_L, (L, 1, K)).astype(jnp.float32)
+    idx = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
+
+    kernel = functools.partial(_w4_mlp_block_kernel, act_kind=act_kind,
+                               norm_kind=norm_kind, half_f=half_f)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nh,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                     # meta
+            pl.BlockSpec((M, K), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),                     # x
+            pl.BlockSpec((1, 1, K), lambda j, i: (i[0], 0, 0),
+                         memory_space=pltpu.VMEM),                     # norm w
+            pl.BlockSpec((1, 1, K), lambda j, i: (i[0], 0, 0),
+                         memory_space=pltpu.VMEM),                     # norm b
+            pl.BlockSpec((1, K2, TFh), lambda j, i: (i[0], 0, j),
+                         memory_space=pltpu.VMEM),                     # w1 lo
+            pl.BlockSpec((1, K2, TFh), lambda j, i: (i[0], 0, nh + j),
+                         memory_space=pltpu.VMEM),                     # w1 hi
+            pl.BlockSpec((1, K2, TFh), lambda j, i: (i[0], 0, 2 * nh + j),
+                         memory_space=pltpu.VMEM),                     # w3 lo
+            pl.BlockSpec((1, K2, TFh), lambda j, i: (i[0], 0, 3 * nh + j),
+                         memory_space=pltpu.VMEM),                     # w3 hi
+            pl.BlockSpec((1, 4, F2), lambda j, i: (i[0], 0, 0),
+                         memory_space=pltpu.VMEM),                     # aux13
+            pl.BlockSpec((1, TFh, K), lambda j, i: (i[0], j, 0),
+                         memory_space=pltpu.VMEM),                     # w2 pack
+            pl.BlockSpec((1, 4, K), lambda j, i: (i[0], 0, 0),
+                         memory_space=pltpu.VMEM),                     # aux2
+        ],
+        out_specs=pl.BlockSpec((M, K), lambda j, i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((M, K), jnp.int32),
+            pltpu.VMEM((M, 1), jnp.int32),
+            pltpu.VMEM((M, K), jnp.int8),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, K), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * F2 + 2 * M * F * K,
+            bytes_accessed=M * K * 4 + K2 * F2 + F2h * K + 8 * (F2 + K),
+            transcendentals=M * F),
+        interpret=interpret,
+    )(idx, meta, x, nw3, nb3,
+      w13sp["wq"], w13sp["wq"], w13sp["wq"], w13sp["wq"], aux13,
+      w2sp["wq"], aux2)

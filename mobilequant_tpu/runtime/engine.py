@@ -354,6 +354,39 @@ def _attn_meta(lr, policy, c):
     ]).astype(jnp.float32)
 
 
+def _mlp_block_meta(lr, policy, c):
+    """(BLOCK_META_LEN,) fp32 meta for the whole-MLP-block kernels
+    (ops/pallas_mlp.py header documents the layout)."""
+    def flag8b(site, role):
+        cfg_ = getattr(policy[site], role, None)
+        return 1.0 if (cfg_ is not None and cfg_.enabled) else 0.0
+
+    def rngb(site, role, default=(1.0, 0.0)):
+        entry = lr.get(site, {})
+        if role in entry:
+            return entry[role]["scale"], entry[role]["offset"]
+        return jnp.float32(default[0]), jnp.float32(default[1])
+
+    nsite = "post_attention_layernorm"
+    w1s, w1o = rngb("mlp.w1", "output")
+    sgs, sgo = rngb("mlp.act_fn", "input2")
+    aos, aoo = rngb("mlp.act_fn", "output")
+    w3s, w3o = rngb("mlp.w3", "output")
+    lis, lio = rngb(nsite, "input")
+    w2os, w2oo = rngb("mlp.w2", "output")
+    return jnp.stack([
+        lr[nsite]["output"]["scale"], lr[nsite]["output"]["offset"],
+        w1s, w1o, jnp.float32(flag8b("mlp.w1", "output")),
+        sgs, sgo, jnp.float32(flag8b("mlp.act_fn", "input2")),
+        aos, aoo, jnp.float32(flag8b("mlp.act_fn", "output")),
+        w3s, w3o, jnp.float32(flag8b("mlp.w3", "output")),
+        lr["mlp.w2"]["input"]["scale"], lr["mlp.w2"]["input"]["offset"],
+        lis, lio, jnp.float32(flag8b(nsite, "input")),
+        jnp.float32(c.norm_eps),
+        w2os, w2oo, jnp.float32(flag8b("mlp.w2", "output")),
+    ]).astype(jnp.float32)
+
+
 def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
                    config: ModelConfig, policy: QPolicy, use_pallas=False,
                    kv_valid_len=None, positions=None, sp=None, li=None):
@@ -548,40 +581,35 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
     hidden = h if c.parallel_residual else resid
 
     # --- mlp ---
+    if (sp is not None and li is not None and "w13_proj" in sp
+            and "mlp_norm" in lp and "nomlpk" not in str(mode)
+            and sp["w13_proj"]["wq"].shape[1] * 2 == resid.shape[-1]
+            and c.hidden_act in ("silu", "gelu_tanh")
+            and not c.parallel_residual and B * T <= 32):
+        from mobilequant_tpu.ops import pallas_mlp as _PMLP
+        Dm = resid.shape[-1]
+        Fm = sp["w13_proj"]["wq"].shape[2] // 2
+        if (sp["w2"]["wq"].shape[1] * 2 == Fm
+                and _PMLP.w4_mlp_block_supported(Dm, Fm)):
+            # whole W4 MLP block (norm→quant→w13→act→w2→requant→residual) in
+            # ONE stacked-layer dispatch: nibble weights stream straight from
+            # the (L,·,·) stacks (scalar-prefetch layer select), all the small
+            # inter-matmul fusions fold into the kernel
+            meta = _mlp_block_meta(lr, policy, c)
+            out = _PMLP.fused_mlp_block_w4_stacked(
+                resid.reshape(-1, Dm).astype(jnp.float32),
+                sp["mlp_norm"]["w"], sp["mlp_norm"]["b"],
+                sp["w13_proj"], sp["w2"], meta, li, c.hidden_act,
+                "layernorm" if c.norm_class == "layernorm" else "rmsnorm")
+            return out.reshape(B, T, Dm).astype(x.dtype), (k_all, v_all)
+
     if ("mlpblock" in str(mode) and "w13_proj" in lp and "mlp_norm" in lp
             and lp["w13_proj"]["wq"].shape[0] == resid.shape[-1]
             and c.hidden_act in ("silu", "gelu_tanh") and not c.parallel_residual):
         # whole MLP block (norm→quant→MLP→requant→residual) in ONE dispatch
         from mobilequant_tpu.ops.pallas_mlp import fused_mlp_block
 
-        def flag8b(site, role):
-            cfg_ = getattr(policy[site], role, None)
-            return 1.0 if (cfg_ is not None and cfg_.enabled) else 0.0
-
-        def rngb(site, role, default=(1.0, 0.0)):
-            entry = lr.get(site, {})
-            if role in entry:
-                return entry[role]["scale"], entry[role]["offset"]
-            return jnp.float32(default[0]), jnp.float32(default[1])
-
-        nsite = "post_attention_layernorm"
-        w1s, w1o = rngb("mlp.w1", "output")
-        sgs, sgo = rngb("mlp.act_fn", "input2")
-        aos, aoo = rngb("mlp.act_fn", "output")
-        w3s, w3o = rngb("mlp.w3", "output")
-        lis, lio = rngb(nsite, "input")
-        w2os, w2oo = rngb("mlp.w2", "output")
-        meta = jnp.stack([
-            lr[nsite]["output"]["scale"], lr[nsite]["output"]["offset"],
-            w1s, w1o, jnp.float32(flag8b("mlp.w1", "output")),
-            sgs, sgo, jnp.float32(flag8b("mlp.act_fn", "input2")),
-            aos, aoo, jnp.float32(flag8b("mlp.act_fn", "output")),
-            w3s, w3o, jnp.float32(flag8b("mlp.w3", "output")),
-            lr["mlp.w2"]["input"]["scale"], lr["mlp.w2"]["input"]["offset"],
-            lis, lio, jnp.float32(flag8b(nsite, "input")),
-            jnp.float32(c.norm_eps),
-            w2os, w2oo, jnp.float32(flag8b("mlp.w2", "output")),
-        ]).astype(jnp.float32)
+        meta = _mlp_block_meta(lr, policy, c)
         Dm = resid.shape[-1]
         mm_kind = "vpu" if ("vpu" in str(mode) and B * T == 1) else "mxu"
         out = fused_mlp_block(

@@ -334,3 +334,47 @@ def test_engine_stacked_w4_path_matches_unstacked():
         PM.int_linear_pallas_stacked = orig
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_w4_mlp_block_stacked_matches_engine():
+    """The stacked W4 whole-MLP-block kernel == the XLA engine path exactly
+    (same fake-quant ordering), through forward() on an alignment-compatible
+    tiny model (D=256, F=512)."""
+    import dataclasses
+    import mobilequant_tpu.ops.pallas_mlp as PMLP
+    import mobilequant_tpu.ops.pallas_matmul as PM
+    from mobilequant_tpu.models import get_config
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant import calibrate
+    from mobilequant_tpu.quant.policy import default_policy, relax_16bit
+    from mobilequant_tpu.runtime import engine as E
+
+    cfg = dataclasses.replace(get_config("test-llama"), hidden_size=256,
+                              intermediate_size=512, num_heads=4,
+                              num_kv_heads=2, head_dim=64, num_layers=2)
+    assert PMLP.w4_mlp_block_supported(cfg.hidden_size, cfg.intermediate_size)
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    base = default_policy(cfg,
+                          QuantConfig(bitwidth=4, is_per_channel=True,
+                                      is_symmetric=True),
+                          QuantConfig(bitwidth=8))
+    tokens = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 8)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, base, batch_size=2)
+    ranges = calibrate.stats_to_ranges(stats, base)
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=16, weight_bits=4)
+    packed = E.pack(params, ranges, cfg, base, ecfg)
+    t = jnp.asarray(tokens)
+
+    om, ob = PM.int_linear_pallas_stacked, PMLP.fused_mlp_block_w4_stacked
+    PM.int_linear_pallas_stacked = functools.partial(om, interpret=True)
+    PMLP.fused_mlp_block_w4_stacked = functools.partial(ob, interpret=True)
+    try:
+        for policy in (base, relax_16bit(base)):
+            ref, _ = E.forward(packed, t, cfg, policy)
+            out, _ = E.forward(packed, t, cfg, policy, use_pallas=True)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-4, atol=2e-4)
+    finally:
+        PM.int_linear_pallas_stacked = om
+        PMLP.fused_mlp_block_w4_stacked = ob
