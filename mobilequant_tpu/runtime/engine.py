@@ -796,6 +796,7 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
     # them the per-layer HBM->HBM copies a custom call otherwise forces
     # (see _int_linear)
     w4_mode = str({False: "none", True: "w4"}.get(use_pallas, use_pallas))
+    mode_s = w4_mode
     sp = packed["layers"] if w4_mode != "none" else None
 
     xs = {"lp": packed["layers"]}
@@ -805,6 +806,7 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
         xs["rv"] = packed["rvec"]
     else:
         xs["lr"] = packed["ranges"]
+
     if kv_cache is not None:
         xs["kv"] = (kv_cache.k, kv_cache.v)
     else:
@@ -814,13 +816,19 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
         cache_position = jnp.zeros((B,), jnp.int32)
 
     h, kv_out = jax.lax.scan(body, x, xs, unroll=layer_unroll)
-    mode_s = str({False: "none", True: "w4"}.get(use_pallas, use_pallas))
     if kv_cache is not None and T == 1 and "attn" not in mode_s:
-        # decode-light: the scan emitted only the new K/V rows; scatter them into
-        # the cache with ONE batched update instead of per-layer full rewrites.
-        # Unrolled per-batch dynamic_update_slice (NOT vmap): the vmapped form
-        # lowers to a scatter that XLA cannot update in place — at bs=8 the
-        # resulting full-cache copies cost 0.44 ms/step (trace_decode, 14%)
+        # decode-light: the scan emitted only the new K/V rows; scatter them
+        # into the cache with ONE batched update after the scan. This DUS
+        # rewrites the whole cache (18.9 µs × 2/step at TinyLlama shapes — the
+        # scan consumed the buffer as xs, so XLA cannot alias it), and it is
+        # STILL the best variant measured (trace_decode, 2026-08-17):
+        #   - post-scan unrolled per-batch DUS (this):        1135 µs/step
+        #   - input/output-aliased Pallas window scatter:     XLA inserts
+        #     24.9 µs defensive copies instead — worse
+        #   - cache-as-carry with per-layer in-place DUS:     row writes drop
+        #     to 0.6 µs but the carry serializes the scan, +65 µs/step gaps
+        # (vmapped DUS is also out: it lowers to a scatter XLA cannot update
+        # in place — 0.44 ms/step of copies at bs=8.)
         zero = jnp.int32(0)
 
         def scat(cache, new):
