@@ -1,0 +1,484 @@
+"""Whole-decoder-layer W4 megakernel (stacked-layer, decode bs=1).
+
+ONE Pallas dispatch runs an entire decoder layer of the packed integer engine:
+
+  norm1 -> quantize -> qkv W4 matmul -> per-channel output fq -> RoPE ->
+  joint segment quantization -> decode-light attention over the int8 KV cache
+  (scores + self-term + softmax + PV, engine._layer_forward order) ->
+  o-proj W4 matmul -> output fq -> residual -> [MLP phases of
+  ops/pallas_mlp._w4_mlp_phase: norm2 -> w13 -> act -> w2 -> requant -> residual]
+
+replacing ~20 XLA fusions + 3 kernel dispatches per layer. Weights stream
+directly from the layer-STACKED nibble packs (scalar-prefetch layer select,
+same trick as ops/pallas_matmul.w4a8_matmul_stacked), the KV cache slab rides
+in as a (1,1,Hkv,S,hd) block of the full stacked cache, and the new K/V rows
+come out as a (2*Hkv, hd) int8 output for engine.forward's post-scan scatter
+(decode-light contract). Numerics are bit-faithful to engine._layer_forward /
+the fake-quant sim ladder (the reference's sim<->device fidelity contract,
+ref export.py:433-437).
+
+TPU-shape trick: Mosaic cannot reshape (1, N) -> (H, 64) (64-lane heads), so
+for hd==64 models the qkv WEIGHT COLUMNS are permuted at pack time
+(build_layer_packs) such that the flat matmul output, viewed as (N/128, 128),
+splits into head-major (R, 64) with two lane-slices + sublane stores; the
+o-proj weight ROWS are permuted with the inverse layout. hd % 128 == 0 models
+reshape directly. All layout ops used here were compile-verified on TPU v5e.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mobilequant_tpu.ops.pallas_mlp import (
+    BLOCK_META_LEN, _fq16b, _quant_u8s, _pick_block_fh, _w4_mlp_phase,
+    w4_mlp_block_supported,
+)
+
+# meta vector layout (fp32 SMEM), head section; the MLP section
+# (pallas_mlp.BLOCK_META_LEN entries, _mlp_block_meta order) follows at
+# ATTN_META_LEN.
+#  0 ln1_in_scale   1 ln1_in_offset  2 ln1_in_enabled  3 norm_eps
+#  4 h_scale        5 h_offset       (input_layernorm output quantize)
+#  6 sq  7 oq  8 sk  9 ok  10 sv  11 ov     (qk_bmm in/in2, pv_bmm in2)
+# 12 qk_out_scale  13 qk_out_offset 14 qk_out_enabled
+# 15 pv_in_scale   16 pv_in_offset  17 pv_in_enabled
+# 18 neg_inf
+# 19 a_scale       20 a_offset      (pv_bmm output quantize)
+# 21 oo_scale      22 oo_offset     23 oo_enabled     (o_proj output fq)
+ATTN_META_LEN = 24
+LAYER_META_LEN = ATTN_META_LEN + BLOCK_META_LEN
+
+
+def _fqv(x, s, o, cmax, en):
+    """Per-column fake-quant with per-column clip bound + enable (covers both
+    the fused per-channel 8-bit branch and the per-segment 16-bit branch of
+    engine._layer_forward's qkv output fq)."""
+    q = jnp.round(x / s) + o
+    q = jnp.clip(q, 0.0, cmax)
+    return jnp.where(en > 0.5, (q - o) * s, x)
+
+
+def _layer_kernel(idx_ref, meta_ref, pos_ref,
+                  x_ref, cs_ref, ofq_ref,
+                  anw_ref, anb_ref, qkvw_ref, qaux_ref,
+                  k_ref, v_ref, ow_ref, oaux_ref,
+                  mnw_ref, mnb_ref,
+                  w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
+                  w2p_ref, aux2_ref,
+                  out_ref, kvnew_ref,
+                  v2_scr, qk_scr, q8_scr, attn_scr, flat_scr,
+                  resid_scr, h_ref, acc_ref, rsum_ref,
+                  *, Hq: int, Hkv: int, hd: int, rot: int, nq: int, nh: int,
+                  half_f: int, act_kind: str, norm_kind: str, perm: bool):
+    del idx_ref
+    j = pl.program_id(0)
+    K = x_ref.shape[1]
+    K2 = K // 2
+    TNq = qkvw_ref.shape[2]
+    G = Hq // Hkv
+    R = Hq + 2 * Hkv
+    Ko = Hq * hd
+    Ko2 = Ko // 2
+
+    def m(i):
+        return meta_ref[i]
+
+    # ---- phases [0, nq): norm1 (once) + qkv W4 matmul column blocks --------
+    @pl.when(j == 0)
+    def _():
+        xx = _fq16b(x_ref[:], m(0), m(1), m(2))
+        if norm_kind == "layernorm":
+            mu = jnp.mean(xx, axis=1, keepdims=True)
+            var = jnp.mean(jnp.square(xx - mu), axis=1, keepdims=True)
+            y = (xx - mu) * jax.lax.rsqrt(var + m(3))
+        else:
+            y = xx * jax.lax.rsqrt(jnp.mean(xx * xx, axis=1, keepdims=True)
+                                   + m(3))
+        y = y * anw_ref[0] + anb_ref[0]
+        h_ref[:] = _quant_u8s(y, m(4), m(5))
+
+    @pl.when(j < nq)
+    def _():
+        h = h_ref[:]
+        ox = m(5) - 128.0
+        rowsum = jnp.sum(h.astype(jnp.int32), axis=1,
+                         keepdims=True).astype(jnp.float32)
+        wp = qkvw_ref[0]
+        lo = wp & 0x0F
+        hi = ((wp.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
+        acc = jax.lax.dot_general(h[:, :K2], lo, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        acc = acc + jax.lax.dot_general(h[:, K2:], hi, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.int32)
+        acc = acc.astype(jnp.float32)
+        s = qaux_ref[0, 0:1, :]
+        o = qaux_ref[0, 1:2, :]
+        cs_ = qaux_ref[0, 2:3, :]
+        b = qaux_ref[0, 3:4, :]
+        yq = (acc - ox * cs_ - o * rowsum + K * ox * o) * (m(4) * s) + b
+        yq = _fqv(yq, ofq_ref[0:1, :], ofq_ref[1:2, :], ofq_ref[2:3, :],
+                  ofq_ref[3:4, :])
+        if perm:
+            rows = TNq // 128
+            v2_scr[pl.ds(j * rows, rows), :] = yq.reshape(rows, 128)
+        else:
+            rows = TNq // hd
+            qk_scr[pl.ds(j * rows, rows), :] = yq.reshape(rows, hd)
+
+    # ---- phase nq: head transform + RoPE + quantize + attention + o-proj ---
+    @pl.when(j == nq)
+    def _():
+        R2 = R // 2
+        if perm:
+            v2 = v2_scr[:]
+            qk_scr[0:R2, :] = v2[:, :hd]
+            qk_scr[R2:R, :] = v2[:, hd:]
+        qk = qk_scr[:]
+        # RoPE (HF rotate_half; cs_ref row 0 = cos (1 outside rotary dims),
+        # row 1 = sign-baked sin (0 outside rotary dims))
+        if rot == hd:
+            # single lane roll covers both rotate_half partners (d+rot/2 mod hd)
+            partner = jnp.roll(qk, -(rot // 2), 1)
+        else:
+            d = jax.lax.broadcasted_iota(jnp.int32, qk.shape, 1)
+            partner = jnp.where(d < rot // 2,
+                                jnp.roll(qk, -(rot // 2), 1),
+                                jnp.roll(qk, rot // 2, 1))
+        roped = qk * cs_ref[0:1, :] + partner * cs_ref[1:2, :]
+        row = jax.lax.broadcasted_iota(jnp.int32, qk.shape, 0)
+        xq = jnp.where(row < Hq + Hkv, roped, qk)   # v rows pass through
+        # joint segment quantization: q rows (sq,oq), k rows (sk,ok), v (sv,ov)
+        s_row = jnp.where(row < Hq, m(6), jnp.where(row < Hq + Hkv, m(8), m(10)))
+        o_row = jnp.where(row < Hq, m(7), jnp.where(row < Hq + Hkv, m(9), m(11)))
+        q8f = jnp.clip(jnp.round(xq / s_row) + o_row, 0.0, 255.0) - 128.0
+        q8_scr[:] = q8f
+        kvnew_ref[:] = q8f[Hq:R, :].astype(jnp.int8)
+
+        sq, oqv = m(6), m(7) - 128.0
+        sk, okv = m(8), m(9) - 128.0
+        sv, ovv = m(10), m(11) - 128.0
+        neg_inf = m(18)
+        inv = 1.0 / math.sqrt(hd)
+        pos = pos_ref[0]
+        # decode-light attention per kv head (engine._layer_forward order):
+        # int scores over the STALE cache masked to < pos, plus the explicit
+        # self-term for the new token
+        for hkv in range(Hkv):
+            qf = q8_scr[hkv * G:(hkv + 1) * G, :]               # (G,hd) f32
+            qg = qf.astype(jnp.int8)
+            kc = k_ref[0, 0, hkv]                                # (S,hd) int8
+            acc = jax.lax.dot_general(qg, kc, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            acc = acc.astype(jnp.float32)                        # (G,S)
+            qs = jnp.sum(qg.astype(jnp.int32), axis=1,
+                         keepdims=True).astype(jnp.float32)
+            ks = jnp.sum(kc.astype(jnp.int32), axis=1,
+                         keepdims=True).astype(jnp.float32)
+            scores = (acc - okv * qs - oqv * ks.reshape(1, -1)
+                      + hd * oqv * okv) * (sq * sk)
+            scores = _fq16b(scores, m(12), m(13), m(14))
+            kn = q8_scr[Hq + hkv:Hq + hkv + 1, :]                # (1,hd) f32
+            s_self = jnp.sum((qf - oqv) * (kn - okv), axis=1,
+                             keepdims=True) * (sq * sk)          # (G,1)
+            s_self = _fq16b(s_self, m(12), m(13), m(14))
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = scores * inv + jnp.where(col < pos, 0.0, neg_inf)
+            s_self = s_self * inv
+            mx = jnp.maximum(jnp.max(scores, axis=1, keepdims=True), s_self)
+            e = jnp.exp(scores - mx)
+            es = jnp.exp(s_self - mx)
+            den = jnp.sum(e, axis=1, keepdims=True) + es
+            p = _fq16b(e / den, m(15), m(16), m(17))
+            ps = _fq16b(es / den, m(15), m(16), m(17))
+            vc = v_ref[0, 0, hkv].astype(jnp.float32)            # (S,hd)
+            pv = jax.lax.dot_general(p, vc, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            psum = jnp.sum(p, axis=1, keepdims=True)
+            vn = q8_scr[Hq + Hkv + hkv:Hq + Hkv + hkv + 1, :]
+            vnf = (vn + 128.0 - m(11)) * sv
+            attn_scr[hkv * G:(hkv + 1) * G, :] = \
+                (pv - ovv * psum) * sv + ps * vnf
+
+        # quantize attention output (pv_bmm output site) + flatten for o-proj
+        a = attn_scr[:]
+        a8f = jnp.clip(jnp.round(a / m(19)) + m(20), 0.0, 255.0) - 128.0
+        if perm:
+            Hq2 = Hq // 2
+            flat_scr[:, :hd] = a8f[0:Hq2]
+            flat_scr[:, hd:] = a8f[Hq2:Hq]
+            a8 = flat_scr[:].reshape(1, Ko).astype(jnp.int8)
+        else:
+            a8 = a8f.reshape(1, Ko).astype(jnp.int8)
+        wo = ow_ref[0]
+        lo2 = wo & 0x0F
+        hi2 = ((wo.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
+        oacc = jax.lax.dot_general(a8[:, :Ko2], lo2, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+        oacc = oacc + jax.lax.dot_general(a8[:, Ko2:], hi2,
+                                          (((1,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.int32)
+        oacc = oacc.astype(jnp.float32)
+        rs = jnp.sum(a8.astype(jnp.int32), axis=1,
+                     keepdims=True).astype(jnp.float32)
+        so = oaux_ref[0, 0:1, :]
+        oo = oaux_ref[0, 1:2, :]
+        co = oaux_ref[0, 2:3, :]
+        bo = oaux_ref[0, 3:4, :]
+        oxa = m(20) - 128.0
+        y = (oacc - oxa * co - oo * rs + Ko * oxa * oo) * (m(19) * so) + bo
+        y = _fq16b(y, m(21), m(22), m(23))
+        resid_scr[:] = x_ref[:] + y
+
+    # ---- phases (nq, nq+nh]: whole MLP block on the attention residual -----
+    @pl.when(j > nq)
+    def _():
+        def out_set(yv):
+            out_ref[:] = yv
+
+        _w4_mlp_phase(j - (nq + 1), nh, lambda i: meta_ref[ATTN_META_LEN + i],
+                      lambda: resid_scr[:], out_set,
+                      mnw_ref, mnb_ref, w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref,
+                      aux13_ref, w2p_ref, aux2_ref, acc_ref, rsum_ref, h_ref,
+                      act_kind=act_kind, norm_kind=norm_kind, half_f=half_f)
+
+
+def _pick_block_nq(K2: int, Nq: int, hd: int) -> int:
+    """qkv column-block width: multiple of 128 (and of hd when hd > 128) that
+    divides Nq with per-step weight bytes K2*TNq <= ~3 MB (ktune pipelining
+    rules); falls back to the full width for small Nq."""
+    step = max(128, hd if hd > 128 else 128)
+    cap = max(step, (3 * 1024 * 1024) // max(K2, 1))
+    for t in range(min(cap, Nq), step - 1, -step):
+        if Nq % t == 0 and t % step == 0:
+            return t
+    return Nq
+
+
+def layer_kernel_supported(c, max_seq_len: int) -> bool:
+    """Static shape gate for fused_layer_w4_stacked (see module docstring)."""
+    hd = c.head_dim_
+    R = c.num_heads + 2 * c.num_kv_heads
+    if hd % 128 != 0 and not (hd == 64 and R % 2 == 0 and c.num_heads % 2 == 0):
+        return False
+    K = c.hidden_size
+    Ko = c.num_heads * hd
+    return (K % 256 == 0 and Ko % 256 == 0 and (R * hd) % 128 == 0
+            and max_seq_len % 128 == 0 and c.rotary_dim % 2 == 0
+            and c.num_heads % c.num_kv_heads == 0
+            and w4_mlp_block_supported(K, c.intermediate_size))
+
+
+def qkv_col_perm(Hq: int, Hkv: int, hd: int):
+    """Column permutation of the fused qkv projection for hd==64: final flat
+    position j holds canonical column perm[j], chosen so the (N/128, 128) view
+    of the matmul output lane-splits into head-major (R, 64) rows ordered
+    [q0..q_{Hq-1}, k0..k_{Hkv-1}, v0..v_{Hkv-1}]. None = identity (hd%128==0,
+    direct reshape)."""
+    if hd % 128 == 0:
+        return None
+    R = Hq + 2 * Hkv
+    R2 = R // 2
+    mm = np.arange(R)[:, None]
+    d = np.arange(hd)[None, :]
+    j = (mm % R2) * 128 + (mm // R2) * hd + d          # packed col for (m, d)
+    perm = np.empty(R * hd, np.int64)
+    perm[j.reshape(-1)] = np.arange(R * hd)
+    return perm
+
+
+def o_row_perm(Hq: int, hd: int):
+    """Row permutation of the o projection matching the kernel's flattened
+    attention layout for hd==64 (see qkv_col_perm). operm[p] = canonical
+    contraction row (h*hd + d) feeding flat position p."""
+    if hd % 128 == 0:
+        return None
+    Hq2 = Hq // 2
+    p = np.arange(Hq * hd)
+    r = p // (2 * hd)
+    cc = p % (2 * hd)
+    h = r + np.where(cc < hd, 0, Hq2)
+    d = cc % hd
+    return h * hd + d
+
+
+def build_layer_packs(qkv: dict, o: dict, c):
+    """Pack-time builder: (qkvp, op, seg_id) for the whole-layer kernel.
+
+    qkvp = qkv_proj with columns permuted by qkv_col_perm (identity for
+    hd%128==0 — arrays are shared, no copy); op = o_proj with contraction rows
+    permuted (nibbles unpacked/reordered/repacked exactly); seg_id (Nq,) int32
+    = 0/1/2 for q/k/v per PACKED column (for runtime per-segment fq vectors)."""
+    from mobilequant_tpu.ops import qops
+    Hq, Hkv, hd = c.num_heads, c.num_kv_heads, c.head_dim_
+    perm = qkv_col_perm(Hq, Hkv, hd)
+    seg = np.repeat(np.array([0] * Hq + [1] * Hkv + [2] * Hkv), hd)
+    if perm is None:
+        qkvp, op = qkv, o
+    else:
+        qkvp = {k: v[..., perm] for k, v in qkv.items()}
+        seg = seg[perm]
+        operm = o_row_perm(Hq, hd)
+        wq_full = qops.unpack_nibbles(o["wq"])         # (L, Ko, K), 0..15
+        op = dict(o)
+        op["wq"] = qops.pack_nibbles(wq_full[:, operm, :])
+    return qkvp, op, jnp.asarray(seg, jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_q_heads", "num_kv_heads", "head_dim", "rotary_dim", "act_kind",
+    "norm_kind", "interpret"))
+def fused_layer_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
+                           qkv_ofq: jax.Array, anw_L, anb_L, qkvsp: dict,
+                           osp: dict, mnw_L, mnb_L, w13sp: dict, w2sp: dict,
+                           kcache: jax.Array, vcache: jax.Array,
+                           meta: jax.Array, layer_idx, *,
+                           num_q_heads: int, num_kv_heads: int, head_dim: int,
+                           rotary_dim: int, act_kind: str = "silu",
+                           norm_kind: str = "rmsnorm", interpret: bool = False):
+    """One whole decoder layer of the packed W4 engine in ONE dispatch.
+
+    x (1,K) fp32 residual; pos (1,) int32 cache position; rope_cs (2,hd) fp32
+    [cos; sign-baked sin]; qkv_ofq (4,Nq) fp32 per-column output-fq rows
+    [scale, offset, clipmax, enabled]; qkvsp/osp from build_layer_packs;
+    w13sp/w2sp the canonical stacked MLP packs; k/vcache (L,1,Hkv,S,hd) int8;
+    meta (LAYER_META_LEN,) fp32 (engine._layer_meta).
+    Returns (x_out (1,K) fp32, kv_new (2*Hkv, hd) int8 [k rows; v rows])."""
+    Hq, Hkv, hd, rot = num_q_heads, num_kv_heads, head_dim, rotary_dim
+    M, K = x.shape
+    assert M == 1, "whole-layer kernel is a bs=1 decode path"
+    L, K2w, Nq = qkvsp["wq"].shape
+    assert K2w * 2 == K
+    R = Hq + 2 * Hkv
+    assert Nq == R * hd, (Nq, R, hd)
+    S = kcache.shape[3]
+    Ko = Hq * hd
+    L2, F2h, Kw = w2sp["wq"].shape
+    F = F2h * 2
+    half_f = F // 2
+    TFh = _pick_block_fh(K, half_f)
+    assert TFh, (K, F)
+    nh = half_f // TFh
+    TNq = _pick_block_nq(K2w, Nq, hd)
+    nq = Nq // TNq
+    F2 = w13sp["wq"].shape[2]
+    perm = hd % 128 != 0
+
+    def aux(spd, n):
+        def rowv(v):
+            return jnp.broadcast_to(jnp.reshape(v, (L, 1, -1)),
+                                    (L, 1, n)).astype(jnp.float32)
+        return jnp.concatenate([rowv(spd["scale"]), rowv(spd["offset"]),
+                                rowv(spd["colsum"]), rowv(spd["bias"])], axis=1)
+
+    qaux = aux(qkvsp, Nq)                        # (L, 4, Nq)
+    oaux = aux(osp, K)                           # (L, 4, K)
+    aux13 = aux(w13sp, F2)                       # (L, 4, 2F)
+    aux2 = aux(w2sp, K)                          # (L, 4, K)
+    anw3 = jnp.reshape(anw_L, (L, 1, K)).astype(jnp.float32)
+    anb3 = jnp.reshape(anb_L, (L, 1, K)).astype(jnp.float32)
+    mnw3 = jnp.reshape(mnw_L, (L, 1, K)).astype(jnp.float32)
+    mnb3 = jnp.reshape(mnb_L, (L, 1, K)).astype(jnp.float32)
+    idx = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
+
+    nsteps = nq + 1 + nh
+
+    def tcl(j):
+        return jnp.clip(j - (nq + 1), 0, nh - 1)
+
+    def qcl(j):
+        return jnp.minimum(j, nq - 1)
+
+    kernel = functools.partial(
+        _layer_kernel, Hq=Hq, Hkv=Hkv, hd=hd, rot=rot, nq=nq, nh=nh,
+        half_f=half_f, act_kind=act_kind, norm_kind=norm_kind, perm=perm)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                    # meta
+            pl.BlockSpec(memory_space=pltpu.SMEM),                    # pos
+            pl.BlockSpec((1, K), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),                    # x
+            pl.BlockSpec((2, hd), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),                    # rope cs
+            pl.BlockSpec((4, TNq), lambda j, i: (0, qcl(j)),
+                         memory_space=pltpu.VMEM),                    # qkv ofq
+            pl.BlockSpec((1, 1, K), lambda j, i: (i[0], 0, 0),
+                         memory_space=pltpu.VMEM),                    # attn nw
+            pl.BlockSpec((1, 1, K), lambda j, i: (i[0], 0, 0),
+                         memory_space=pltpu.VMEM),                    # attn nb
+            pl.BlockSpec((1, K2w, TNq), lambda j, i: (i[0], 0, qcl(j)),
+                         memory_space=pltpu.VMEM),                    # qkv pack
+            pl.BlockSpec((1, 4, TNq), lambda j, i: (i[0], 0, qcl(j)),
+                         memory_space=pltpu.VMEM),                    # qkv aux
+            pl.BlockSpec((1, 1, Hkv, S, hd), lambda j, i: (i[0], 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                    # k cache
+            pl.BlockSpec((1, 1, Hkv, S, hd), lambda j, i: (i[0], 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                    # v cache
+            pl.BlockSpec((1, Ko // 2, K), lambda j, i: (i[0], 0, 0),
+                         memory_space=pltpu.VMEM),                    # o pack
+            pl.BlockSpec((1, 4, K), lambda j, i: (i[0], 0, 0),
+                         memory_space=pltpu.VMEM),                    # o aux
+            pl.BlockSpec((1, 1, K), lambda j, i: (i[0], 0, 0),
+                         memory_space=pltpu.VMEM),                    # mlp nw
+            pl.BlockSpec((1, 1, K), lambda j, i: (i[0], 0, 0),
+                         memory_space=pltpu.VMEM),                    # mlp nb
+            pl.BlockSpec((1, K2w, TFh), lambda j, i: (i[0], 0, tcl(j)),
+                         memory_space=pltpu.VMEM),                    # w1 lo
+            pl.BlockSpec((1, K2w, TFh), lambda j, i: (i[0], 0, nh + tcl(j)),
+                         memory_space=pltpu.VMEM),                    # w1 hi
+            pl.BlockSpec((1, K2w, TFh), lambda j, i: (i[0], 0, 2 * nh + tcl(j)),
+                         memory_space=pltpu.VMEM),                    # w3 lo
+            pl.BlockSpec((1, K2w, TFh), lambda j, i: (i[0], 0, 3 * nh + tcl(j)),
+                         memory_space=pltpu.VMEM),                    # w3 hi
+            pl.BlockSpec((1, 4, F2), lambda j, i: (i[0], 0, 0),
+                         memory_space=pltpu.VMEM),                    # aux13
+            pl.BlockSpec((1, TFh, K), lambda j, i: (i[0], tcl(j), 0),
+                         memory_space=pltpu.VMEM),                    # w2 pack
+            pl.BlockSpec((1, 4, K), lambda j, i: (i[0], 0, 0),
+                         memory_space=pltpu.VMEM),                    # aux2
+        ],
+        out_specs=[
+            pl.BlockSpec((1, K), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),                    # x out
+            pl.BlockSpec((2 * Hkv, hd), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),                    # k/v new
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((max(Nq // 128, 1), 128), jnp.float32),        # v2
+            pltpu.VMEM((R, hd), jnp.float32),                         # qk
+            pltpu.VMEM((R, hd), jnp.float32),                         # q8 (f32)
+            pltpu.VMEM((Hq, hd), jnp.float32),                        # attn
+            pltpu.VMEM((max(Hq // 2, 1), 2 * hd), jnp.float32),       # flat
+            pltpu.VMEM((1, K), jnp.float32),                          # resid
+            pltpu.VMEM((1, K), jnp.int8),                             # h
+            pltpu.VMEM((1, K), jnp.int32),                            # mlp acc
+            pltpu.VMEM((1, 1), jnp.int32),                            # mlp rsum
+        ],
+    )
+    wbytes = K2w * Nq + Ko // 2 * K + K2w * F2 + F2h * K
+    out, kvnew = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((1, K), jnp.float32),
+                   jax.ShapeDtypeStruct((2 * Hkv, hd), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (K * Nq + Ko * K + K * F2 + F * K + 2 * Hq * S * hd),
+            bytes_accessed=wbytes + 2 * Hkv * S * hd + K * 8,
+            transcendentals=Hq * S + F),
+        interpret=interpret,
+    )(idx, meta, pos.astype(jnp.int32), x.astype(jnp.float32),
+      rope_cs.astype(jnp.float32), qkv_ofq.astype(jnp.float32),
+      anw3, anb3, qkvsp["wq"], qaux, kcache, vcache, osp["wq"], oaux,
+      mnw3, mnb3, w13sp["wq"], w13sp["wq"], w13sp["wq"], w13sp["wq"], aux13,
+      w2sp["wq"], aux2)
+    return out, kvnew

@@ -396,33 +396,35 @@ def fused_mlp_block(x: jax.Array, norm_w, norm_b, w13: dict, w2: dict,
 #     (≤2% of the weight traffic), sliced per segment in VMEM.
 
 
-def _w4_mlp_block_kernel(idx_ref, meta_ref, x_ref, nw_ref, nb_ref,
-                         w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
-                         w2p_ref, aux2_ref, out_ref,
-                         acc_ref, rsum_ref, h_ref,
-                         *, act_kind: str, norm_kind: str, half_f: int):
-    del idx_ref
-    j = pl.program_id(0)
-    nj = pl.num_programs(0)
-    M, K = x_ref.shape
+def _w4_mlp_phase(j, nj, m, x_get, out_set, nw_ref, nb_ref,
+                  w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
+                  w2p_ref, aux2_ref,
+                  acc_ref, rsum_ref, h_ref,
+                  *, act_kind: str, norm_kind: str, half_f: int):
+    """Phase body of the stacked W4 whole-MLP-block kernel, parameterised so it
+    can ALSO run as the tail phases of the whole-layer kernel
+    (ops/pallas_layer.py): j/nj are the phase index/count within the MLP stage,
+    m(i) reads meta scalar i (caller applies its own meta offset), x_get()
+    returns the (M,K) fp32 residual, out_set(y) writes the final output."""
+    M, K = h_ref.shape
     K2 = K // 2
     TFh = w2p_ref.shape[1]
 
     @pl.when(j == 0)
     def _():
-        x = _fq16b(x_ref[:], meta_ref[16], meta_ref[17], meta_ref[18])
+        x = _fq16b(x_get(), m(16), m(17), m(18))
         if norm_kind == "layernorm":
             mu = jnp.mean(x, axis=1, keepdims=True)
             var = jnp.mean(jnp.square(x - mu), axis=1, keepdims=True)
-            y = (x - mu) * jax.lax.rsqrt(var + meta_ref[19])
+            y = (x - mu) * jax.lax.rsqrt(var + m(19))
         else:
             y = x * jax.lax.rsqrt(jnp.mean(x * x, axis=1, keepdims=True)
-                                  + meta_ref[19])
+                                  + m(19))
         y = y * nw_ref[0] + nb_ref[0]
-        h_ref[:] = _quant_u8s(y, meta_ref[0], meta_ref[1])
+        h_ref[:] = _quant_u8s(y, m(0), m(1))
 
     h = h_ref[:]
-    ox_h = meta_ref[1] - 128.0
+    ox_h = m(1) - 128.0
     rowsum_h = jnp.sum(h.astype(jnp.int32), axis=1,
                        keepdims=True).astype(jnp.float32)
     h_lo, h_hi = h[:, :K2], h[:, K2:]
@@ -445,19 +447,19 @@ def _w4_mlp_block_kernel(idx_ref, meta_ref, x_ref, nw_ref, nb_ref,
         cs = aux13_ref[0, 2:3, pl.ds(col0, TFh)]
         b = aux13_ref[0, 3:4, pl.ds(col0, TFh)]
         acc = acc - ox_h * cs - o * rowsum_h + K * ox_h * o
-        return acc * (meta_ref[0] * s) + b
+        return acc * (m(0) * s) + b
 
     def gate(g1, g3):
-        g1 = _fq8(g1, meta_ref[2], meta_ref[3], meta_ref[4])
+        g1 = _fq8(g1, m(2), m(3), m(4))
         if act_kind == "silu":
             sig = 1.0 / (1.0 + jnp.exp(-g1))
-            sig = _fq8(sig, meta_ref[5], meta_ref[6], meta_ref[7])
+            sig = _fq8(sig, m(5), m(6), m(7))
             act = g1 * sig
         else:
             t = 0.7978845608028654 * (g1 + 0.044715 * g1 * g1 * g1)
             act = 0.5 * g1 * (1.0 + jnp.tanh(t))
-        act = _fq8(act, meta_ref[8], meta_ref[9], meta_ref[10])
-        g3 = _fq8(g3, meta_ref[11], meta_ref[12], meta_ref[13])
+        act = _fq8(act, m(8), m(9), m(10))
+        g3 = _fq8(g3, m(11), m(12), m(13))
         return act * g3
 
     c_lo = j * TFh                      # w1 seg_lo columns
@@ -465,8 +467,8 @@ def _w4_mlp_block_kernel(idx_ref, meta_ref, x_ref, nw_ref, nb_ref,
     F = 2 * half_f
     act_lo = gate(w4_mm(w1lo_ref, c_lo), w4_mm(w3lo_ref, F + c_lo))
     act_hi = gate(w4_mm(w1hi_ref, c_hi), w4_mm(w3hi_ref, F + c_hi))
-    g8_lo = _quant_u8s(act_lo, meta_ref[14], meta_ref[15])
-    g8_hi = _quant_u8s(act_hi, meta_ref[14], meta_ref[15])
+    g8_lo = _quant_u8s(act_lo, m(14), m(15))
+    g8_hi = _quant_u8s(act_hi, m(14), m(15))
 
     w2p = w2p_ref[0]                    # (TFh, K) packed: lo=seg_lo, hi=seg_hi
     lo2 = w2p & 0x0F
@@ -493,16 +495,34 @@ def _w4_mlp_block_kernel(idx_ref, meta_ref, x_ref, nw_ref, nb_ref,
     @pl.when(j == nj - 1)
     def _():
         F_total = 2 * nj * TFh
-        ox2 = meta_ref[15] - 128.0
+        ox2 = m(15) - 128.0
         s2 = aux2_ref[0, 0:1, :]
         o2 = aux2_ref[0, 1:2, :]
         c2 = aux2_ref[0, 2:3, :]
         b2 = aux2_ref[0, 3:4, :]
         y = acc_ref[:].astype(jnp.float32)
         y = (y - ox2 * c2 - o2 * rsum_ref[:].astype(jnp.float32)
-             + F_total * ox2 * o2) * (meta_ref[14] * s2) + b2
-        y = _fq16b(y, meta_ref[20], meta_ref[21], meta_ref[22])
-        out_ref[:] = x_ref[:] + y
+             + F_total * ox2 * o2) * (m(14) * s2) + b2
+        y = _fq16b(y, m(20), m(21), m(22))
+        out_set(x_get() + y)
+
+
+def _w4_mlp_block_kernel(idx_ref, meta_ref, x_ref, nw_ref, nb_ref,
+                         w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
+                         w2p_ref, aux2_ref, out_ref,
+                         acc_ref, rsum_ref, h_ref,
+                         *, act_kind: str, norm_kind: str, half_f: int):
+    del idx_ref
+    j = pl.program_id(0)
+    nj = pl.num_programs(0)
+
+    def out_set(y):
+        out_ref[:] = y
+
+    _w4_mlp_phase(j, nj, lambda i: meta_ref[i], lambda: x_ref[:], out_set,
+                  nw_ref, nb_ref, w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref,
+                  aux13_ref, w2p_ref, aux2_ref, acc_ref, rsum_ref, h_ref,
+                  act_kind=act_kind, norm_kind=norm_kind, half_f=half_f)
 
 
 def _pick_block_fh(K: int, half_f: int) -> int:

@@ -159,6 +159,19 @@ def pack(params: dict, ranges: dict, config: ModelConfig, policy: QPolicy,
             layers["w13_proj"]["out_scale"] = osc
             layers["w13_proj"]["out_offset"] = oof
 
+    qkv_seg = None
+    if ("qkv_proj" in layers and "w13_proj" in layers
+            and layers["qkv_proj"]["wq"].shape[1] * 2 == c.hidden_size
+            and layers["w13_proj"]["wq"].shape[1] * 2 == c.hidden_size
+            and layers["o_proj"]["wq"].shape[1] * 2 == c.num_heads * c.head_dim_
+            and layers["w2"]["wq"].shape[1] * 2 == c.intermediate_size):
+        # W4-packed fused model: build the whole-layer kernel's permuted packs
+        # (ops/pallas_layer.py — identity/shared arrays when hd % 128 == 0)
+        from mobilequant_tpu.ops import pallas_layer as PL
+        if PL.layer_kernel_supported(c, ecfg.max_seq_len):
+            layers["qkvp"], layers["op"], qkv_seg = PL.build_layer_packs(
+                layers["qkv_proj"], layers["o_proj"], c)
+
     # norm weights: bake the 16-bit weight quantization (policy norm_w16)
     def bake_norm(nkey, site):
         entry = params["layers"][nkey]
@@ -201,6 +214,8 @@ def pack(params: dict, ranges: dict, config: ModelConfig, policy: QPolicy,
         "norm": {"w": params["norm"]["w"].astype(jnp.float32),
                  "b": params["norm"]["b"].astype(jnp.float32)},
     }
+    if qkv_seg is not None:
+        packed["qkv_seg"] = qkv_seg
     if ecfg.head_bits in (4, 8):
         # quantized head (SLinear analogue): per-channel symmetric W8/W4 over
         # the (D, vocab) head matrix; activations quantized dynamically per
@@ -387,6 +402,90 @@ def _mlp_block_meta(lr, policy, c):
     ]).astype(jnp.float32)
 
 
+def _layer_meta(lr, policy, c):
+    """(pallas_layer.LAYER_META_LEN,) fp32 meta for the whole-layer kernel:
+    ATTN head section (ops/pallas_layer.py header) + the MLP section
+    (_mlp_block_meta order)."""
+    def flag(cfg):
+        return 1.0 if (cfg is not None and cfg.enabled) else 0.0
+
+    def rng(site, role, default=(1.0, 0.0)):
+        entry = lr.get(site, {})
+        if role in entry:
+            return entry[role]["scale"], entry[role]["offset"]
+        return jnp.float32(default[0]), jnp.float32(default[1])
+
+    qk = lr["self_attn.qk_bmm"]
+    pv = lr["self_attn.pv_bmm"]
+    lis, lio = rng("input_layernorm", "input")
+    qos, qoo = rng("self_attn.qk_bmm", "output")
+    pis, pio = rng("self_attn.pv_bmm", "input")
+    oos, ooo = rng("self_attn.o_proj", "output")
+    head = jnp.stack([
+        lis, lio, jnp.float32(flag(policy["input_layernorm"].input)),
+        jnp.float32(c.norm_eps),
+        lr["input_layernorm"]["output"]["scale"],
+        lr["input_layernorm"]["output"]["offset"],
+        qk["input"]["scale"], qk["input"]["offset"],
+        qk["input2"]["scale"], qk["input2"]["offset"],
+        pv["input2"]["scale"], pv["input2"]["offset"],
+        qos, qoo, jnp.float32(flag(policy["self_attn.qk_bmm"].output)),
+        pis, pio, jnp.float32(flag(policy["self_attn.pv_bmm"].input)),
+        jnp.float32(c.neg_inf),
+        lr["self_attn.pv_bmm"]["output"]["scale"],
+        lr["self_attn.pv_bmm"]["output"]["offset"],
+        oos, ooo, jnp.float32(flag(policy["self_attn.o_proj"].output)),
+    ]).astype(jnp.float32)
+    return jnp.concatenate([head, _mlp_block_meta(lr, policy, c)])
+
+
+def _qkv_ofq_rows(lp, sp, lr, policy):
+    """(4, Nq) [scale, offset, clipmax, enabled] per PACKED qkv column for the
+    whole-layer kernel's qkv output fake-quant — branch-exact with
+    _layer_forward: the fused per-channel qcfg8 fq when enabled, else the
+    per-segment fq via the pack-time seg-id map (q=0/k=1/v=2)."""
+    qcfg8 = policy["self_attn.q_proj"].output
+    qkvp = lp["qkvp"]
+    Nq = qkvp["wq"].shape[-1]
+    if "out_scale" in qkvp and qcfg8 is not None and qcfg8.enabled:
+        sc = jnp.reshape(qkvp["out_scale"], (1, Nq))   # lp slice: (1,Nq)/(L,1,Nq)
+        of = jnp.reshape(qkvp["out_offset"], (1, Nq))
+        cm = jnp.full((1, Nq), float(qcfg8.qmax), jnp.float32)
+        en = jnp.ones((1, Nq), jnp.float32)
+        return jnp.concatenate([sc, of, cm, en], axis=0)
+    seg = sp["qkv_seg"]
+    rows = []
+    vals = []
+    for site in ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"):
+        cfg = policy[site].output
+        en_ = cfg is not None and cfg.enabled
+        entry = lr.get(site, {}).get("output",
+                                     {"scale": jnp.float32(1.0),
+                                      "offset": jnp.float32(0.0)})
+        vals.append((entry["scale"], entry["offset"],
+                     jnp.float32(float(cfg.qmax) if en_ else 1.0),
+                     jnp.float32(1.0 if en_ else 0.0)))
+    for i in range(4):
+        rows.append(jnp.where(seg == 0, vals[0][i],
+                              jnp.where(seg == 1, vals[1][i], vals[2][i])))
+    return jnp.stack(rows).astype(jnp.float32)
+
+
+def _rope_cs_vec(cos, sin, hd: int, rot: int):
+    """(2, hd) [cos; sign-baked sin] rows for the whole-layer kernel's in-VMEM
+    RoPE (cos=1 / sin=0 outside the rotary dims; the rotate_half sign is baked
+    into the sin row's first half)."""
+    c1 = cos.reshape(-1)[:rot].astype(jnp.float32)
+    s1 = sin.reshape(-1)[:rot].astype(jnp.float32)
+    sgn = jnp.concatenate([jnp.full((rot // 2,), -1.0, jnp.float32),
+                           jnp.ones((rot // 2,), jnp.float32)])
+    s1 = s1 * sgn
+    if rot < hd:
+        c1 = jnp.concatenate([c1, jnp.ones((hd - rot,), jnp.float32)])
+        s1 = jnp.concatenate([s1, jnp.zeros((hd - rot,), jnp.float32)])
+    return jnp.stack([c1, s1])
+
+
 def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
                    config: ModelConfig, policy: QPolicy, use_pallas=False,
                    kv_valid_len=None, positions=None, sp=None, li=None):
@@ -403,6 +502,29 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
     def _sp(key):
         return sp[key] if (sp is not None and li is not None
                            and key in sp) else None
+
+    mode0 = str({False: "none", True: "w4"}.get(use_pallas, use_pallas))
+    if (sp is not None and li is not None and T == 1 and B == 1
+            and cache_position is not None and "qkvp" in sp and "op" in sp
+            and "kcache" in sp and "w13_proj" in sp and "mlp_norm" in lp
+            and "nolayerk" not in mode0 and not c.parallel_residual
+            and not c.is_moe and c.hidden_act in ("silu", "gelu_tanh")):
+        # whole-layer W4 megakernel: norm->qkv->rope->decode-light attention->
+        # o-proj->residual->MLP block in ONE stacked-layer dispatch
+        from mobilequant_tpu.ops import pallas_layer as _PL
+        meta = _layer_meta(lr, policy, c)
+        ofq = _qkv_ofq_rows(lp, sp, lr, policy)
+        out, kvnew = _PL.fused_layer_w4_stacked(
+            x.reshape(1, D).astype(jnp.float32), cache_position[0:1],
+            sp["rope_cs"], ofq, sp["attn_norm"]["w"], sp["attn_norm"]["b"],
+            sp["qkvp"], sp["op"], sp["mlp_norm"]["w"], sp["mlp_norm"]["b"],
+            sp["w13_proj"], sp["w2"], sp["kcache"], sp["vcache"], meta, li,
+            num_q_heads=Hq, num_kv_heads=Hkv, head_dim=hd,
+            rotary_dim=c.rotary_dim, act_kind=c.hidden_act,
+            norm_kind="layernorm" if c.norm_class == "layernorm" else "rmsnorm")
+        k_new = kvnew[:Hkv].reshape(1, Hkv, 1, hd)
+        v_new = kvnew[Hkv:].reshape(1, Hkv, 1, hd)
+        return out.reshape(B, T, D).astype(x.dtype), (k_new, v_new)
 
     def norm(x, nw, site):
         x = _fq16(x, lr[site]["input"], policy[site].input)
@@ -798,6 +920,16 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
     w4_mode = str({False: "none", True: "w4"}.get(use_pallas, use_pallas))
     mode_s = w4_mode
     sp = packed["layers"] if w4_mode != "none" else None
+    if (sp is not None and kv_cache is not None and T == 1 and B == 1
+            and "qkvp" in sp and "nolayerk" not in w4_mode):
+        # whole-layer kernel extras: the FULL stacked cache (read by layer
+        # index inside the kernel — the per-layer xs slices are DCE'd) and
+        # the step's RoPE cos/sin vectors
+        sp = dict(sp)
+        sp["kcache"], sp["vcache"] = kv_cache.k, kv_cache.v
+        sp["rope_cs"] = _rope_cs_vec(cos, sin, c.head_dim_, c.rotary_dim)
+        if "qkv_seg" in packed:
+            sp["qkv_seg"] = packed["qkv_seg"]
 
     xs = {"lp": packed["layers"]}
     if sp is not None:

@@ -378,3 +378,87 @@ def test_w4_mlp_block_stacked_matches_engine():
     finally:
         PM.int_linear_pallas_stacked = om
         PMLP.fused_mlp_block_w4_stacked = ob
+
+
+@pytest.mark.parametrize("variant", ["llama_gqa64", "stablelm_mha64_partial",
+                                     "gemma_mqa128"])
+def test_whole_layer_w4_kernel_matches_engine_decode(variant):
+    """The whole-layer W4 megakernel (norm->qkv->rope->decode-light attention->
+    o->residual->MLP, ops/pallas_layer.py) == the XLA engine decode path
+    exactly, over a multi-step decode chain through the int8 KV cache."""
+    import dataclasses
+    import mobilequant_tpu.ops.pallas_layer as PL
+    import mobilequant_tpu.ops.pallas_matmul as PM
+    import mobilequant_tpu.ops.pallas_mlp as PMLP
+    from mobilequant_tpu.models import get_config
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant import calibrate
+    from mobilequant_tpu.quant.policy import default_policy, relax_16bit
+    from mobilequant_tpu.runtime import engine as E
+
+    if variant == "llama_gqa64":
+        cfg = dataclasses.replace(
+            get_config("test-llama"), hidden_size=256, intermediate_size=512,
+            num_heads=4, num_kv_heads=2, head_dim=64, num_layers=2)
+    elif variant == "stablelm_mha64_partial":
+        cfg = dataclasses.replace(
+            get_config("test-stablelm"), hidden_size=256, intermediate_size=512,
+            num_heads=4, num_kv_heads=4, head_dim=64, num_layers=2)
+    else:
+        cfg = dataclasses.replace(
+            get_config("test-gemma"), hidden_size=256, intermediate_size=512,
+            num_heads=2, num_kv_heads=1, head_dim=128, num_layers=2)
+    assert PL.layer_kernel_supported(cfg, 128)
+
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    base = default_policy(cfg,
+                          QuantConfig(bitwidth=4, is_per_channel=True,
+                                      is_symmetric=True),
+                          QuantConfig(bitwidth=8))
+    tokens = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 8)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, base, batch_size=2)
+    ranges = calibrate.stats_to_ranges(stats, base)
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=128, weight_bits=4)
+    packed = E.pack(params, ranges, cfg, base, ecfg)
+    assert "qkvp" in packed["layers"] and "op" in packed["layers"]
+
+    orig = (PL.fused_layer_w4_stacked, PM.int_linear_pallas_stacked,
+            PMLP.fused_mlp_block_w4_stacked)
+    PL.fused_layer_w4_stacked = functools.partial(orig[0], interpret=True)
+    PM.int_linear_pallas_stacked = functools.partial(orig[1], interpret=True)
+    PMLP.fused_mlp_block_w4_stacked = functools.partial(orig[2], interpret=True)
+    t = jnp.asarray(tokens[:1])
+    try:
+        for policy in (base, relax_16bit(base)):
+            # prefill both caches identically via the XLA path
+            cache_a = E.init_kv_cache(ecfg, 1)
+            cache_b = E.init_kv_cache(ecfg, 1)
+            Tp = 5
+            pos0 = jnp.zeros((1,), jnp.int32)
+            _, cache_a = E.forward(packed, t[:, :Tp], cfg, policy,
+                                   kv_cache=cache_a, cache_position=pos0)
+            _, cache_b = E.forward(packed, t[:, :Tp], cfg, policy,
+                                   kv_cache=cache_b, cache_position=pos0)
+            for i in range(3):
+                pos = jnp.full((1,), Tp + i, jnp.int32)
+                ref, cache_a = E.forward(
+                    packed, t[:, Tp + i:Tp + i + 1], cfg, policy,
+                    positions=pos[:, None], kv_cache=cache_a,
+                    cache_position=pos, kv_valid_len=pos + 1)
+                out, cache_b = E.forward(
+                    packed, t[:, Tp + i:Tp + i + 1], cfg, policy,
+                    positions=pos[:, None], kv_cache=cache_b,
+                    cache_position=pos, kv_valid_len=pos + 1,
+                    use_pallas=True)
+                np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                           rtol=2e-4, atol=2e-4)
+            # the int8 caches must agree bit-exactly after the chain
+            np.testing.assert_array_equal(np.asarray(cache_b.k),
+                                          np.asarray(cache_a.k))
+            np.testing.assert_array_equal(np.asarray(cache_b.v),
+                                          np.asarray(cache_a.v))
+    finally:
+        PL.fused_layer_w4_stacked = orig[0]
+        PM.int_linear_pallas_stacked = orig[1]
+        PMLP.fused_mlp_block_w4_stacked = orig[2]
