@@ -65,21 +65,24 @@ def _fqv(x, s, o, cmax, en):
     return jnp.where(en > 0.5, (q - o) * s, x)
 
 
-def _layer_kernel(idx_ref, meta_ref, pos_ref,
-                  x_ref, cs_ref, ofq_ref,
-                  anw_ref, anb_ref, qkvw_ref, qaux_ref,
-                  k_ref, v_ref, ow_ref, oaux_ref,
-                  mnw_ref, mnb_ref,
-                  w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
-                  w2p_ref, aux2_ref,
-                  out_ref, kvnew_ref,
-                  v2_scr, qk_scr, q8_scr, attn_scr, flat_scr,
-                  resid_scr, h_ref, acc_ref, rsum_ref,
-                  *, Hq: int, Hkv: int, hd: int, rot: int, nq: int, nh: int,
-                  half_f: int, act_kind: str, norm_kind: str, perm: bool):
-    del idx_ref
-    j = pl.program_id(0)
-    K = x_ref.shape[1]
+def _layer_phase(j, m, pos_ref, cs_ref, x_get, ofq_ref,
+                 anw_ref, anb_ref, qkvw_ref, qaux_ref,
+                 k_ref, v_ref, ow_refs, oaux_ref,
+                 mnw_ref, mnb_ref,
+                 w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
+                 w2p_ref, aux2_ref,
+                 out_set, kvnew_set,
+                 v2_scr, qk_scr, q8_scr, p_scr, ps_scr, attn_scr, flat_scr,
+                 resid_scr, h_ref, acc_ref, rsum_ref,
+                 *, Hq: int, Hkv: int, hd: int, rot: int, nq: int, nh: int,
+                 half_f: int, act_kind: str, norm_kind: str, perm: bool,
+                 split_attn: bool = False):
+    """One decoder-layer phase: j = traced phase index within the layer
+    (0..nq-1 qkv blocks, nq attention+o, nq+1..nq+nh MLP). m(i) reads meta
+    scalar i, x_get() the (1,K) fp32 residual input, out_set(y) the layer
+    output, kvnew_set(rows) the (2*Hkv, hd) int8 new K/V rows. Shared by the
+    single-layer and whole-model kernels."""
+    K = h_ref.shape[1]
     K2 = K // 2
     TNq = qkvw_ref.shape[2]
     G = Hq // Hkv
@@ -87,13 +90,10 @@ def _layer_kernel(idx_ref, meta_ref, pos_ref,
     Ko = Hq * hd
     Ko2 = Ko // 2
 
-    def m(i):
-        return meta_ref[i]
-
     # ---- phases [0, nq): norm1 (once) + qkv W4 matmul column blocks --------
     @pl.when(j == 0)
     def _():
-        xx = _fq16b(x_ref[:], m(0), m(1), m(2))
+        xx = _fq16b(x_get(), m(0), m(1), m(2))
         if norm_kind == "layernorm":
             mu = jnp.mean(xx, axis=1, keepdims=True)
             var = jnp.mean(jnp.square(xx - mu), axis=1, keepdims=True)
@@ -123,16 +123,22 @@ def _layer_kernel(idx_ref, meta_ref, pos_ref,
         cs_ = qaux_ref[0, 2:3, :]
         b = qaux_ref[0, 3:4, :]
         yq = (acc - ox * cs_ - o * rowsum + K * ox * o) * (m(4) * s) + b
-        yq = _fqv(yq, ofq_ref[0:1, :], ofq_ref[1:2, :], ofq_ref[2:3, :],
-                  ofq_ref[3:4, :])
+        yq = _fqv(yq, ofq_ref[0, 0:1, :], ofq_ref[0, 1:2, :],
+                  ofq_ref[0, 2:3, :], ofq_ref[0, 3:4, :])
+        # nq == 1 -> static start (Mosaic needs dynamic sublane starts to be
+        # provably 8-aligned; _pick_block_nq keeps rows % 8 == 0 when nq > 1)
         if perm:
             rows = TNq // 128
-            v2_scr[pl.ds(j * rows, rows), :] = yq.reshape(rows, 128)
+            start = 0 if nq == 1 else j * rows
+            v2_scr[pl.ds(start, rows), :] = yq.reshape(rows, 128)
         else:
             rows = TNq // hd
-            qk_scr[pl.ds(j * rows, rows), :] = yq.reshape(rows, hd)
+            start = 0 if nq == 1 else j * rows
+            qk_scr[pl.ds(start, rows), :] = yq.reshape(rows, hd)
 
-    # ---- phase nq: head transform + RoPE + quantize + attention + o-proj ---
+    # ---- phase nq: head transform + RoPE + quantize + scores + softmax -----
+    # (with split_attn the PV matmuls + o-proj run as their own grid phase so
+    # the attention compute spans TWO weight-prefetch windows)
     @pl.when(j == nq)
     def _():
         R2 = R // 2
@@ -159,11 +165,10 @@ def _layer_kernel(idx_ref, meta_ref, pos_ref,
         o_row = jnp.where(row < Hq, m(7), jnp.where(row < Hq + Hkv, m(9), m(11)))
         q8f = jnp.clip(jnp.round(xq / s_row) + o_row, 0.0, 255.0) - 128.0
         q8_scr[:] = q8f
-        kvnew_ref[:] = q8f[Hq:R, :].astype(jnp.int8)
+        kvnew_set(q8f[Hq:R, :].astype(jnp.int8))
 
         sq, oqv = m(6), m(7) - 128.0
         sk, okv = m(8), m(9) - 128.0
-        sv, ovv = m(10), m(11) - 128.0
         neg_inf = m(18)
         inv = 1.0 / math.sqrt(hd)
         pos = pos_ref[0]
@@ -195,8 +200,16 @@ def _layer_kernel(idx_ref, meta_ref, pos_ref,
             e = jnp.exp(scores - mx)
             es = jnp.exp(s_self - mx)
             den = jnp.sum(e, axis=1, keepdims=True) + es
-            p = _fq16b(e / den, m(15), m(16), m(17))
-            ps = _fq16b(es / den, m(15), m(16), m(17))
+            p_scr[hkv * G:(hkv + 1) * G, :] = _fq16b(e / den, m(15), m(16),
+                                                     m(17))
+            ps_scr[hkv * G:(hkv + 1) * G, :] = _fq16b(es / den, m(15), m(16),
+                                                      m(17))
+
+    def _pv_o_phase():
+        sv, ovv = m(10), m(11) - 128.0
+        for hkv in range(Hkv):
+            p = p_scr[hkv * G:(hkv + 1) * G, :]                  # (G,S) f32
+            ps = ps_scr[hkv * G:(hkv + 1) * G, :]                # (G,1)
             vc = v_ref[0, 0, hkv].astype(jnp.float32)            # (S,hd)
             pv = jax.lax.dot_general(p, vc, (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
@@ -216,14 +229,23 @@ def _layer_kernel(idx_ref, meta_ref, pos_ref,
             a8 = flat_scr[:].reshape(1, Ko).astype(jnp.int8)
         else:
             a8 = a8f.reshape(1, Ko).astype(jnp.int8)
-        wo = ow_ref[0]
-        lo2 = wo & 0x0F
-        hi2 = ((wo.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
-        oacc = jax.lax.dot_general(a8[:, :Ko2], lo2, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.int32)
-        oacc = oacc + jax.lax.dot_general(a8[:, Ko2:], hi2,
-                                          (((1,), (0,)), ((), ())),
-                                          preferred_element_type=jnp.int32)
+        # o pack may ride as 1 block or 2 row-split blocks (the model kernel
+        # splits it so the two halves DMA during different phases): split
+        # s of ns covers packed rows [s*Ko2/ns, ...), i.e. lo = a8 cols of
+        # that range and hi = the same range shifted by Ko2
+        ns = len(ow_refs)
+        kq = Ko2 // ns
+        oacc = jnp.zeros((1, K), jnp.int32)
+        for si, owr in enumerate(ow_refs):
+            wo = owr[0]
+            lo2 = wo & 0x0F
+            hi2 = ((wo.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
+            oacc = oacc + jax.lax.dot_general(
+                a8[:, si * kq:(si + 1) * kq], lo2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            oacc = oacc + jax.lax.dot_general(
+                a8[:, Ko2 + si * kq:Ko2 + (si + 1) * kq], hi2,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
         oacc = oacc.astype(jnp.float32)
         rs = jnp.sum(a8.astype(jnp.int32), axis=1,
                      keepdims=True).astype(jnp.float32)
@@ -234,29 +256,109 @@ def _layer_kernel(idx_ref, meta_ref, pos_ref,
         oxa = m(20) - 128.0
         y = (oacc - oxa * co - oo * rs + Ko * oxa * oo) * (m(19) * so) + bo
         y = _fq16b(y, m(21), m(22), m(23))
-        resid_scr[:] = x_ref[:] + y
+        resid_scr[:] = x_get() + y
 
-    # ---- phases (nq, nq+nh]: whole MLP block on the attention residual -----
-    @pl.when(j > nq)
+    nqa = nq + 1 if split_attn else nq   # phase index of the PV + o-proj step
+
+    @pl.when(j == nqa)
     def _():
-        def out_set(yv):
-            out_ref[:] = yv
+        _pv_o_phase()
 
-        _w4_mlp_phase(j - (nq + 1), nh, lambda i: meta_ref[ATTN_META_LEN + i],
+    # ---- phases (nqa, nqa+nh]: whole MLP block on the attention residual ---
+    @pl.when(j > nqa)
+    def _():
+        _w4_mlp_phase(j - (nqa + 1), nh, lambda i: m(ATTN_META_LEN + i),
                       lambda: resid_scr[:], out_set,
                       mnw_ref, mnb_ref, w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref,
                       aux13_ref, w2p_ref, aux2_ref, acc_ref, rsum_ref, h_ref,
                       act_kind=act_kind, norm_kind=norm_kind, half_f=half_f)
 
 
+def _layer_kernel(idx_ref, meta_ref, pos_ref,
+                  x_ref, cs_ref, ofq_ref,
+                  anw_ref, anb_ref, qkvw_ref, qaux_ref,
+                  k_ref, v_ref, ow_ref, oaux_ref,
+                  mnw_ref, mnb_ref,
+                  w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
+                  w2p_ref, aux2_ref,
+                  out_ref, kvnew_ref,
+                  v2_scr, qk_scr, q8_scr, p_scr, ps_scr, attn_scr, flat_scr,
+                  resid_scr, h_ref, acc_ref, rsum_ref, **statics):
+    del idx_ref
+    j = pl.program_id(0)
+
+    def out_set(yv):
+        out_ref[:] = yv
+
+    def kvnew_set(rows):
+        kvnew_ref[:] = rows
+
+    _layer_phase(j, lambda i: meta_ref[i], pos_ref, cs_ref,
+                 lambda: x_ref[:], ofq_ref,
+                 anw_ref, anb_ref, qkvw_ref, qaux_ref, k_ref, v_ref,
+                 (ow_ref,), oaux_ref, mnw_ref, mnb_ref,
+                 w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
+                 w2p_ref, aux2_ref, out_set, kvnew_set,
+                 v2_scr, qk_scr, q8_scr, p_scr, ps_scr, attn_scr, flat_scr,
+                 resid_scr, h_ref, acc_ref, rsum_ref, **statics)
+
+
+def _model_kernel(meta_ref, pos_ref,
+                  x_ref, cs_ref, ofq_ref,
+                  anw_ref, anb_ref, qkvw_ref, qaux_ref,
+                  k_ref, v_ref, ow_a_ref, ow_b_ref, oaux_ref,
+                  mnw_ref, mnb_ref,
+                  w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
+                  w2p_ref, aux2_ref,
+                  out_ref, kvnew_ref,
+                  x_scr, v2_scr, qk_scr, q8_scr, p_scr, ps_scr, attn_scr,
+                  flat_scr, resid_scr, h_ref, acc_ref, rsum_ref,
+                  *, num_layers: int, **statics):
+    """Whole-MODEL decode kernel: grid = (L * P,) flat over (layer, phase).
+    The hidden state lives in x_scr across grid steps (layer l's final MLP
+    phase writes it for layer l+1's norm); weight/cache blocks stream by
+    layer-derived index maps, so layer l+1's first blocks prefetch during
+    layer l's MLP tail — no per-layer dispatch or DMA-startup cost."""
+    jj = pl.program_id(0)
+    P = statics["nq"] + 2 + statics["nh"]   # split_attn: PV+o is its own phase
+    l = jj // P
+    j = jj - l * P
+
+    @pl.when(jj == 0)
+    def _():
+        x_scr[:] = x_ref[:]
+
+    def out_set(yv):
+        x_scr[:] = yv
+
+        @pl.when(l == num_layers - 1)
+        def _():
+            out_ref[:] = yv
+
+    def kvnew_set(rows):
+        kvnew_ref[0] = rows
+
+    _layer_phase(j, lambda i: meta_ref[l, i], pos_ref, cs_ref,
+                 lambda: x_scr[:], ofq_ref,
+                 anw_ref, anb_ref, qkvw_ref, qaux_ref, k_ref, v_ref,
+                 (ow_a_ref, ow_b_ref), oaux_ref, mnw_ref, mnb_ref,
+                 w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
+                 w2p_ref, aux2_ref, out_set, kvnew_set,
+                 v2_scr, qk_scr, q8_scr, p_scr, ps_scr, attn_scr, flat_scr,
+                 resid_scr, h_ref, acc_ref, rsum_ref, split_attn=True,
+                 **statics)
+
+
 def _pick_block_nq(K2: int, Nq: int, hd: int) -> int:
-    """qkv column-block width: multiple of 128 (and of hd when hd > 128) that
-    divides Nq with per-step weight bytes K2*TNq <= ~3 MB (ktune pipelining
-    rules); falls back to the full width for small Nq."""
-    step = max(128, hd if hd > 128 else 128)
-    cap = max(step, (3 * 1024 * 1024) // max(K2, 1))
-    for t in range(min(cap, Nq), step - 1, -step):
-        if Nq % t == 0 and t % step == 0:
+    """qkv column-block width: divides Nq, per-step weight bytes K2*TNq <=
+    ~3 MB (ktune pipelining rules), and — when blocked — wide enough that the
+    scratch-store row offset j*(TNq/128 or TNq/hd) stays 8-row aligned (Mosaic
+    requires provably aligned dynamic sublane starts). Falls back to the full
+    width (static start 0)."""
+    step = 8 * max(hd, 128)
+    cap = (3 * 1024 * 1024) // max(K2, 1)
+    for t in range(min(cap, Nq) // step * step, step - 1, -step):
+        if Nq % t == 0:
             return t
     return Nq
 
@@ -269,7 +371,7 @@ def layer_kernel_supported(c, max_seq_len: int) -> bool:
         return False
     K = c.hidden_size
     Ko = c.num_heads * hd
-    return (K % 256 == 0 and Ko % 256 == 0 and (R * hd) % 128 == 0
+    return (K % 256 == 0 and Ko % 512 == 0 and (R * hd) % 128 == 0
             and max_seq_len % 128 == 0 and c.rotary_dim % 2 == 0
             and c.num_heads % c.num_kv_heads == 0
             and w4_mlp_block_supported(K, c.intermediate_size))
@@ -408,7 +510,7 @@ def fused_layer_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
                          memory_space=pltpu.VMEM),                    # x
             pl.BlockSpec((2, hd), lambda j, i: (0, 0),
                          memory_space=pltpu.VMEM),                    # rope cs
-            pl.BlockSpec((4, TNq), lambda j, i: (0, qcl(j)),
+            pl.BlockSpec((1, 4, TNq), lambda j, i: (0, 0, qcl(j)),
                          memory_space=pltpu.VMEM),                    # qkv ofq
             pl.BlockSpec((1, 1, K), lambda j, i: (i[0], 0, 0),
                          memory_space=pltpu.VMEM),                    # attn nw
@@ -455,6 +557,8 @@ def fused_layer_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
             pltpu.VMEM((max(Nq // 128, 1), 128), jnp.float32),        # v2
             pltpu.VMEM((R, hd), jnp.float32),                         # qk
             pltpu.VMEM((R, hd), jnp.float32),                         # q8 (f32)
+            pltpu.VMEM((Hq, S), jnp.float32),                         # probs
+            pltpu.VMEM((Hq, 1), jnp.float32),                         # p_self
             pltpu.VMEM((Hq, hd), jnp.float32),                        # attn
             pltpu.VMEM((max(Hq // 2, 1), 2 * hd), jnp.float32),       # flat
             pltpu.VMEM((1, K), jnp.float32),                          # resid
@@ -477,8 +581,188 @@ def fused_layer_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
             transcendentals=Hq * S + F),
         interpret=interpret,
     )(idx, meta, pos.astype(jnp.int32), x.astype(jnp.float32),
-      rope_cs.astype(jnp.float32), qkv_ofq.astype(jnp.float32),
+      rope_cs.astype(jnp.float32),
+      qkv_ofq.astype(jnp.float32).reshape(1, 4, Nq),
       anw3, anb3, qkvsp["wq"], qaux, kcache, vcache, osp["wq"], oaux,
       mnw3, mnb3, w13sp["wq"], w13sp["wq"], w13sp["wq"], w13sp["wq"], aux13,
       w2sp["wq"], aux2)
+    return out, kvnew
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_q_heads", "num_kv_heads", "head_dim", "rotary_dim", "act_kind",
+    "norm_kind", "interpret"))
+def fused_model_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
+                           qkv_ofq_L: jax.Array, anw_L, anb_L, qkvsp: dict,
+                           osp: dict, mnw_L, mnb_L, w13sp: dict, w2sp: dict,
+                           kcache: jax.Array, vcache: jax.Array,
+                           meta_L: jax.Array, *,
+                           num_q_heads: int, num_kv_heads: int, head_dim: int,
+                           rotary_dim: int, act_kind: str = "silu",
+                           norm_kind: str = "rmsnorm", interpret: bool = False):
+    """ALL decoder layers of the packed W4 engine in ONE dispatch (bs=1 decode).
+
+    Same per-layer contract as fused_layer_w4_stacked, but the grid runs flat
+    over (layer, phase): the hidden state is carried in VMEM scratch between
+    layers, and layer l+1's weight blocks prefetch during layer l's MLP tail,
+    so the per-layer dispatch + DMA-startup cost of the single-layer kernel
+    disappears. qkv_ofq_L (L,4,Nq); meta_L (L, LAYER_META_LEN).
+    Returns (x_out (1,K) fp32, kv_new (L, 2*Hkv, hd) int8)."""
+    Hq, Hkv, hd, rot = num_q_heads, num_kv_heads, head_dim, rotary_dim
+    M, K = x.shape
+    assert M == 1, "whole-model kernel is a bs=1 decode path"
+    L, K2w, Nq = qkvsp["wq"].shape
+    assert K2w * 2 == K
+    R = Hq + 2 * Hkv
+    assert Nq == R * hd, (Nq, R, hd)
+    S = kcache.shape[3]
+    Ko = Hq * hd
+    F = w2sp["wq"].shape[1] * 2
+    half_f = F // 2
+    TFh = _pick_block_fh(K, half_f)
+    assert TFh, (K, F)
+    nh = half_f // TFh
+    TNq = _pick_block_nq(K2w, Nq, hd)
+    nq = Nq // TNq
+    F2 = w13sp["wq"].shape[2]
+    perm = hd % 128 != 0
+
+    def aux(spd, n):
+        def rowv(v):
+            return jnp.broadcast_to(jnp.reshape(v, (L, 1, -1)),
+                                    (L, 1, n)).astype(jnp.float32)
+        return jnp.concatenate([rowv(spd["scale"]), rowv(spd["offset"]),
+                                rowv(spd["colsum"]), rowv(spd["bias"])], axis=1)
+
+    qaux = aux(qkvsp, Nq)
+    oaux = aux(osp, K)
+    aux13 = aux(w13sp, F2)
+    aux2 = aux(w2sp, K)
+    anw3 = jnp.reshape(anw_L, (L, 1, K)).astype(jnp.float32)
+    anb3 = jnp.reshape(anb_L, (L, 1, K)).astype(jnp.float32)
+    mnw3 = jnp.reshape(mnw_L, (L, 1, K)).astype(jnp.float32)
+    mnb3 = jnp.reshape(mnb_L, (L, 1, K)).astype(jnp.float32)
+
+    P = nq + 2 + nh    # qkv cols | scores+softmax | PV+o | MLP phases
+
+    def lyr(j):
+        return j // P
+
+    def ph(j):
+        return j - lyr(j) * P
+
+    def qcl(j):
+        return jnp.minimum(ph(j), nq - 1)
+
+    # fetch staggering (each index-map change triggers the DMA one grid step
+    # earlier): without it ~7 MB of layer l's blocks all fetch during layer
+    # l-1's LAST MLP phase (~2.5 us of compute) and stall the stream. The o
+    # pack rides as TWO row-split blocks and the K/V slabs are offset so the
+    # boundary load spreads over the qkv phases; w13/w2 block 0 fetches during
+    # the attention phase (the longest-compute step).
+    def d_lyr(j, delay):
+        return jnp.maximum(j - delay, 0) // P
+
+    def mlu(j):
+        return jnp.maximum(j - (nq + 2), 0)
+
+    def mlw(j):
+        return mlu(j) // P
+
+    def mlt(j):
+        return jnp.clip(mlu(j) - mlw(j) * P, 0, nh - 1)
+
+    kernel = functools.partial(
+        _model_kernel, num_layers=L, Hq=Hq, Hkv=Hkv, hd=hd, rot=rot, nq=nq,
+        nh=nh, half_f=half_f, act_kind=act_kind, norm_kind=norm_kind,
+        perm=perm)
+    wbytes = L * (K2w * Nq + Ko // 2 * K + K2w * F2 + (F // 2) * K)
+    out, kvnew = pl.pallas_call(
+        kernel,
+        grid=(L * P,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                    # meta_L
+            pl.BlockSpec(memory_space=pltpu.SMEM),                    # pos
+            pl.BlockSpec((1, K), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),                    # x
+            pl.BlockSpec((2, hd), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),                    # rope cs
+            pl.BlockSpec((1, 4, TNq), lambda j: (lyr(j), 0, qcl(j)),
+                         memory_space=pltpu.VMEM),                    # qkv ofq
+            pl.BlockSpec((1, 1, K), lambda j: (lyr(j), 0, 0),
+                         memory_space=pltpu.VMEM),                    # attn nw
+            pl.BlockSpec((1, 1, K), lambda j: (lyr(j), 0, 0),
+                         memory_space=pltpu.VMEM),                    # attn nb
+            pl.BlockSpec((1, K2w, TNq), lambda j: (lyr(j), 0, qcl(j)),
+                         memory_space=pltpu.VMEM),                    # qkv pack
+            pl.BlockSpec((1, 4, TNq), lambda j: (lyr(j), 0, qcl(j)),
+                         memory_space=pltpu.VMEM),                    # qkv aux
+            pl.BlockSpec((1, 1, Hkv, S, hd),
+                         lambda j: (d_lyr(j, nq - 1), 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                    # k cache
+            pl.BlockSpec((1, 1, Hkv, S, hd),
+                         lambda j: (d_lyr(j, nq + 1), 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                    # v cache
+            pl.BlockSpec((1, Ko // 4, K), lambda j: (d_lyr(j, nq), 0, 0),
+                         memory_space=pltpu.VMEM),                    # o pack a
+            pl.BlockSpec((1, Ko // 4, K), lambda j: (d_lyr(j, nq + 1), 1, 0),
+                         memory_space=pltpu.VMEM),                    # o pack b
+            pl.BlockSpec((1, 4, K), lambda j: (lyr(j), 0, 0),
+                         memory_space=pltpu.VMEM),                    # o aux
+            pl.BlockSpec((1, 1, K), lambda j: (lyr(j), 0, 0),
+                         memory_space=pltpu.VMEM),                    # mlp nw
+            pl.BlockSpec((1, 1, K), lambda j: (lyr(j), 0, 0),
+                         memory_space=pltpu.VMEM),                    # mlp nb
+            pl.BlockSpec((1, K2w, TFh), lambda j: (mlw(j), 0, mlt(j)),
+                         memory_space=pltpu.VMEM),                    # w1 lo
+            pl.BlockSpec((1, K2w, TFh), lambda j: (mlw(j), 0, nh + mlt(j)),
+                         memory_space=pltpu.VMEM),                    # w1 hi
+            pl.BlockSpec((1, K2w, TFh),
+                         lambda j: (mlw(j), 0, 2 * nh + mlt(j)),
+                         memory_space=pltpu.VMEM),                    # w3 lo
+            pl.BlockSpec((1, K2w, TFh),
+                         lambda j: (mlw(j), 0, 3 * nh + mlt(j)),
+                         memory_space=pltpu.VMEM),                    # w3 hi
+            pl.BlockSpec((1, 4, F2), lambda j: (lyr(j), 0, 0),
+                         memory_space=pltpu.VMEM),                    # aux13
+            pl.BlockSpec((1, TFh, K), lambda j: (mlw(j), mlt(j), 0),
+                         memory_space=pltpu.VMEM),                    # w2 pack
+            pl.BlockSpec((1, 4, K), lambda j: (lyr(j), 0, 0),
+                         memory_space=pltpu.VMEM),                    # aux2
+        ],
+        out_specs=[
+            pl.BlockSpec((1, K), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),                    # x out
+            pl.BlockSpec((1, 2 * Hkv, hd), lambda j: (lyr(j), 0, 0),
+                         memory_space=pltpu.VMEM),                    # k/v new
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, K), jnp.float32),                          # x carry
+            pltpu.VMEM((max(Nq // 128, 1), 128), jnp.float32),        # v2
+            pltpu.VMEM((R, hd), jnp.float32),                         # qk
+            pltpu.VMEM((R, hd), jnp.float32),                         # q8 (f32)
+            pltpu.VMEM((Hq, S), jnp.float32),                         # probs
+            pltpu.VMEM((Hq, 1), jnp.float32),                         # p_self
+            pltpu.VMEM((Hq, hd), jnp.float32),                        # attn
+            pltpu.VMEM((max(Hq // 2, 1), 2 * hd), jnp.float32),       # flat
+            pltpu.VMEM((1, K), jnp.float32),                          # resid
+            pltpu.VMEM((1, K), jnp.int8),                             # h
+            pltpu.VMEM((1, K), jnp.int32),                            # mlp acc
+            pltpu.VMEM((1, 1), jnp.int32),                            # mlp rsum
+        ],
+        out_shape=[jax.ShapeDtypeStruct((1, K), jnp.float32),
+                   jax.ShapeDtypeStruct((L, 2 * Hkv, hd), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * (K * Nq + Ko * K + K * F2 + F * K + 2 * Hq * S * hd),
+            bytes_accessed=wbytes + L * 2 * Hkv * S * hd,
+            transcendentals=L * (Hq * S + F)),
+        interpret=interpret,
+    )(meta_L.astype(jnp.float32), pos.astype(jnp.int32),
+      x.astype(jnp.float32), rope_cs.astype(jnp.float32),
+      qkv_ofq_L.astype(jnp.float32),
+      anw3, anb3, qkvsp["wq"], qaux, kcache, vcache, osp["wq"], osp["wq"],
+      oaux, mnw3, mnb3, w13sp["wq"], w13sp["wq"], w13sp["wq"], w13sp["wq"],
+      aux13, w2sp["wq"], aux2)
     return out, kvnew

@@ -456,6 +456,8 @@ def _qkv_ofq_rows(lp, sp, lr, policy):
     seg = sp["qkv_seg"]
     rows = []
     vals = []
+    if lr is None:
+        lr = {}
     for site in ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"):
         cfg = policy[site].output
         en_ = cfg is not None and cfg.enabled
@@ -469,6 +471,28 @@ def _qkv_ofq_rows(lp, sp, lr, policy):
         rows.append(jnp.where(seg == 0, vals[0][i],
                               jnp.where(seg == 1, vals[1][i], vals[2][i])))
     return jnp.stack(rows).astype(jnp.float32)
+
+
+def _qkv_ofq_rows_stacked(packed: dict, policy: QPolicy, c) -> jax.Array:
+    """(L, 4, Nq) qkv output-fq rows for the whole-model kernel (the stacked
+    analogue of _qkv_ofq_rows)."""
+    qkvp = packed["layers"]["qkvp"]
+    L, _, Nq = qkvp["wq"].shape
+    qcfg8 = policy["self_attn.q_proj"].output
+    if "out_scale" in qkvp and qcfg8 is not None and qcfg8.enabled:
+        sc = jnp.reshape(qkvp["out_scale"], (L, 1, Nq))
+        of = jnp.reshape(qkvp["out_offset"], (L, 1, Nq))
+        cm = jnp.full((L, 1, Nq), float(qcfg8.qmax), jnp.float32)
+        en = jnp.ones((L, 1, Nq), jnp.float32)
+        return jnp.concatenate([sc, of, cm, en], axis=1)
+    seg = packed["qkv_seg"]
+    fake_lp = {"qkvp": {"wq": qkvp["wq"][0]}}     # no out_scale -> seg branch
+
+    def per_layer(rv):
+        lr = _lr_from_rvec(rv, packed["ranges"])
+        return _qkv_ofq_rows(fake_lp, {"qkv_seg": seg}, lr, policy)
+
+    return jax.vmap(per_layer)(packed["rvec"])
 
 
 def _rope_cs_vec(cos, sin, hd: int, rot: int):
@@ -947,7 +971,34 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
                     jnp.zeros((c.num_layers, B, c.num_kv_heads, T, c.head_dim_), jnp.int8))
         cache_position = jnp.zeros((B,), jnp.int32)
 
-    h, kv_out = jax.lax.scan(body, x, xs, unroll=layer_unroll)
+    if (sp is not None and "kcache" in sp and "rvec" in packed
+            and "nomodelk" not in w4_mode and not c.is_moe
+            and not c.parallel_residual and c.hidden_act in ("silu", "gelu_tanh")
+            and "mlp_norm" in packed["layers"]):
+        # whole-MODEL kernel: the entire decode layer stack in ONE dispatch
+        # (grid flat over layer x phase; hidden state carried in VMEM scratch;
+        # layer l+1's weight blocks prefetch during layer l's MLP tail)
+        from mobilequant_tpu.ops import pallas_layer as _PL
+        ly = packed["layers"]
+        meta_L = jax.vmap(
+            lambda rv: _layer_meta(_lr_from_rvec(rv, packed["ranges"]),
+                                   policy, c))(packed["rvec"])
+        ofq_L = _qkv_ofq_rows_stacked(packed, policy, c)
+        hm, kvnew = _PL.fused_model_w4_stacked(
+            x.reshape(1, -1).astype(jnp.float32), cache_position[0:1],
+            sp["rope_cs"], ofq_L, ly["attn_norm"]["w"], ly["attn_norm"]["b"],
+            ly["qkvp"], ly["op"], ly["mlp_norm"]["w"], ly["mlp_norm"]["b"],
+            ly["w13_proj"], ly["w2"], kv_cache.k, kv_cache.v, meta_L,
+            num_q_heads=c.num_heads, num_kv_heads=c.num_kv_heads,
+            head_dim=c.head_dim_, rotary_dim=c.rotary_dim,
+            act_kind=c.hidden_act,
+            norm_kind="layernorm" if c.norm_class == "layernorm" else "rmsnorm")
+        h = hm.reshape(B, T, -1).astype(x.dtype)
+        Hkv_, hd_ = c.num_kv_heads, c.head_dim_
+        kv_out = (kvnew[:, :Hkv_].reshape(c.num_layers, B, Hkv_, 1, hd_),
+                  kvnew[:, Hkv_:].reshape(c.num_layers, B, Hkv_, 1, hd_))
+    else:
+        h, kv_out = jax.lax.scan(body, x, xs, unroll=layer_unroll)
     if kv_cache is not None and T == 1 and "attn" not in mode_s:
         # decode-light: the scan emitted only the new K/V rows; scatter them
         # into the cache with ONE batched update after the scan. This DUS

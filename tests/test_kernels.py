@@ -399,15 +399,15 @@ def test_whole_layer_w4_kernel_matches_engine_decode(variant):
     if variant == "llama_gqa64":
         cfg = dataclasses.replace(
             get_config("test-llama"), hidden_size=256, intermediate_size=512,
-            num_heads=4, num_kv_heads=2, head_dim=64, num_layers=2)
+            num_heads=8, num_kv_heads=4, head_dim=64, num_layers=2)
     elif variant == "stablelm_mha64_partial":
         cfg = dataclasses.replace(
             get_config("test-stablelm"), hidden_size=256, intermediate_size=512,
-            num_heads=4, num_kv_heads=4, head_dim=64, num_layers=2)
+            num_heads=8, num_kv_heads=8, head_dim=64, num_layers=2)
     else:
         cfg = dataclasses.replace(
             get_config("test-gemma"), hidden_size=256, intermediate_size=512,
-            num_heads=2, num_kv_heads=1, head_dim=128, num_layers=2)
+            num_heads=4, num_kv_heads=1, head_dim=128, num_layers=2)
     assert PL.layer_kernel_supported(cfg, 128)
 
     params = M.init_params(cfg, jax.random.PRNGKey(0))
@@ -423,42 +423,44 @@ def test_whole_layer_w4_kernel_matches_engine_decode(variant):
     packed = E.pack(params, ranges, cfg, base, ecfg)
     assert "qkvp" in packed["layers"] and "op" in packed["layers"]
 
-    orig = (PL.fused_layer_w4_stacked, PM.int_linear_pallas_stacked,
-            PMLP.fused_mlp_block_w4_stacked)
+    orig = (PL.fused_layer_w4_stacked, PL.fused_model_w4_stacked,
+            PM.int_linear_pallas_stacked, PMLP.fused_mlp_block_w4_stacked)
     PL.fused_layer_w4_stacked = functools.partial(orig[0], interpret=True)
-    PM.int_linear_pallas_stacked = functools.partial(orig[1], interpret=True)
-    PMLP.fused_mlp_block_w4_stacked = functools.partial(orig[2], interpret=True)
+    PL.fused_model_w4_stacked = functools.partial(orig[1], interpret=True)
+    PM.int_linear_pallas_stacked = functools.partial(orig[2], interpret=True)
+    PMLP.fused_mlp_block_w4_stacked = functools.partial(orig[3], interpret=True)
     t = jnp.asarray(tokens[:1])
     try:
         for policy in (base, relax_16bit(base)):
-            # prefill both caches identically via the XLA path
-            cache_a = E.init_kv_cache(ecfg, 1)
-            cache_b = E.init_kv_cache(ecfg, 1)
+            # prefill all caches identically via the XLA path; then decode:
+            # ref = XLA, b = per-LAYER kernel ("w4nomodelk"), m = whole-MODEL
+            caches = [E.init_kv_cache(ecfg, 1) for _ in range(3)]
             Tp = 5
             pos0 = jnp.zeros((1,), jnp.int32)
-            _, cache_a = E.forward(packed, t[:, :Tp], cfg, policy,
-                                   kv_cache=cache_a, cache_position=pos0)
-            _, cache_b = E.forward(packed, t[:, :Tp], cfg, policy,
-                                   kv_cache=cache_b, cache_position=pos0)
+            caches = [E.forward(packed, t[:, :Tp], cfg, policy, kv_cache=cc,
+                                cache_position=pos0)[1] for cc in caches]
             for i in range(3):
                 pos = jnp.full((1,), Tp + i, jnp.int32)
-                ref, cache_a = E.forward(
-                    packed, t[:, Tp + i:Tp + i + 1], cfg, policy,
-                    positions=pos[:, None], kv_cache=cache_a,
-                    cache_position=pos, kv_valid_len=pos + 1)
-                out, cache_b = E.forward(
-                    packed, t[:, Tp + i:Tp + i + 1], cfg, policy,
-                    positions=pos[:, None], kv_cache=cache_b,
-                    cache_position=pos, kv_valid_len=pos + 1,
-                    use_pallas=True)
-                np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                outs = []
+                for ci, up in enumerate((False, "w4nomodelk", True)):
+                    o, caches[ci] = E.forward(
+                        packed, t[:, Tp + i:Tp + i + 1], cfg, policy,
+                        positions=pos[:, None], kv_cache=caches[ci],
+                        cache_position=pos, kv_valid_len=pos + 1,
+                        use_pallas=up)
+                    outs.append(np.asarray(o))
+                np.testing.assert_allclose(outs[1], outs[0],
+                                           rtol=2e-4, atol=2e-4)
+                np.testing.assert_allclose(outs[2], outs[0],
                                            rtol=2e-4, atol=2e-4)
             # the int8 caches must agree bit-exactly after the chain
-            np.testing.assert_array_equal(np.asarray(cache_b.k),
-                                          np.asarray(cache_a.k))
-            np.testing.assert_array_equal(np.asarray(cache_b.v),
-                                          np.asarray(cache_a.v))
+            for cc in caches[1:]:
+                np.testing.assert_array_equal(np.asarray(cc.k),
+                                              np.asarray(caches[0].k))
+                np.testing.assert_array_equal(np.asarray(cc.v),
+                                              np.asarray(caches[0].v))
     finally:
         PL.fused_layer_w4_stacked = orig[0]
-        PM.int_linear_pallas_stacked = orig[1]
-        PMLP.fused_mlp_block_w4_stacked = orig[2]
+        PL.fused_model_w4_stacked = orig[1]
+        PM.int_linear_pallas_stacked = orig[2]
+        PMLP.fused_mlp_block_w4_stacked = orig[3]
