@@ -94,10 +94,14 @@ def main():
             ("w8a8", 8, False, False, 16),
             ("w8a8_fast", 8, False, True, 16),
             ("w8a8_fast_h8", 8, False, True, 8),
+            ("w8a8_kernel_h8", 8, True, True, 8),
             ("w4a8_pallas", 4, True, True, 16),
             ("w4a8_pallas_h4", 4, True, True, 4)):
         if use_pallas and jax.default_backend() == "cpu":
             continue   # Pallas TPU kernels don't compile on the CPU backend
+        if w_bits == 8 and head_bits == 8 and use_pallas \
+                and jax.default_backend() == "cpu":
+            continue
         if head_bits == 4 and jax.default_backend() == "cpu":
             continue   # W4 head decode path uses the Pallas fused-unpack kernel
         packed, cfg, policy, ecfg = _build_packed_tinyllama(w_bits=w_bits,
@@ -208,6 +212,7 @@ def main():
             mcfg = get_config(mname)
             for mtag, mw, mup, mhb in (("w8a8", 8, False, 16),
                                        ("w8a8_h8", 8, False, 8),
+                                       ("w8a8_kernel_h8", 8, True, 8),
                                        ("w4a8_h4", 4, True, 4)):
                 packed, _, mpolicy, mecfg = _build_base(
                     max_seq_len=seq, w_bits=mw, model_name=mname, head_bits=mhb)

@@ -70,13 +70,13 @@ def _layer_phase(j, m, pos_ref, cs_ref, x_get, ofq_ref,
                  k_ref, v_ref, ow_refs, oaux_ref,
                  mnw_ref, mnb_ref,
                  w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
-                 w2p_ref, aux2_ref,
+                 w2p_refs, aux2_ref,
                  out_set, kvnew_set,
                  v2_scr, qk_scr, q8_scr, p_scr, ps_scr, attn_scr, flat_scr,
                  resid_scr, h_ref, acc_ref, rsum_ref,
                  *, Hq: int, Hkv: int, hd: int, rot: int, nq: int, nh: int,
                  half_f: int, act_kind: str, norm_kind: str, perm: bool,
-                 split_attn: bool = False):
+                 split_attn: bool = False, wbits: int = 4):
     """One decoder-layer phase: j = traced phase index within the layer
     (0..nq-1 qkv blocks, nq attention+o, nq+1..nq+nh MLP). m(i) reads meta
     scalar i, x_get() the (1,K) fp32 residual input, out_set(y) the layer
@@ -111,12 +111,17 @@ def _layer_phase(j, m, pos_ref, cs_ref, x_get, ofq_ref,
         rowsum = jnp.sum(h.astype(jnp.int32), axis=1,
                          keepdims=True).astype(jnp.float32)
         wp = qkvw_ref[0]
-        lo = wp & 0x0F
-        hi = ((wp.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
-        acc = jax.lax.dot_general(h[:, :K2], lo, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.int32)
-        acc = acc + jax.lax.dot_general(h[:, K2:], hi, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.int32)
+        if wbits == 8:
+            acc = jax.lax.dot_general(h, wp, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+        else:
+            lo = wp & 0x0F
+            hi = ((wp.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
+            acc = jax.lax.dot_general(h[:, :K2], lo, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            acc = acc + jax.lax.dot_general(h[:, K2:], hi,
+                                            (((1,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.int32)
         acc = acc.astype(jnp.float32)
         s = qaux_ref[0, 0:1, :]
         o = qaux_ref[0, 1:2, :]
@@ -234,18 +239,27 @@ def _layer_phase(j, m, pos_ref, cs_ref, x_get, ofq_ref,
         # s of ns covers packed rows [s*Ko2/ns, ...), i.e. lo = a8 cols of
         # that range and hi = the same range shifted by Ko2
         ns = len(ow_refs)
-        kq = Ko2 // ns
         oacc = jnp.zeros((1, K), jnp.int32)
-        for si, owr in enumerate(ow_refs):
-            wo = owr[0]
-            lo2 = wo & 0x0F
-            hi2 = ((wo.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
-            oacc = oacc + jax.lax.dot_general(
-                a8[:, si * kq:(si + 1) * kq], lo2, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            oacc = oacc + jax.lax.dot_general(
-                a8[:, Ko2 + si * kq:Ko2 + (si + 1) * kq], hi2,
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        if wbits == 8:
+            kq = Ko // ns
+            for si, owr in enumerate(ow_refs):
+                oacc = oacc + jax.lax.dot_general(
+                    a8[:, si * kq:(si + 1) * kq], owr[0],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+        else:
+            kq = Ko2 // ns
+            for si, owr in enumerate(ow_refs):
+                wo = owr[0]
+                lo2 = wo & 0x0F
+                hi2 = ((wo.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
+                oacc = oacc + jax.lax.dot_general(
+                    a8[:, si * kq:(si + 1) * kq], lo2,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                oacc = oacc + jax.lax.dot_general(
+                    a8[:, Ko2 + si * kq:Ko2 + (si + 1) * kq], hi2,
+                    (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
         oacc = oacc.astype(jnp.float32)
         rs = jnp.sum(a8.astype(jnp.int32), axis=1,
                      keepdims=True).astype(jnp.float32)
@@ -270,8 +284,9 @@ def _layer_phase(j, m, pos_ref, cs_ref, x_get, ofq_ref,
         _w4_mlp_phase(j - (nqa + 1), nh, lambda i: m(ATTN_META_LEN + i),
                       lambda: resid_scr[:], out_set,
                       mnw_ref, mnb_ref, w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref,
-                      aux13_ref, w2p_ref, aux2_ref, acc_ref, rsum_ref, h_ref,
-                      act_kind=act_kind, norm_kind=norm_kind, half_f=half_f)
+                      aux13_ref, w2p_refs, aux2_ref, acc_ref, rsum_ref, h_ref,
+                      act_kind=act_kind, norm_kind=norm_kind, half_f=half_f,
+                      wbits=wbits)
 
 
 def _layer_kernel(idx_ref, meta_ref, pos_ref,
@@ -280,7 +295,7 @@ def _layer_kernel(idx_ref, meta_ref, pos_ref,
                   k_ref, v_ref, ow_ref, oaux_ref,
                   mnw_ref, mnb_ref,
                   w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
-                  w2p_ref, aux2_ref,
+                  w2p_ref, w2b_ref, aux2_ref,
                   out_ref, kvnew_ref,
                   v2_scr, qk_scr, q8_scr, p_scr, ps_scr, attn_scr, flat_scr,
                   resid_scr, h_ref, acc_ref, rsum_ref, **statics):
@@ -298,7 +313,9 @@ def _layer_kernel(idx_ref, meta_ref, pos_ref,
                  anw_ref, anb_ref, qkvw_ref, qaux_ref, k_ref, v_ref,
                  (ow_ref,), oaux_ref, mnw_ref, mnb_ref,
                  w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
-                 w2p_ref, aux2_ref, out_set, kvnew_set,
+                 (w2p_ref,) if statics.get("wbits", 4) == 4
+                 else (w2p_ref, w2b_ref),
+                 aux2_ref, out_set, kvnew_set,
                  v2_scr, qk_scr, q8_scr, p_scr, ps_scr, attn_scr, flat_scr,
                  resid_scr, h_ref, acc_ref, rsum_ref, **statics)
 
@@ -309,7 +326,7 @@ def _model_kernel(meta_ref, pos_ref,
                   k_ref, v_ref, ow_a_ref, ow_b_ref, oaux_ref,
                   mnw_ref, mnb_ref,
                   w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
-                  w2p_ref, aux2_ref,
+                  w2p_ref, w2b_ref, aux2_ref,
                   out_ref, kvnew_ref,
                   x_scr, v2_scr, qk_scr, q8_scr, p_scr, ps_scr, attn_scr,
                   flat_scr, resid_scr, h_ref, acc_ref, rsum_ref,
@@ -343,7 +360,9 @@ def _model_kernel(meta_ref, pos_ref,
                  anw_ref, anb_ref, qkvw_ref, qaux_ref, k_ref, v_ref,
                  (ow_a_ref, ow_b_ref), oaux_ref, mnw_ref, mnb_ref,
                  w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
-                 w2p_ref, aux2_ref, out_set, kvnew_set,
+                 (w2p_ref,) if statics.get("wbits", 4) == 4
+                 else (w2p_ref, w2b_ref),
+                 aux2_ref, out_set, kvnew_set,
                  v2_scr, qk_scr, q8_scr, p_scr, ps_scr, attn_scr, flat_scr,
                  resid_scr, h_ref, acc_ref, rsum_ref, split_attn=True,
                  **statics)
@@ -427,9 +446,12 @@ def build_layer_packs(qkv: dict, o: dict, c):
         qkvp = {k: v[..., perm] for k, v in qkv.items()}
         seg = seg[perm]
         operm = o_row_perm(Hq, hd)
-        wq_full = qops.unpack_nibbles(o["wq"])         # (L, Ko, K), 0..15
         op = dict(o)
-        op["wq"] = qops.pack_nibbles(wq_full[:, operm, :])
+        if o["wq"].shape[1] * 2 == Hq * hd:            # W4 nibble pack
+            wq_full = qops.unpack_nibbles(o["wq"])     # (L, Ko, K), 0..15
+            op["wq"] = qops.pack_nibbles(wq_full[:, operm, :])
+        else:                                          # W8: plain row permute
+            op["wq"] = o["wq"][:, operm, :]
     return qkvp, op, jnp.asarray(seg, jnp.int32)
 
 
@@ -456,13 +478,16 @@ def fused_layer_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
     M, K = x.shape
     assert M == 1, "whole-layer kernel is a bs=1 decode path"
     L, K2w, Nq = qkvsp["wq"].shape
-    assert K2w * 2 == K
+    wbits = 4 if K2w * 2 == K else 8
+    assert K2w * 2 == K or K2w == K
+    assert w13sp["wq"].shape[1] == K2w, "qkv/w13 pack bitwidths must match"
     R = Hq + 2 * Hkv
     assert Nq == R * hd, (Nq, R, hd)
     S = kcache.shape[3]
     Ko = Hq * hd
-    L2, F2h, Kw = w2sp["wq"].shape
-    F = F2h * 2
+    Kor = osp["wq"].shape[1]            # Ko/2 (W4 nibble) or Ko (W8)
+    F2h = w2sp["wq"].shape[1]           # F/2 (W4) or F (W8)
+    F = w13sp["wq"].shape[2] // 2
     half_f = F // 2
     TFh = _pick_block_fh(K, half_f)
     assert TFh, (K, F)
@@ -497,9 +522,11 @@ def fused_layer_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
     def qcl(j):
         return jnp.minimum(j, nq - 1)
 
+    w2blk = nh if wbits == 8 else 0     # W8: seg_hi row blocks start at nh
     kernel = functools.partial(
         _layer_kernel, Hq=Hq, Hkv=Hkv, hd=hd, rot=rot, nq=nq, nh=nh,
-        half_f=half_f, act_kind=act_kind, norm_kind=norm_kind, perm=perm)
+        half_f=half_f, act_kind=act_kind, norm_kind=norm_kind, perm=perm,
+        wbits=wbits)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nsteps,),
@@ -524,7 +551,7 @@ def fused_layer_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
                          memory_space=pltpu.VMEM),                    # k cache
             pl.BlockSpec((1, 1, Hkv, S, hd), lambda j, i: (i[0], 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),                    # v cache
-            pl.BlockSpec((1, Ko // 2, K), lambda j, i: (i[0], 0, 0),
+            pl.BlockSpec((1, Kor, K), lambda j, i: (i[0], 0, 0),
                          memory_space=pltpu.VMEM),                    # o pack
             pl.BlockSpec((1, 4, K), lambda j, i: (i[0], 0, 0),
                          memory_space=pltpu.VMEM),                    # o aux
@@ -544,6 +571,10 @@ def fused_layer_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
                          memory_space=pltpu.VMEM),                    # aux13
             pl.BlockSpec((1, TFh, K), lambda j, i: (i[0], tcl(j), 0),
                          memory_space=pltpu.VMEM),                    # w2 pack
+            pl.BlockSpec((1, TFh if wbits == 8 else 32, K),
+                         lambda j, i: (i[0], w2blk + tcl(j)
+                                       if wbits == 8 else 0, 0),
+                         memory_space=pltpu.VMEM),            # w2 seg_hi (W8)
             pl.BlockSpec((1, 4, K), lambda j, i: (i[0], 0, 0),
                          memory_space=pltpu.VMEM),                    # aux2
         ],
@@ -567,7 +598,7 @@ def fused_layer_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
             pltpu.VMEM((1, 1), jnp.int32),                            # mlp rsum
         ],
     )
-    wbytes = K2w * Nq + Ko // 2 * K + K2w * F2 + F2h * K
+    wbytes = K2w * Nq + Kor * K + K2w * F2 + F2h * K
     out, kvnew = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -585,7 +616,7 @@ def fused_layer_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
       qkv_ofq.astype(jnp.float32).reshape(1, 4, Nq),
       anw3, anb3, qkvsp["wq"], qaux, kcache, vcache, osp["wq"], oaux,
       mnw3, mnb3, w13sp["wq"], w13sp["wq"], w13sp["wq"], w13sp["wq"], aux13,
-      w2sp["wq"], aux2)
+      w2sp["wq"], w2sp["wq"], aux2)
     return out, kvnew
 
 
@@ -612,12 +643,15 @@ def fused_model_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
     M, K = x.shape
     assert M == 1, "whole-model kernel is a bs=1 decode path"
     L, K2w, Nq = qkvsp["wq"].shape
-    assert K2w * 2 == K
+    wbits = 4 if K2w * 2 == K else 8
+    assert K2w * 2 == K or K2w == K
+    assert w13sp["wq"].shape[1] == K2w, "qkv/w13 pack bitwidths must match"
     R = Hq + 2 * Hkv
     assert Nq == R * hd, (Nq, R, hd)
     S = kcache.shape[3]
     Ko = Hq * hd
-    F = w2sp["wq"].shape[1] * 2
+    Kor = osp["wq"].shape[1]            # Ko/2 (W4 nibble) or Ko (W8)
+    F = w13sp["wq"].shape[2] // 2
     half_f = F // 2
     TFh = _pick_block_fh(K, half_f)
     assert TFh, (K, F)
@@ -672,11 +706,12 @@ def fused_model_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
     def mlt(j):
         return jnp.clip(mlu(j) - mlw(j) * P, 0, nh - 1)
 
+    w2blk = nh if wbits == 8 else 0     # W8: seg_hi row blocks start at nh
     kernel = functools.partial(
         _model_kernel, num_layers=L, Hq=Hq, Hkv=Hkv, hd=hd, rot=rot, nq=nq,
         nh=nh, half_f=half_f, act_kind=act_kind, norm_kind=norm_kind,
-        perm=perm)
-    wbytes = L * (K2w * Nq + Ko // 2 * K + K2w * F2 + (F // 2) * K)
+        perm=perm, wbits=wbits)
+    wbytes = L * (K2w * Nq + Kor * K + K2w * F2 + w2sp["wq"].shape[1] * K)
     out, kvnew = pl.pallas_call(
         kernel,
         grid=(L * P,),
@@ -703,9 +738,10 @@ def fused_model_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
             pl.BlockSpec((1, 1, Hkv, S, hd),
                          lambda j: (d_lyr(j, nq + 1), 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),                    # v cache
-            pl.BlockSpec((1, Ko // 4, K), lambda j: (d_lyr(j, nq), 0, 0),
+            pl.BlockSpec((1, Kor // 2, K), lambda j: (d_lyr(j, nq), 0, 0),
                          memory_space=pltpu.VMEM),                    # o pack a
-            pl.BlockSpec((1, Ko // 4, K), lambda j: (d_lyr(j, nq + 1), 1, 0),
+            pl.BlockSpec((1, Kor // 2, K),
+                         lambda j: (d_lyr(j, nq + 1), 1, 0),
                          memory_space=pltpu.VMEM),                    # o pack b
             pl.BlockSpec((1, 4, K), lambda j: (lyr(j), 0, 0),
                          memory_space=pltpu.VMEM),                    # o aux
@@ -727,6 +763,10 @@ def fused_model_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
                          memory_space=pltpu.VMEM),                    # aux13
             pl.BlockSpec((1, TFh, K), lambda j: (mlw(j), mlt(j), 0),
                          memory_space=pltpu.VMEM),                    # w2 pack
+            pl.BlockSpec((1, TFh if wbits == 8 else 32, K),
+                         lambda j: (mlw(j), w2blk + mlt(j)
+                                    if wbits == 8 else 0, 0),
+                         memory_space=pltpu.VMEM),            # w2 seg_hi (W8)
             pl.BlockSpec((1, 4, K), lambda j: (lyr(j), 0, 0),
                          memory_space=pltpu.VMEM),                    # aux2
         ],
@@ -764,5 +804,5 @@ def fused_model_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
       qkv_ofq_L.astype(jnp.float32),
       anw3, anb3, qkvsp["wq"], qaux, kcache, vcache, osp["wq"], osp["wq"],
       oaux, mnw3, mnb3, w13sp["wq"], w13sp["wq"], w13sp["wq"], w13sp["wq"],
-      aux13, w2sp["wq"], aux2)
+      aux13, w2sp["wq"], w2sp["wq"], aux2)
     return out, kvnew

@@ -398,9 +398,10 @@ def fused_mlp_block(x: jax.Array, norm_w, norm_b, w13: dict, w2: dict,
 
 def _w4_mlp_phase(j, nj, m, x_get, out_set, nw_ref, nb_ref,
                   w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
-                  w2p_ref, aux2_ref,
+                  w2p_refs, aux2_ref,
                   acc_ref, rsum_ref, h_ref,
-                  *, act_kind: str, norm_kind: str, half_f: int):
+                  *, act_kind: str, norm_kind: str, half_f: int,
+                  wbits: int = 4):
     """Phase body of the stacked W4 whole-MLP-block kernel, parameterised so it
     can ALSO run as the tail phases of the whole-layer kernel
     (ops/pallas_layer.py): j/nj are the phase index/count within the MLP stage,
@@ -408,7 +409,7 @@ def _w4_mlp_phase(j, nj, m, x_get, out_set, nw_ref, nb_ref,
     returns the (M,K) fp32 residual, out_set(y) writes the final output."""
     M, K = h_ref.shape
     K2 = K // 2
-    TFh = w2p_ref.shape[1]
+    TFh = w2p_refs[0].shape[1]
 
     @pl.when(j == 0)
     def _():
@@ -430,17 +431,23 @@ def _w4_mlp_phase(j, nj, m, x_get, out_set, nw_ref, nb_ref,
     h_lo, h_hi = h[:, :K2], h[:, K2:]
 
     def w4_mm(wp_ref, col0):
-        """K-packed W4 block (1,K2,TFh) × h → corrected fp32 (M,TFh).
+        """Weight block × h → corrected fp32 (M,TFh): K-packed W4 (1,K2,TFh)
+        nibble block, or a plain (1,K,TFh) int8 block for wbits=8.
         col0: this segment's column offset into the (4, 2F) aux13 operand."""
-        wp = wp_ref[0]
-        lo = wp & 0x0F
-        hi = ((wp.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
-        acc = jax.lax.dot_general(
-            h_lo, lo, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        acc = acc + jax.lax.dot_general(
-            h_hi, hi, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
+        if wbits == 8:
+            acc = jax.lax.dot_general(
+                h, wp_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        else:
+            wp = wp_ref[0]
+            lo = wp & 0x0F
+            hi = ((wp.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                h_lo, lo, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc = acc + jax.lax.dot_general(
+                h_hi, hi, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
         acc = acc.astype(jnp.float32)
         s = aux13_ref[0, 0:1, pl.ds(col0, TFh)]
         o = aux13_ref[0, 1:2, pl.ds(col0, TFh)]
@@ -470,15 +477,24 @@ def _w4_mlp_phase(j, nj, m, x_get, out_set, nw_ref, nb_ref,
     g8_lo = _quant_u8s(act_lo, m(14), m(15))
     g8_hi = _quant_u8s(act_hi, m(14), m(15))
 
-    w2p = w2p_ref[0]                    # (TFh, K) packed: lo=seg_lo, hi=seg_hi
-    lo2 = w2p & 0x0F
-    hi2 = ((w2p.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
-    part = jax.lax.dot_general(
-        g8_lo, lo2, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    part = part + jax.lax.dot_general(
-        g8_hi, hi2, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
+    if wbits == 8:
+        # two plain (TFh, K) int8 row blocks: seg_lo rows and seg_hi rows
+        part = jax.lax.dot_general(
+            g8_lo, w2p_refs[0][0], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        part = part + jax.lax.dot_general(
+            g8_hi, w2p_refs[1][0], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+    else:
+        w2p = w2p_refs[0][0]            # (TFh, K) packed: lo=seg_lo, hi=seg_hi
+        lo2 = w2p & 0x0F
+        hi2 = ((w2p.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
+        part = jax.lax.dot_general(
+            g8_lo, lo2, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        part = part + jax.lax.dot_general(
+            g8_hi, hi2, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
     rsum_part = (jnp.sum(g8_lo.astype(jnp.int32), axis=1, keepdims=True)
                  + jnp.sum(g8_hi.astype(jnp.int32), axis=1, keepdims=True))
 
@@ -521,7 +537,7 @@ def _w4_mlp_block_kernel(idx_ref, meta_ref, x_ref, nw_ref, nb_ref,
 
     _w4_mlp_phase(j, nj, lambda i: meta_ref[i], lambda: x_ref[:], out_set,
                   nw_ref, nb_ref, w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref,
-                  aux13_ref, w2p_ref, aux2_ref, acc_ref, rsum_ref, h_ref,
+                  aux13_ref, (w2p_ref,), aux2_ref, acc_ref, rsum_ref, h_ref,
                   act_kind=act_kind, norm_kind=norm_kind, half_f=half_f)
 
 

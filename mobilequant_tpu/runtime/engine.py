@@ -159,16 +159,23 @@ def pack(params: dict, ranges: dict, config: ModelConfig, policy: QPolicy,
             layers["w13_proj"]["out_scale"] = osc
             layers["w13_proj"]["out_offset"] = oof
 
+    def _rows(name):
+        return layers[name]["wq"].shape[1]
+
     qkv_seg = None
-    if ("qkv_proj" in layers and "w13_proj" in layers
-            and layers["qkv_proj"]["wq"].shape[1] * 2 == c.hidden_size
-            and layers["w13_proj"]["wq"].shape[1] * 2 == c.hidden_size
-            and layers["o_proj"]["wq"].shape[1] * 2 == c.num_heads * c.head_dim_
-            and layers["w2"]["wq"].shape[1] * 2 == c.intermediate_size):
-        # W4-packed fused model: build the whole-layer kernel's permuted packs
-        # (ops/pallas_layer.py — identity/shared arrays when hd % 128 == 0)
+    if "qkv_proj" in layers and "w13_proj" in layers:
+        Ko_ = c.num_heads * c.head_dim_
+        w4p = _rows("qkv_proj") * 2 == c.hidden_size          # nibble-packed?
+        dv = 2 if w4p else 1
+        aligned = (_rows("qkv_proj") * dv == c.hidden_size
+                   and _rows("w13_proj") * dv == c.hidden_size
+                   and _rows("o_proj") * dv == Ko_
+                   and _rows("w2") * dv == c.intermediate_size)
+        # W4- or W8-packed fused model: build the whole-layer/whole-model
+        # kernels' permuted packs (ops/pallas_layer.py — identity/shared
+        # arrays when hd % 128 == 0)
         from mobilequant_tpu.ops import pallas_layer as PL
-        if PL.layer_kernel_supported(c, ecfg.max_seq_len):
+        if aligned and PL.layer_kernel_supported(c, ecfg.max_seq_len):
             layers["qkvp"], layers["op"], qkv_seg = PL.build_layer_packs(
                 layers["qkv_proj"], layers["o_proj"], c)
 

@@ -381,7 +381,7 @@ def test_w4_mlp_block_stacked_matches_engine():
 
 
 @pytest.mark.parametrize("variant", ["llama_gqa64", "stablelm_mha64_partial",
-                                     "gemma_mqa128"])
+                                     "gemma_mqa128", "llama_gqa64_w8"])
 def test_whole_layer_w4_kernel_matches_engine_decode(variant):
     """The whole-layer W4 megakernel (norm->qkv->rope->decode-light attention->
     o->residual->MLP, ops/pallas_layer.py) == the XLA engine decode path
@@ -396,7 +396,7 @@ def test_whole_layer_w4_kernel_matches_engine_decode(variant):
     from mobilequant_tpu.quant.policy import default_policy, relax_16bit
     from mobilequant_tpu.runtime import engine as E
 
-    if variant == "llama_gqa64":
+    if variant.startswith("llama_gqa64"):
         cfg = dataclasses.replace(
             get_config("test-llama"), hidden_size=256, intermediate_size=512,
             num_heads=8, num_kv_heads=4, head_dim=64, num_layers=2)
@@ -410,16 +410,17 @@ def test_whole_layer_w4_kernel_matches_engine_decode(variant):
             num_heads=4, num_kv_heads=1, head_dim=128, num_layers=2)
     assert PL.layer_kernel_supported(cfg, 128)
 
+    wb = 8 if variant.endswith("_w8") else 4
     params = M.init_params(cfg, jax.random.PRNGKey(0))
     base = default_policy(cfg,
-                          QuantConfig(bitwidth=4, is_per_channel=True,
-                                      is_symmetric=True),
+                          QuantConfig(bitwidth=wb, is_per_channel=True,
+                                      is_symmetric=(wb == 4)),
                           QuantConfig(bitwidth=8))
     tokens = np.random.default_rng(0).integers(
         0, cfg.vocab_size, (2, 8)).astype(np.int32)
     stats = calibrate.run_calibration(params, tokens, cfg, base, batch_size=2)
     ranges = calibrate.stats_to_ranges(stats, base)
-    ecfg = E.EngineConfig(model=cfg, max_seq_len=128, weight_bits=4)
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=128, weight_bits=wb)
     packed = E.pack(params, ranges, cfg, base, ecfg)
     assert "qkvp" in packed["layers"] and "op" in packed["layers"]
 
