@@ -123,22 +123,32 @@ def main():
         log(f"{name} decode: {tps:.1f} tok/s (bs=1, S=1024, marginal)")
         del packed
 
-    # --- W8A8 batched decode (serving shape: weight reads amortize over slots) ---
-    packed, cfg, policy, ecfg = _build_packed_tinyllama(w_bits=8)
+    # --- batched decode (serving shape: weight reads amortize over slots) ---
     B = 8
+    for bname, bw, bup, bhb in (("w8a8", 8, False, 16),
+                                ("w8a8_kernel", 8, True, 8),
+                                ("w4a8_kernel", 4, True, 4)):
+        if bup and jax.default_backend() == "cpu":
+            continue
+        packed, cfg, policy, ecfg = _build_packed_tinyllama(w_bits=bw,
+                                                            head_bits=bhb)
+        if bup:
+            policy = relax_16bit(policy)
 
-    def make_chunk8(n, _c=cfg, _p=policy):
-        @jax.jit
-        def chunk(packed, token, cache, pos):
-            toks, _, _ = E.decode_loop(packed, token, cache, pos, n, _c, _p)
-            return toks
-        return chunk
+        def make_chunk8(n, _c=cfg, _p=policy, _up=bup):
+            @jax.jit
+            def chunk(packed, token, cache, pos):
+                toks, _, _ = E.decode_loop(packed, token, cache, pos, n, _c,
+                                           _p, use_pallas=_up)
+                return toks
+            return chunk
 
-    tps = time_decode_loop(make_chunk8, packed,
-                           lambda: E.init_kv_cache(ecfg, B), B, cfg.vocab_size) * B
-    results["w8a8_bs8_decode_tok_s"] = tps
-    log(f"w8a8 bs=8 decode: {tps:.1f} tok/s total (marginal)")
-    del packed
+        tps = time_decode_loop(make_chunk8, packed,
+                               lambda: E.init_kv_cache(ecfg, B), B,
+                               cfg.vocab_size) * B
+        results[f"{bname}_bs8_decode_tok_s"] = tps
+        log(f"{bname} bs=8 decode: {tps:.1f} tok/s total (marginal)")
+        del packed
 
     # --- bf16 FP baseline (same in-graph loop shape) ---
     cfg = get_config(model_name)

@@ -12,10 +12,21 @@
 //
 // Exposed as a C ABI for ctypes (no pybind11 in this image). Thread-safety: each
 // handle is independently usable from one thread; no globals besides the
-// per-thread error string.
+// per-thread error string and the log level.
+//
+// mqtpu_session_*: the analogue of the reference's libllmod C API
+// (capp/api/libllmod.h:42-133 setup/run/ref/release, capp/src/errors.{h,cpp}
+// per-context error table, capp/src/logging.{h,cpp} levels, and the llm.cpp
+// generate() orchestration): a ref-counted, magic-validated session owning the
+// tokenizer + sampler + chat template that drives an autoregressive decode
+// loop through a caller-supplied forward callback. On the reference the
+// callback role is played by the QNN graph execute; here it is the compiled
+// XLA decode step (bridged from Python via ctypes, or any C host that owns a
+// PJRT executable).
 
 #include <algorithm>
 #include <cmath>
+#include <cstdarg>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -30,6 +41,20 @@ namespace {
 thread_local std::string g_error;
 
 void set_error(const std::string& msg) { g_error = msg; }
+
+// leveled logging (reference logging.h NOTHING/ERROR/INFO/DEBUG/ABUSIVE)
+int g_log_level = 1;  // ERROR
+
+void logmsg(int lvl, const char* fmt, ...) {
+    if (lvl > g_log_level) return;
+    static const char* names[] = {"-", "E", "I", "D", "A"};
+    std::fprintf(stderr, "[mqtpu:%s] ", names[lvl < 0 ? 0 : (lvl > 4 ? 4 : lvl)]);
+    va_list ap;
+    va_start(ap, fmt);
+    std::vfprintf(stderr, fmt, ap);
+    va_end(ap);
+    std::fprintf(stderr, "\n");
+}
 
 // ---------------------------------------------------------------------------
 // Tokenizer
@@ -239,6 +264,129 @@ struct Sampler {
 // C ABI
 // ---------------------------------------------------------------------------
 
+// ---------------------------------------------------------------------------
+// Session: tokenizer + sampler + chat template + decode-loop orchestration
+// ---------------------------------------------------------------------------
+
+// forward callback: one token, one position -> logits[vocab]. Returns 0 on
+// success (reference: QnnGraph execute, qnn_context.cpp:454-461).
+typedef int32_t (*mqtpu_forward_fn)(void* user, int32_t token, int32_t position,
+                                    float* logits_out);
+
+enum MqtpuError {
+    MQTPU_OK = 0,
+    MQTPU_INVALID_HANDLE = 1,
+    MQTPU_TOKENIZER_ERROR = 2,
+    MQTPU_FORWARD_ERROR = 3,
+    MQTPU_SEQ_OVERFLOW = 4,
+    MQTPU_BAD_ARGS = 5,
+};
+
+constexpr uint32_t kSessionMagic = 0x5354514du;  // "MQTS"
+
+struct Session {
+    uint32_t magic = kSessionMagic;
+    int32_t refcount = 1;
+    Tokenizer tok;
+    std::unique_ptr<Sampler> sampler;
+    std::string family;
+    int32_t bos_id = -1;
+    int32_t eos_id = -1;
+    int32_t max_seq_len = 0;
+    mqtpu_forward_fn forward = nullptr;
+    void* user = nullptr;
+    std::vector<float> logits;
+    // per-code error table (reference errors.cpp ErrorTable)
+    std::unordered_map<int32_t, std::string> errors;
+
+    void fail(int32_t code, const std::string& msg) {
+        errors[code] = msg;
+        set_error(msg);
+        logmsg(1, "%s", msg.c_str());
+    }
+};
+
+Session* session_cast(void* h) {
+    auto* s = static_cast<Session*>(h);
+    // magic-header validation (reference libllmod.cpp:50-65)
+    if (!s || s->magic != kSessionMagic) {
+        set_error("invalid session handle");
+        return nullptr;
+    }
+    return s;
+}
+
+// chat templates, hardcoded per family like the reference's tokenized
+// templates (llm.cpp:382-392); mirrors runtime/chat.py CHAT_TEMPLATES
+std::string apply_template(const std::string& family, const char* prompt) {
+    if (family == "llama")
+        return std::string("<|system|>\nYou are a friendly chatbot.</s>\n"
+                           "<|user|>\n") + prompt + "</s>\n<|assistant|>\n";
+    if (family == "gemma")
+        return std::string("<start_of_turn>user\n") + prompt +
+               "<end_of_turn>\n<start_of_turn>model\n";
+    if (family == "stablelm")
+        return std::string("<|user|>\n") + prompt +
+               "<|endoftext|>\n<|assistant|>\n";
+    return prompt;
+}
+
+int32_t session_run(Session* s, const char* prompt, char** text_out,
+                    int32_t max_new_tokens, int32_t* last_pos_out) {
+    if (!prompt || !text_out || max_new_tokens <= 0) {
+        s->fail(MQTPU_BAD_ARGS, "bad arguments to mqtpu_session_run");
+        return MQTPU_BAD_ARGS;
+    }
+    const std::string text = apply_template(s->family, prompt);
+    std::vector<int32_t> tokens(text.size() + 8);
+    int n = s->tok.encode(text.c_str(), tokens.data(),
+                          static_cast<int>(tokens.size()));
+    if (n < 0) {
+        s->fail(MQTPU_TOKENIZER_ERROR, "tokenizer encode failed: " + g_error);
+        return MQTPU_TOKENIZER_ERROR;
+    }
+    tokens.resize(n);
+    if (s->bos_id >= 0) tokens.insert(tokens.begin(), s->bos_id);
+    if (static_cast<int32_t>(tokens.size()) + max_new_tokens > s->max_seq_len) {
+        s->fail(MQTPU_SEQ_OVERFLOW, "prompt + max_new_tokens exceeds max_seq_len");
+        return MQTPU_SEQ_OVERFLOW;
+    }
+    logmsg(2, "prompt: %d tokens, generating up to %d", n, max_new_tokens);
+
+    if (tokens.empty()) {
+        s->fail(MQTPU_BAD_ARGS, "empty prompt after tokenization");
+        return MQTPU_BAD_ARGS;
+    }
+    // teacher-forced prompt phase then sampling, one token per step — the
+    // reference runs prefill as repeated decode too (llm.cpp:601-633)
+    std::string out_text;
+    int32_t pos = 0;
+    for (size_t i = 0; i + 1 < tokens.size(); ++i) {
+        if (s->forward(s->user, tokens[i], pos, s->logits.data()) != 0) {
+            s->fail(MQTPU_FORWARD_ERROR, "forward callback failed");
+            return MQTPU_FORWARD_ERROR;
+        }
+        ++pos;
+    }
+    int32_t cur = tokens.back();
+    for (int32_t i = 0; i < max_new_tokens; ++i) {
+        if (s->forward(s->user, cur, pos, s->logits.data()) != 0) {
+            s->fail(MQTPU_FORWARD_ERROR, "forward callback failed");
+            return MQTPU_FORWARD_ERROR;
+        }
+        ++pos;
+        cur = s->sampler->sample(s->logits.data(),
+                                 static_cast<int>(s->logits.size()));
+        if (cur == s->eos_id) break;
+        out_text += s->tok.decode(cur);
+        logmsg(3, "pos %d -> token %d", pos, cur);
+    }
+    *text_out = static_cast<char*>(std::malloc(out_text.size() + 1));
+    std::memcpy(*text_out, out_text.c_str(), out_text.size() + 1);
+    if (last_pos_out) *last_pos_out = pos;
+    return MQTPU_OK;
+}
+
 extern "C" {
 
 const char* mqtpu_last_error() { return g_error.c_str(); }
@@ -272,5 +420,67 @@ int mqtpu_sampler_sample(void* s, const float* logits, int n) {
 }
 
 void mqtpu_sampler_free(void* s) { delete static_cast<Sampler*>(s); }
+
+void mqtpu_set_log_level(int level) { g_log_level = level; }
+
+int32_t mqtpu_session_create(const char* tokenizer_path, const char* family,
+                             float temperature, float top_p, int top_k,
+                             uint64_t seed, int32_t max_seq_len,
+                             int32_t vocab_size, int32_t bos_id, int32_t eos_id,
+                             mqtpu_forward_fn forward, void* user,
+                             void** out) {
+    if (!tokenizer_path || !forward || !out || max_seq_len <= 0
+        || vocab_size <= 0) {
+        set_error("bad arguments to mqtpu_session_create");
+        return MQTPU_BAD_ARGS;
+    }
+    auto s = std::make_unique<Session>();
+    if (!s->tok.load(tokenizer_path)) return MQTPU_TOKENIZER_ERROR;
+    s->sampler = std::make_unique<Sampler>(seed, temperature, top_p, top_k);
+    s->family = family ? family : "none";
+    s->bos_id = bos_id;
+    s->eos_id = eos_id;
+    s->max_seq_len = max_seq_len;
+    s->forward = forward;
+    s->user = user;
+    s->logits.assign(static_cast<size_t>(vocab_size), 0.0f);
+    logmsg(2, "session created (family=%s, vocab=%d, max_seq=%d)",
+           s->family.c_str(), vocab_size, max_seq_len);
+    *out = s.release();
+    return MQTPU_OK;
+}
+
+int32_t mqtpu_session_ref(void* h) {
+    Session* s = session_cast(h);
+    if (!s) return MQTPU_INVALID_HANDLE;
+    ++s->refcount;
+    return MQTPU_OK;
+}
+
+int32_t mqtpu_session_release(void* h) {
+    Session* s = session_cast(h);
+    if (!s) return MQTPU_INVALID_HANDLE;
+    if (--s->refcount == 0) {
+        s->magic = 0;
+        delete s;
+    }
+    return MQTPU_OK;
+}
+
+int32_t mqtpu_session_run(void* h, const char* prompt, char** text_out,
+                          int32_t max_new_tokens, int32_t* last_pos_out) {
+    Session* s = session_cast(h);
+    if (!s) return MQTPU_INVALID_HANDLE;
+    return session_run(s, prompt, text_out, max_new_tokens, last_pos_out);
+}
+
+const char* mqtpu_session_error(void* h, int32_t code) {
+    Session* s = session_cast(h);
+    if (!s) return "invalid session handle";
+    auto it = s->errors.find(code);
+    return it == s->errors.end() ? "" : it->second.c_str();
+}
+
+void mqtpu_free_text(char* p) { std::free(p); }
 
 }  // extern "C"

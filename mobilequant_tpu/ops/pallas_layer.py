@@ -76,17 +76,20 @@ def _layer_phase(j, m, pos_ref, cs_ref, x_get, ofq_ref,
                  resid_scr, h_ref, acc_ref, rsum_ref,
                  *, Hq: int, Hkv: int, hd: int, rot: int, nq: int, nh: int,
                  half_f: int, act_kind: str, norm_kind: str, perm: bool,
-                 split_attn: bool = False, wbits: int = 4):
+                 split_attn: bool = False, wbits: int = 4, B: int = 1):
     """One decoder-layer phase: j = traced phase index within the layer
     (0..nq-1 qkv blocks, nq attention+o, nq+1..nq+nh MLP). m(i) reads meta
-    scalar i, x_get() the (1,K) fp32 residual input, out_set(y) the layer
-    output, kvnew_set(rows) the (2*Hkv, hd) int8 new K/V rows. Shared by the
-    single-layer and whole-model kernels."""
+    scalar i, x_get() the (B,K) fp32 residual input, out_set(y) the layer
+    output, kvnew_set(b, rows) the per-sequence (2*Hkv, hd) int8 new K/V rows.
+    Shared by the single-layer and whole-model kernels; B>1 unrolls the
+    per-sequence head transform / attention loops (continuous batching: each
+    sequence has its own cache position and RoPE row in cs_ref (B,2,hd))."""
     K = h_ref.shape[1]
     K2 = K // 2
     TNq = qkvw_ref.shape[2]
     G = Hq // Hkv
     R = Hq + 2 * Hkv
+    R8 = (R + 7) // 8 * 8               # per-sequence row stride (8-aligned)
     Ko = Hq * hd
     Ko2 = Ko // 2
 
@@ -135,11 +138,13 @@ def _layer_phase(j, m, pos_ref, cs_ref, x_get, ofq_ref,
         if perm:
             rows = TNq // 128
             start = 0 if nq == 1 else j * rows
-            v2_scr[pl.ds(start, rows), :] = yq.reshape(rows, 128)
+            v2_scr[:, pl.ds(start, rows), :] = yq.reshape(B, rows, 128)
         else:
             rows = TNq // hd
             start = 0 if nq == 1 else j * rows
-            qk_scr[pl.ds(start, rows), :] = yq.reshape(rows, hd)
+            for bb in range(B):
+                qk_scr[pl.ds(bb * R8 + start, rows), :] = \
+                    yq[bb:bb + 1, :].reshape(rows, hd)
 
     # ---- phase nq: head transform + RoPE + quantize + scores + softmax -----
     # (with split_attn the PV matmuls + o-proj run as their own grid phase so
@@ -147,99 +152,109 @@ def _layer_phase(j, m, pos_ref, cs_ref, x_get, ofq_ref,
     @pl.when(j == nq)
     def _():
         R2 = R // 2
-        if perm:
-            v2 = v2_scr[:]
-            qk_scr[0:R2, :] = v2[:, :hd]
-            qk_scr[R2:R, :] = v2[:, hd:]
-        qk = qk_scr[:]
-        # RoPE (HF rotate_half; cs_ref row 0 = cos (1 outside rotary dims),
-        # row 1 = sign-baked sin (0 outside rotary dims))
-        if rot == hd:
-            # single lane roll covers both rotate_half partners (d+rot/2 mod hd)
-            partner = jnp.roll(qk, -(rot // 2), 1)
-        else:
-            d = jax.lax.broadcasted_iota(jnp.int32, qk.shape, 1)
-            partner = jnp.where(d < rot // 2,
-                                jnp.roll(qk, -(rot // 2), 1),
-                                jnp.roll(qk, rot // 2, 1))
-        roped = qk * cs_ref[0:1, :] + partner * cs_ref[1:2, :]
-        row = jax.lax.broadcasted_iota(jnp.int32, qk.shape, 0)
-        xq = jnp.where(row < Hq + Hkv, roped, qk)   # v rows pass through
-        # joint segment quantization: q rows (sq,oq), k rows (sk,ok), v (sv,ov)
-        s_row = jnp.where(row < Hq, m(6), jnp.where(row < Hq + Hkv, m(8), m(10)))
-        o_row = jnp.where(row < Hq, m(7), jnp.where(row < Hq + Hkv, m(9), m(11)))
-        q8f = jnp.clip(jnp.round(xq / s_row) + o_row, 0.0, 255.0) - 128.0
-        q8_scr[:] = q8f
-        kvnew_set(q8f[Hq:R, :].astype(jnp.int8))
-
         sq, oqv = m(6), m(7) - 128.0
         sk, okv = m(8), m(9) - 128.0
         neg_inf = m(18)
         inv = 1.0 / math.sqrt(hd)
-        pos = pos_ref[0]
-        # decode-light attention per kv head (engine._layer_forward order):
-        # int scores over the STALE cache masked to < pos, plus the explicit
-        # self-term for the new token
-        for hkv in range(Hkv):
-            qf = q8_scr[hkv * G:(hkv + 1) * G, :]               # (G,hd) f32
-            qg = qf.astype(jnp.int8)
-            kc = k_ref[0, 0, hkv]                                # (S,hd) int8
-            acc = jax.lax.dot_general(qg, kc, (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.int32)
-            acc = acc.astype(jnp.float32)                        # (G,S)
-            qs = jnp.sum(qg.astype(jnp.int32), axis=1,
-                         keepdims=True).astype(jnp.float32)
-            ks = jnp.sum(kc.astype(jnp.int32), axis=1,
-                         keepdims=True).astype(jnp.float32)
-            scores = (acc - okv * qs - oqv * ks.reshape(1, -1)
-                      + hd * oqv * okv) * (sq * sk)
-            scores = _fq16b(scores, m(12), m(13), m(14))
-            kn = q8_scr[Hq + hkv:Hq + hkv + 1, :]                # (1,hd) f32
-            s_self = jnp.sum((qf - oqv) * (kn - okv), axis=1,
-                             keepdims=True) * (sq * sk)          # (G,1)
-            s_self = _fq16b(s_self, m(12), m(13), m(14))
-            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-            scores = scores * inv + jnp.where(col < pos, 0.0, neg_inf)
-            s_self = s_self * inv
-            mx = jnp.maximum(jnp.max(scores, axis=1, keepdims=True), s_self)
-            e = jnp.exp(scores - mx)
-            es = jnp.exp(s_self - mx)
-            den = jnp.sum(e, axis=1, keepdims=True) + es
-            p_scr[hkv * G:(hkv + 1) * G, :] = _fq16b(e / den, m(15), m(16),
-                                                     m(17))
-            ps_scr[hkv * G:(hkv + 1) * G, :] = _fq16b(es / den, m(15), m(16),
-                                                      m(17))
+        for bb in range(B):
+            if perm:
+                v2 = v2_scr[bb]
+                qk_scr[bb * R8:bb * R8 + R2, :] = v2[:, :hd]
+                qk_scr[bb * R8 + R2:bb * R8 + R, :] = v2[:, hd:]
+            qk = qk_scr[bb * R8:bb * R8 + R, :]
+            # RoPE (HF rotate_half; cs_ref[b] row 0 = cos (1 outside rotary
+            # dims), row 1 = sign-baked sin (0 outside rotary dims))
+            if rot == hd:
+                # one lane roll covers both rotate_half partners (d+rot/2 mod hd)
+                partner = jnp.roll(qk, -(rot // 2), 1)
+            else:
+                d = jax.lax.broadcasted_iota(jnp.int32, qk.shape, 1)
+                partner = jnp.where(d < rot // 2,
+                                    jnp.roll(qk, -(rot // 2), 1),
+                                    jnp.roll(qk, rot // 2, 1))
+            roped = qk * cs_ref[bb, 0:1, :] + partner * cs_ref[bb, 1:2, :]
+            row = jax.lax.broadcasted_iota(jnp.int32, qk.shape, 0)
+            xq = jnp.where(row < Hq + Hkv, roped, qk)   # v rows pass through
+            # joint segment quantization: q (sq,oq), k (sk,ok), v (sv,ov) rows
+            s_row = jnp.where(row < Hq, m(6),
+                              jnp.where(row < Hq + Hkv, m(8), m(10)))
+            o_row = jnp.where(row < Hq, m(7),
+                              jnp.where(row < Hq + Hkv, m(9), m(11)))
+            q8f = jnp.clip(jnp.round(xq / s_row) + o_row, 0.0, 255.0) - 128.0
+            q8_scr[bb * R8:bb * R8 + R, :] = q8f
+            kvnew_set(bb, q8f[Hq:R, :].astype(jnp.int8))
+
+            pos = pos_ref[bb]
+            # decode-light attention per kv head (engine._layer_forward
+            # order): int scores over the STALE cache masked to < pos, plus
+            # the explicit self-term for the new token
+            for hkv in range(Hkv):
+                r0 = bb * R8 + hkv * G
+                qf = q8_scr[r0:r0 + G, :]                        # (G,hd) f32
+                qg = qf.astype(jnp.int8)
+                kc = k_ref[0, bb, hkv]                           # (S,hd) int8
+                acc = jax.lax.dot_general(qg, kc, (((1,), (1,)), ((), ())),
+                                          preferred_element_type=jnp.int32)
+                acc = acc.astype(jnp.float32)                    # (G,S)
+                qs = jnp.sum(qg.astype(jnp.int32), axis=1,
+                             keepdims=True).astype(jnp.float32)
+                ks = jnp.sum(kc.astype(jnp.int32), axis=1,
+                             keepdims=True).astype(jnp.float32)
+                scores = (acc - okv * qs - oqv * ks.reshape(1, -1)
+                          + hd * oqv * okv) * (sq * sk)
+                scores = _fq16b(scores, m(12), m(13), m(14))
+                kn = q8_scr[bb * R8 + Hq + hkv:bb * R8 + Hq + hkv + 1, :]
+                s_self = jnp.sum((qf - oqv) * (kn - okv), axis=1,
+                                 keepdims=True) * (sq * sk)      # (G,1)
+                s_self = _fq16b(s_self, m(12), m(13), m(14))
+                col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+                scores = scores * inv + jnp.where(col < pos, 0.0, neg_inf)
+                s_self = s_self * inv
+                mx = jnp.maximum(jnp.max(scores, axis=1, keepdims=True),
+                                 s_self)
+                e = jnp.exp(scores - mx)
+                es = jnp.exp(s_self - mx)
+                den = jnp.sum(e, axis=1, keepdims=True) + es
+                a0 = bb * Hq + hkv * G
+                p_scr[a0:a0 + G, :] = _fq16b(e / den, m(15), m(16), m(17))
+                ps_scr[a0:a0 + G, :] = _fq16b(es / den, m(15), m(16), m(17))
 
     def _pv_o_phase():
         sv, ovv = m(10), m(11) - 128.0
-        for hkv in range(Hkv):
-            p = p_scr[hkv * G:(hkv + 1) * G, :]                  # (G,S) f32
-            ps = ps_scr[hkv * G:(hkv + 1) * G, :]                # (G,1)
-            vc = v_ref[0, 0, hkv].astype(jnp.float32)            # (S,hd)
-            pv = jax.lax.dot_general(p, vc, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            psum = jnp.sum(p, axis=1, keepdims=True)
-            vn = q8_scr[Hq + Hkv + hkv:Hq + Hkv + hkv + 1, :]
-            vnf = (vn + 128.0 - m(11)) * sv
-            attn_scr[hkv * G:(hkv + 1) * G, :] = \
-                (pv - ovv * psum) * sv + ps * vnf
+        for bb in range(B):
+            for hkv in range(Hkv):
+                a0 = bb * Hq + hkv * G
+                p = p_scr[a0:a0 + G, :]                          # (G,S) f32
+                ps = ps_scr[a0:a0 + G, :]                        # (G,1)
+                vc = v_ref[0, bb, hkv].astype(jnp.float32)       # (S,hd)
+                pv = jax.lax.dot_general(p, vc, (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                psum = jnp.sum(p, axis=1, keepdims=True)
+                r0 = bb * R8 + Hq + Hkv + hkv
+                vn = q8_scr[r0:r0 + 1, :]
+                vnf = (vn + 128.0 - m(11)) * sv
+                attn_scr[a0:a0 + G, :] = (pv - ovv * psum) * sv + ps * vnf
 
-        # quantize attention output (pv_bmm output site) + flatten for o-proj
+        # quantize attention output (pv_bmm output site) + flatten each
+        # sequence's heads into its own (1, Ko) row of flat_scr: for the
+        # permuted hd==64 layout a lane-concat of the two head halves gives
+        # the (Hq/2, 128) view whose row-major order matches the o-pack's
+        # row permutation; hd%128==0 reshapes directly
         a = attn_scr[:]
         a8f = jnp.clip(jnp.round(a / m(19)) + m(20), 0.0, 255.0) - 128.0
-        if perm:
-            Hq2 = Hq // 2
-            flat_scr[:, :hd] = a8f[0:Hq2]
-            flat_scr[:, hd:] = a8f[Hq2:Hq]
-            a8 = flat_scr[:].reshape(1, Ko).astype(jnp.int8)
-        else:
-            a8 = a8f.reshape(1, Ko).astype(jnp.int8)
+        Hq2 = Hq // 2
+        for bb in range(B):
+            ab = a8f[bb * Hq:(bb + 1) * Hq, :]                   # (Hq, hd)
+            if perm:
+                ab = jnp.concatenate([ab[0:Hq2], ab[Hq2:Hq]], axis=1)
+            flat_scr[bb:bb + 1, :] = ab.reshape(1, Ko)
+        a8 = flat_scr[:].astype(jnp.int8)
         # o pack may ride as 1 block or 2 row-split blocks (the model kernel
         # splits it so the two halves DMA during different phases): split
         # s of ns covers packed rows [s*Ko2/ns, ...), i.e. lo = a8 cols of
         # that range and hi = the same range shifted by Ko2
         ns = len(ow_refs)
-        oacc = jnp.zeros((1, K), jnp.int32)
+        oacc = jnp.zeros((B, K), jnp.int32)
         if wbits == 8:
             kq = Ko // ns
             for si, owr in enumerate(ow_refs):
@@ -305,7 +320,8 @@ def _layer_kernel(idx_ref, meta_ref, pos_ref,
     def out_set(yv):
         out_ref[:] = yv
 
-    def kvnew_set(rows):
+    def kvnew_set(bb, rows):
+        del bb
         kvnew_ref[:] = rows
 
     _layer_phase(j, lambda i: meta_ref[i], pos_ref, cs_ref,
@@ -352,8 +368,8 @@ def _model_kernel(meta_ref, pos_ref,
         def _():
             out_ref[:] = yv
 
-    def kvnew_set(rows):
-        kvnew_ref[0] = rows
+    def kvnew_set(bb, rows):
+        kvnew_ref[0, bb] = rows
 
     _layer_phase(j, lambda i: meta_ref[l, i], pos_ref, cs_ref,
                  lambda: x_scr[:], ofq_ref,
@@ -482,6 +498,7 @@ def fused_layer_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
     assert K2w * 2 == K or K2w == K
     assert w13sp["wq"].shape[1] == K2w, "qkv/w13 pack bitwidths must match"
     R = Hq + 2 * Hkv
+    R8 = (R + 7) // 8 * 8
     assert Nq == R * hd, (Nq, R, hd)
     S = kcache.shape[3]
     Ko = Hq * hd
@@ -535,7 +552,7 @@ def fused_layer_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
             pl.BlockSpec(memory_space=pltpu.SMEM),                    # pos
             pl.BlockSpec((1, K), lambda j, i: (0, 0),
                          memory_space=pltpu.VMEM),                    # x
-            pl.BlockSpec((2, hd), lambda j, i: (0, 0),
+            pl.BlockSpec((1, 2, hd), lambda j, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),                    # rope cs
             pl.BlockSpec((1, 4, TNq), lambda j, i: (0, 0, qcl(j)),
                          memory_space=pltpu.VMEM),                    # qkv ofq
@@ -585,13 +602,13 @@ def fused_layer_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
                          memory_space=pltpu.VMEM),                    # k/v new
         ],
         scratch_shapes=[
-            pltpu.VMEM((max(Nq // 128, 1), 128), jnp.float32),        # v2
-            pltpu.VMEM((R, hd), jnp.float32),                         # qk
-            pltpu.VMEM((R, hd), jnp.float32),                         # q8 (f32)
+            pltpu.VMEM((1, max(Nq // 128, 1), 128), jnp.float32),     # v2
+            pltpu.VMEM((R8, hd), jnp.float32),                        # qk
+            pltpu.VMEM((R8, hd), jnp.float32),                        # q8 (f32)
             pltpu.VMEM((Hq, S), jnp.float32),                         # probs
             pltpu.VMEM((Hq, 1), jnp.float32),                         # p_self
             pltpu.VMEM((Hq, hd), jnp.float32),                        # attn
-            pltpu.VMEM((max(Hq // 2, 1), 2 * hd), jnp.float32),       # flat
+            pltpu.VMEM((1, Ko), jnp.float32),                         # flat
             pltpu.VMEM((1, K), jnp.float32),                          # resid
             pltpu.VMEM((1, K), jnp.int8),                             # h
             pltpu.VMEM((1, K), jnp.int32),                            # mlp acc
@@ -612,7 +629,7 @@ def fused_layer_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
             transcendentals=Hq * S + F),
         interpret=interpret,
     )(idx, meta, pos.astype(jnp.int32), x.astype(jnp.float32),
-      rope_cs.astype(jnp.float32),
+      rope_cs.astype(jnp.float32).reshape(1, 2, hd),
       qkv_ofq.astype(jnp.float32).reshape(1, 4, Nq),
       anw3, anb3, qkvsp["wq"], qaux, kcache, vcache, osp["wq"], oaux,
       mnw3, mnb3, w13sp["wq"], w13sp["wq"], w13sp["wq"], w13sp["wq"], aux13,
@@ -637,16 +654,19 @@ def fused_model_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
     over (layer, phase): the hidden state is carried in VMEM scratch between
     layers, and layer l+1's weight blocks prefetch during layer l's MLP tail,
     so the per-layer dispatch + DMA-startup cost of the single-layer kernel
-    disappears. qkv_ofq_L (L,4,Nq); meta_L (L, LAYER_META_LEN).
-    Returns (x_out (1,K) fp32, kv_new (L, 2*Hkv, hd) int8)."""
+    disappears. Supports decode batches up to 8 (continuous batching:
+    per-sequence cache positions in pos (B,), per-sequence RoPE rows in
+    rope_cs (B,2,hd)). qkv_ofq_L (L,4,Nq); meta_L (L, LAYER_META_LEN).
+    Returns (x_out (B,K) fp32, kv_new (L, B, 2*Hkv, hd) int8)."""
     Hq, Hkv, hd, rot = num_q_heads, num_kv_heads, head_dim, rotary_dim
-    M, K = x.shape
-    assert M == 1, "whole-model kernel is a bs=1 decode path"
+    B, K = x.shape
+    assert B <= 8, "whole-model kernel supports decode batches up to 8"
     L, K2w, Nq = qkvsp["wq"].shape
     wbits = 4 if K2w * 2 == K else 8
     assert K2w * 2 == K or K2w == K
     assert w13sp["wq"].shape[1] == K2w, "qkv/w13 pack bitwidths must match"
     R = Hq + 2 * Hkv
+    R8 = (R + 7) // 8 * 8
     assert Nq == R * hd, (Nq, R, hd)
     S = kcache.shape[3]
     Ko = Hq * hd
@@ -710,7 +730,7 @@ def fused_model_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
     kernel = functools.partial(
         _model_kernel, num_layers=L, Hq=Hq, Hkv=Hkv, hd=hd, rot=rot, nq=nq,
         nh=nh, half_f=half_f, act_kind=act_kind, norm_kind=norm_kind,
-        perm=perm, wbits=wbits)
+        perm=perm, wbits=wbits, B=B)
     wbytes = L * (K2w * Nq + Kor * K + K2w * F2 + w2sp["wq"].shape[1] * K)
     out, kvnew = pl.pallas_call(
         kernel,
@@ -718,9 +738,9 @@ def fused_model_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                    # meta_L
             pl.BlockSpec(memory_space=pltpu.SMEM),                    # pos
-            pl.BlockSpec((1, K), lambda j: (0, 0),
+            pl.BlockSpec((B, K), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),                    # x
-            pl.BlockSpec((2, hd), lambda j: (0, 0),
+            pl.BlockSpec((B, 2, hd), lambda j: (0, 0, 0),
                          memory_space=pltpu.VMEM),                    # rope cs
             pl.BlockSpec((1, 4, TNq), lambda j: (lyr(j), 0, qcl(j)),
                          memory_space=pltpu.VMEM),                    # qkv ofq
@@ -732,10 +752,10 @@ def fused_model_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
                          memory_space=pltpu.VMEM),                    # qkv pack
             pl.BlockSpec((1, 4, TNq), lambda j: (lyr(j), 0, qcl(j)),
                          memory_space=pltpu.VMEM),                    # qkv aux
-            pl.BlockSpec((1, 1, Hkv, S, hd),
+            pl.BlockSpec((1, B, Hkv, S, hd),
                          lambda j: (d_lyr(j, nq - 1), 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),                    # k cache
-            pl.BlockSpec((1, 1, Hkv, S, hd),
+            pl.BlockSpec((1, B, Hkv, S, hd),
                          lambda j: (d_lyr(j, nq + 1), 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),                    # v cache
             pl.BlockSpec((1, Kor // 2, K), lambda j: (d_lyr(j, nq), 0, 0),
@@ -771,27 +791,27 @@ def fused_model_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
                          memory_space=pltpu.VMEM),                    # aux2
         ],
         out_specs=[
-            pl.BlockSpec((1, K), lambda j: (0, 0),
+            pl.BlockSpec((B, K), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),                    # x out
-            pl.BlockSpec((1, 2 * Hkv, hd), lambda j: (lyr(j), 0, 0),
+            pl.BlockSpec((1, B, 2 * Hkv, hd), lambda j: (lyr(j), 0, 0, 0),
                          memory_space=pltpu.VMEM),                    # k/v new
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, K), jnp.float32),                          # x carry
-            pltpu.VMEM((max(Nq // 128, 1), 128), jnp.float32),        # v2
-            pltpu.VMEM((R, hd), jnp.float32),                         # qk
-            pltpu.VMEM((R, hd), jnp.float32),                         # q8 (f32)
-            pltpu.VMEM((Hq, S), jnp.float32),                         # probs
-            pltpu.VMEM((Hq, 1), jnp.float32),                         # p_self
-            pltpu.VMEM((Hq, hd), jnp.float32),                        # attn
-            pltpu.VMEM((max(Hq // 2, 1), 2 * hd), jnp.float32),       # flat
-            pltpu.VMEM((1, K), jnp.float32),                          # resid
-            pltpu.VMEM((1, K), jnp.int8),                             # h
-            pltpu.VMEM((1, K), jnp.int32),                            # mlp acc
-            pltpu.VMEM((1, 1), jnp.int32),                            # mlp rsum
+            pltpu.VMEM((B, K), jnp.float32),                          # x carry
+            pltpu.VMEM((B, max(Nq // 128, 1), 128), jnp.float32),     # v2
+            pltpu.VMEM((B * R8, hd), jnp.float32),                    # qk
+            pltpu.VMEM((B * R8, hd), jnp.float32),                    # q8 (f32)
+            pltpu.VMEM((B * Hq, S), jnp.float32),                     # probs
+            pltpu.VMEM((B * Hq, 1), jnp.float32),                     # p_self
+            pltpu.VMEM((B * Hq, hd), jnp.float32),                    # attn
+            pltpu.VMEM((B, Ko), jnp.float32),                         # flat
+            pltpu.VMEM((B, K), jnp.float32),                          # resid
+            pltpu.VMEM((B, K), jnp.int8),                             # h
+            pltpu.VMEM((B, K), jnp.int32),                            # mlp acc
+            pltpu.VMEM((B, 1), jnp.int32),                            # mlp rsum
         ],
-        out_shape=[jax.ShapeDtypeStruct((1, K), jnp.float32),
-                   jax.ShapeDtypeStruct((L, 2 * Hkv, hd), jnp.int8)],
+        out_shape=[jax.ShapeDtypeStruct((B, K), jnp.float32),
+                   jax.ShapeDtypeStruct((L, B, 2 * Hkv, hd), jnp.int8)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(

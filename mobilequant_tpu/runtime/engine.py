@@ -503,18 +503,19 @@ def _qkv_ofq_rows_stacked(packed: dict, policy: QPolicy, c) -> jax.Array:
 
 
 def _rope_cs_vec(cos, sin, hd: int, rot: int):
-    """(2, hd) [cos; sign-baked sin] rows for the whole-layer kernel's in-VMEM
-    RoPE (cos=1 / sin=0 outside the rotary dims; the rotate_half sign is baked
-    into the sin row's first half)."""
-    c1 = cos.reshape(-1)[:rot].astype(jnp.float32)
-    s1 = sin.reshape(-1)[:rot].astype(jnp.float32)
+    """(B, 2, hd) per-sequence [cos; sign-baked sin] rows for the layer/model
+    kernels' in-VMEM RoPE (cos=1 / sin=0 outside the rotary dims; the
+    rotate_half sign is baked into the sin row's first half)."""
+    B = cos.shape[0]
+    c1 = cos.reshape(B, -1)[:, :rot].astype(jnp.float32)
+    s1 = sin.reshape(B, -1)[:, :rot].astype(jnp.float32)
     sgn = jnp.concatenate([jnp.full((rot // 2,), -1.0, jnp.float32),
-                           jnp.ones((rot // 2,), jnp.float32)])
+                           jnp.ones((rot // 2,), jnp.float32)])[None, :]
     s1 = s1 * sgn
     if rot < hd:
-        c1 = jnp.concatenate([c1, jnp.ones((hd - rot,), jnp.float32)])
-        s1 = jnp.concatenate([s1, jnp.zeros((hd - rot,), jnp.float32)])
-    return jnp.stack([c1, s1])
+        c1 = jnp.concatenate([c1, jnp.ones((B, hd - rot), jnp.float32)], 1)
+        s1 = jnp.concatenate([s1, jnp.zeros((B, hd - rot), jnp.float32)], 1)
+    return jnp.stack([c1, s1], axis=1)
 
 
 def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
@@ -547,7 +548,7 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         ofq = _qkv_ofq_rows(lp, sp, lr, policy)
         out, kvnew = _PL.fused_layer_w4_stacked(
             x.reshape(1, D).astype(jnp.float32), cache_position[0:1],
-            sp["rope_cs"], ofq, sp["attn_norm"]["w"], sp["attn_norm"]["b"],
+            sp["rope_cs"][0], ofq, sp["attn_norm"]["w"], sp["attn_norm"]["b"],
             sp["qkvp"], sp["op"], sp["mlp_norm"]["w"], sp["mlp_norm"]["b"],
             sp["w13_proj"], sp["w2"], sp["kcache"], sp["vcache"], meta, li,
             num_q_heads=Hq, num_kv_heads=Hkv, head_dim=hd,
@@ -951,7 +952,8 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
     w4_mode = str({False: "none", True: "w4"}.get(use_pallas, use_pallas))
     mode_s = w4_mode
     sp = packed["layers"] if w4_mode != "none" else None
-    if (sp is not None and kv_cache is not None and T == 1 and B == 1
+    if (sp is not None and kv_cache is not None and T == 1 and B <= 8
+            and cache_position is not None
             and "qkvp" in sp and "nolayerk" not in w4_mode):
         # whole-layer kernel extras: the FULL stacked cache (read by layer
         # index inside the kernel — the per-layer xs slices are DCE'd) and
@@ -992,7 +994,7 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
                                    policy, c))(packed["rvec"])
         ofq_L = _qkv_ofq_rows_stacked(packed, policy, c)
         hm, kvnew = _PL.fused_model_w4_stacked(
-            x.reshape(1, -1).astype(jnp.float32), cache_position[0:1],
+            x.reshape(B, -1).astype(jnp.float32), cache_position,
             sp["rope_cs"], ofq_L, ly["attn_norm"]["w"], ly["attn_norm"]["b"],
             ly["qkvp"], ly["op"], ly["mlp_norm"]["w"], ly["mlp_norm"]["b"],
             ly["w13_proj"], ly["w2"], kv_cache.k, kv_cache.v, meta_L,
@@ -1002,8 +1004,8 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
             norm_kind="layernorm" if c.norm_class == "layernorm" else "rmsnorm")
         h = hm.reshape(B, T, -1).astype(x.dtype)
         Hkv_, hd_ = c.num_kv_heads, c.head_dim_
-        kv_out = (kvnew[:, :Hkv_].reshape(c.num_layers, B, Hkv_, 1, hd_),
-                  kvnew[:, Hkv_:].reshape(c.num_layers, B, Hkv_, 1, hd_))
+        kv_out = (kvnew[:, :, :Hkv_].reshape(c.num_layers, B, Hkv_, 1, hd_),
+                  kvnew[:, :, Hkv_:].reshape(c.num_layers, B, Hkv_, 1, hd_))
     else:
         h, kv_out = jax.lax.scan(body, x, xs, unroll=layer_unroll)
     if kv_cache is not None and T == 1 and "attn" not in mode_s:

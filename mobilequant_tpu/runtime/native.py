@@ -104,3 +104,103 @@ class NativeSampler:
         if getattr(self, "_h", None):
             self._lib.mqtpu_sampler_free(self._h)
             self._h = None
+
+
+_FORWARD_FN = ctypes.CFUNCTYPE(ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
+                               ctypes.c_int32, ctypes.POINTER(ctypes.c_float))
+
+
+def _load_session_api(lib: ctypes.CDLL) -> ctypes.CDLL:
+    if getattr(lib, "_session_api_loaded", False):
+        return lib
+    lib.mqtpu_session_create.restype = ctypes.c_int32
+    lib.mqtpu_session_create.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_float, ctypes.c_float,
+        ctypes.c_int, ctypes.c_uint64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, _FORWARD_FN, ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_void_p)]
+    lib.mqtpu_session_ref.restype = ctypes.c_int32
+    lib.mqtpu_session_ref.argtypes = [ctypes.c_void_p]
+    lib.mqtpu_session_release.restype = ctypes.c_int32
+    lib.mqtpu_session_release.argtypes = [ctypes.c_void_p]
+    lib.mqtpu_session_run.restype = ctypes.c_int32
+    lib.mqtpu_session_run.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)]
+    lib.mqtpu_session_error.restype = ctypes.c_char_p
+    lib.mqtpu_session_error.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.mqtpu_free_text.argtypes = [ctypes.c_char_p]
+    lib.mqtpu_set_log_level.argtypes = [ctypes.c_int]
+    lib._session_api_loaded = True
+    return lib
+
+
+class NativeSession:
+    """C++-orchestrated chat session — the analogue of the reference's
+    `libllmod` context (capp/api/libllmod.h setup/run/ref/release): the C++
+    runtime owns the tokenizer, sampler, chat template, and the autoregressive
+    loop; the per-token forward is a callback into the compiled XLA decode
+    step (the role the QNN graph execute plays on the reference's NPU).
+
+    forward(token:int, position:int) -> np.ndarray logits (vocab,). Raise or
+    return None to signal failure (surfaced as MQTPU_FORWARD_ERROR=3)."""
+
+    def __init__(self, tokenizer_path: str | Path, forward, vocab_size: int,
+                 *, family: str = "none", temperature: float = 0.0,
+                 top_p: float = 1.0, top_k: int = 0, seed: int = 0,
+                 max_seq_len: int = 1024, bos_id: int = 1, eos_id: int = 2):
+        import numpy as np
+        self._lib = _load_session_api(load_library())
+        self._vocab = vocab_size
+
+        def _bridge(_user, token, position, logits_out):
+            try:
+                logits = forward(int(token), int(position))
+                if logits is None:
+                    return 1
+                arr = np.ascontiguousarray(
+                    np.asarray(logits, dtype=np.float32)).ravel()
+                ctypes.memmove(logits_out, arr.ctypes.data,
+                               min(arr.size, vocab_size) * 4)
+                return 0
+            except Exception:   # noqa: BLE001 — must not unwind into C
+                return 1
+
+        self._cb = _FORWARD_FN(_bridge)           # keep alive
+        handle = ctypes.c_void_p()
+        rc = self._lib.mqtpu_session_create(
+            str(tokenizer_path).encode(), family.encode(), temperature, top_p,
+            top_k, seed, max_seq_len, vocab_size, bos_id, eos_id, self._cb,
+            None, ctypes.byref(handle))
+        if rc != 0:
+            raise RuntimeError(
+                f"mqtpu_session_create failed ({rc}): "
+                f"{self._lib.mqtpu_last_error().decode()}")
+        self._h = handle
+
+    def run(self, prompt: str, max_new_tokens: int = 64) -> tuple[str, int]:
+        """-> (generated_text, last_position)."""
+        out = ctypes.c_char_p()
+        pos = ctypes.c_int32()
+        rc = self._lib.mqtpu_session_run(self._h, prompt.encode(),
+                                         ctypes.byref(out), max_new_tokens,
+                                         ctypes.byref(pos))
+        if rc != 0:
+            msg = self._lib.mqtpu_session_error(self._h, rc).decode()
+            raise RuntimeError(f"mqtpu_session_run failed ({rc}): {msg}")
+        try:
+            text = out.value.decode("utf-8", errors="replace")
+        finally:
+            self._lib.mqtpu_free_text(out)
+        return text, pos.value
+
+    def ref(self):
+        self._lib.mqtpu_session_ref(self._h)
+
+    def release(self):
+        if getattr(self, "_h", None):
+            self._lib.mqtpu_session_release(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.release()

@@ -460,8 +460,36 @@ def test_whole_layer_w4_kernel_matches_engine_decode(variant):
                                               np.asarray(caches[0].k))
                 np.testing.assert_array_equal(np.asarray(cc.v),
                                               np.asarray(caches[0].v))
+
+            # batched decode (B=2, staggered cache positions): the whole-model
+            # kernel must match the XLA path per sequence
+            t2 = jnp.asarray(tokens[:2])
+            ca2 = E.init_kv_cache(ecfg, 2)
+            cb2 = E.init_kv_cache(ecfg, 2)
+            pos0 = jnp.asarray([0, 0], jnp.int32)
+            _, ca2 = E.forward(packed, t2[:, :4], cfg, policy, kv_cache=ca2,
+                               cache_position=pos0)
+            _, cb2 = E.forward(packed, t2[:, :4], cfg, policy, kv_cache=cb2,
+                               cache_position=pos0)
+            pos = jnp.asarray([4, 3], jnp.int32)     # per-sequence positions
+            ref2, ca2 = E.forward(packed, t2[:, 4:5], cfg, policy,
+                                  positions=pos[:, None], kv_cache=ca2,
+                                  cache_position=pos, kv_valid_len=pos + 1)
+            out2, cb2 = E.forward(packed, t2[:, 4:5], cfg, policy,
+                                  positions=pos[:, None], kv_cache=cb2,
+                                  cache_position=pos, kv_valid_len=pos + 1,
+                                  use_pallas=True)
+            np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                                       rtol=2e-4, atol=2e-4)
+            np.testing.assert_array_equal(np.asarray(cb2.k), np.asarray(ca2.k))
+            np.testing.assert_array_equal(np.asarray(cb2.v), np.asarray(ca2.v))
     finally:
         PL.fused_layer_w4_stacked = orig[0]
         PL.fused_model_w4_stacked = orig[1]
         PM.int_linear_pallas_stacked = orig[2]
         PMLP.fused_mlp_block_w4_stacked = orig[3]
+        # this test compiles ~30 distinct interpret-mode programs per variant;
+        # drop them so later tests' XLA:CPU compiles don't hit allocator
+        # pressure (observed: segfault in backend_compile_and_load during
+        # test_train when the full suite runs in one process)
+        jax.clear_caches()

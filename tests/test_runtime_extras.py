@@ -228,3 +228,99 @@ def test_continuous_batching_sharded_mesh():
         got = cb.run()
     for r1, r2 in zip(rids, rids2):
         assert want[r1] == got[r2]
+
+
+def test_native_session_orchestrates_decode(tmp_path):
+    """The C++ session (libllmod analogue) drives tokenize -> teacher-forced
+    prompt -> sample loop -> detokenize through a forward callback, with
+    ref-counting and a per-code error table."""
+    from mobilequant_tpu.runtime.native import NativeSession
+
+    pieces, scores = _toy_vocab()
+    path = tmp_path / "tokenizer.bin"
+    write_tokenizer_bin(path, pieces, scores, version=2)
+    V = len(pieces)
+    hello = pieces.index(b"hello")
+    world = pieces.index(b" world")
+    eos = 2
+    seen = []
+
+    def forward(token, position):
+        seen.append((token, position))
+        logits = np.full((V,), -10.0, np.float32)
+        # after the prompt: emit " world", then "hello", then EOS
+        gen_steps = position - (len(prompt_ids) - 1)
+        nxt = [world, hello, eos][min(max(gen_steps, 0), 2)]
+        logits[nxt] = 10.0
+        return logits
+
+    sess = NativeSession(path, forward, V, family="none", max_seq_len=64,
+                         bos_id=1, eos_id=eos)
+    prompt_ids = [1] + NativeTokenizer(path).encode("hello")
+    text, last_pos = sess.run("hello", max_new_tokens=8)
+    assert text == " worldhello"            # EOS stops the loop, not emitted
+    # prompt (bos + "hello") teacher-forced, then 3 sampled steps
+    assert seen[0] == (1, 0)
+    assert last_pos == len(prompt_ids) - 1 + 3
+    sess.ref()
+    sess.release()    # still one ref held by sess.ref()
+    sess._h = None    # avoid double release in __del__ after manual release
+
+    # error table: a failing forward surfaces MQTPU_FORWARD_ERROR=3
+    def bad_forward(token, position):
+        raise ValueError("boom")
+
+    sess2 = NativeSession(path, bad_forward, V, max_seq_len=64)
+    with pytest.raises(RuntimeError, match="forward callback failed"):
+        sess2.run("hello", max_new_tokens=2)
+
+    # sequence overflow guard
+    sess3 = NativeSession(path, forward, V, max_seq_len=4)
+    with pytest.raises(RuntimeError, match="exceeds max_seq_len"):
+        sess3.run("hello", max_new_tokens=8)
+
+
+def test_native_session_end_to_end_engine(tmp_path):
+    """NativeSession driving the real packed engine decode step (the full
+    user stack: C++ loop -> XLA integer engine -> C++ sampler)."""
+    from mobilequant_tpu.models import get_config
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant import calibrate
+    from mobilequant_tpu.quant.policy import default_policy
+    from mobilequant_tpu.quant.quantizer import QuantConfig
+    from mobilequant_tpu.runtime import engine as E
+    from mobilequant_tpu.runtime.native import NativeSession
+
+    cfg = get_config("test-llama")
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    policy = default_policy(cfg, QuantConfig(bitwidth=8), QuantConfig(bitwidth=8))
+    tokens = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 16)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, policy, batch_size=2)
+    ranges = calibrate.stats_to_ranges(stats, policy)
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=64)
+    packed = E.pack(params, ranges, cfg, policy, ecfg)
+
+    # toy vocab is smaller than the model vocab — pad pieces to vocab_size
+    pieces, scores = _toy_vocab()
+    pieces += [f"<extra{i}>".encode() for i in range(cfg.vocab_size - len(pieces))]
+    scores += [0.0] * (cfg.vocab_size - len(scores))
+    path = tmp_path / "tokenizer.bin"
+    write_tokenizer_bin(path, pieces, scores, version=2)
+
+    cache = E.init_kv_cache(ecfg, 1)
+    state = {"cache": cache}
+
+    def forward(token, position):
+        pos = jnp.full((1,), position, jnp.int32)
+        logits, state["cache"] = E.forward(
+            packed, jnp.full((1, 1), token, jnp.int32), cfg, policy,
+            positions=pos[:, None], kv_cache=state["cache"],
+            cache_position=pos, kv_valid_len=pos + 1)
+        return np.asarray(logits).ravel()
+
+    sess = NativeSession(path, forward, cfg.vocab_size, max_seq_len=64,
+                         bos_id=1, eos_id=-1)
+    text, last_pos = sess.run("hello world", max_new_tokens=4)
+    assert last_pos >= 4
+    assert isinstance(text, str)
