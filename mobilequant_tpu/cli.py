@@ -213,6 +213,33 @@ def cmd_demo(args):
         print(f"[{stats['decode_tok_s']:.1f} tok/s decode, "
               f"prefill {stats['prefill_s']*1e3:.0f} ms]", file=sys.stderr)
 
+    if args.native_session:
+        # C++-orchestrated loop (libllmod-style): the native session owns the
+        # tokenizer/sampler/template and calls back into the jitted decode
+        # step per token (runtime/native.NativeSession)
+        import jax.numpy as jnp
+        from mobilequant_tpu.runtime.native import NativeSession
+        state = {}
+
+        def forward(token, position):
+            if position == 0 or "cache" not in state:
+                state["cache"] = E.init_kv_cache(ecfg, 1)
+            pos = jnp.asarray([position], jnp.int32)
+            logits, state["cache"] = gen._decode(
+                packed, jnp.asarray([[token]], jnp.int32), state["cache"], pos)
+            return np.asarray(logits)[0]
+
+        sess = NativeSession(args.tokenizer, forward, cfg.vocab_size,
+                             family=args.chat, temperature=temperature,
+                             max_seq_len=ecfg.max_seq_len, bos_id=args.bos,
+                             eos_id=args.eos)
+
+        def answer(prompt: str):          # noqa: F811 — native override
+            text, last_pos = sess.run(prompt, args.max_new_tokens)
+            print(text)
+            print(f"[native session, last position {last_pos}]",
+                  file=sys.stderr)
+
     if not args.interactive:
         answer(args.prompt)
         return
@@ -308,6 +335,9 @@ def build_parser():
     q.add_argument("--chat", default="none",
                    help="chat template family: llama|gemma|stablelm|none")
     q.add_argument("--interactive", action="store_true")
+    q.add_argument("--eos", type=int, default=2)
+    q.add_argument("--native-session", action="store_true",
+                   help="drive the loop from the C++ session (libllmod-style)")
     q.set_defaults(fn=cmd_demo)
     return p
 

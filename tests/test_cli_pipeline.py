@@ -67,6 +67,18 @@ def test_cli_full_pipeline(hf_ckpt, tmp_path):
               "--tokens", str(tmp_path / "toks.npy"), "--seqlen", "32",
               "--max_windows", "2"])
 
+    # demo command through the native C++ session (libllmod-style loop);
+    # ASCII prompts only touch byte-fallback ids < vocab_size
+    from mobilequant_tpu.export.tokenizer_bin import write_tokenizer_bin
+    pieces = [b"<unk>", b"<s>", b"</s>"]
+    pieces += [f"<0x{i:02X}>".encode() for i in range(256)]
+    write_tokenizer_bin(tmp_path / "tokenizer.bin", pieces,
+                        [0.0] * len(pieces), version=2)
+    cli.main(["demo", "--engine_dir", str(engine_dir),
+              "--tokenizer", str(tmp_path / "tokenizer.bin"),
+              "--prompt", "hi", "--max_new_tokens", "3",
+              "--native-session", "--eos", "-1"])
+
 
 def test_export_decode_step_stablehlo(tmp_path):
     from mobilequant_tpu.export import artifacts
