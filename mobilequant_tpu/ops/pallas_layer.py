@@ -76,14 +76,18 @@ def _layer_phase(j, m, pos_ref, cs_ref, x_get, ofq_ref,
                  resid_scr, h_ref, acc_ref, rsum_ref,
                  *, Hq: int, Hkv: int, hd: int, rot: int, nq: int, nh: int,
                  half_f: int, act_kind: str, norm_kind: str, perm: bool,
-                 split_attn: bool = False, wbits: int = 4, B: int = 1):
-    """One decoder-layer phase: j = traced phase index within the layer
-    (0..nq-1 qkv blocks, nq attention+o, nq+1..nq+nh MLP). m(i) reads meta
-    scalar i, x_get() the (B,K) fp32 residual input, out_set(y) the layer
-    output, kvnew_set(b, rows) the per-sequence (2*Hkv, hd) int8 new K/V rows.
-    Shared by the single-layer and whole-model kernels; B>1 unrolls the
-    per-sequence head transform / attention loops (continuous batching: each
-    sequence has its own cache position and RoPE row in cs_ref (B,2,hd))."""
+                 attn_splits: int = 0, wbits: int = 4, B: int = 1):
+    """One decoder-layer phase: j = traced phase index within the layer.
+    Phase layout: [0, nq) qkv column blocks; then attention — fused into phase
+    nq when attn_splits == 0, else attn_splits scores phases followed by
+    attn_splits PV phases (each over B/attn_splits sequences, o-proj in the
+    last); then nh MLP phases. m(i) reads meta scalar i, x_get() the (B,K)
+    fp32 residual input, out_set(y) the layer output, kvnew_set(b, rows) the
+    per-sequence (2*Hkv, hd) int8 new K/V rows. Shared by the single-layer
+    and whole-model kernels; B>1 unrolls the per-sequence head transform /
+    attention loops (continuous batching: each sequence has its own cache
+    position and RoPE row in cs_ref (B,2,hd)); the K/V cache blocks may hold
+    only the current split's sequences (k_ref.shape[1] = B/attn_splits)."""
     K = h_ref.shape[1]
     K2 = K // 2
     TNq = qkvw_ref.shape[2]
@@ -146,17 +150,20 @@ def _layer_phase(j, m, pos_ref, cs_ref, x_get, ofq_ref,
                 qk_scr[pl.ds(bb * R8 + start, rows), :] = \
                     yq[bb:bb + 1, :].reshape(rows, hd)
 
-    # ---- phase nq: head transform + RoPE + quantize + scores + softmax -----
-    # (with split_attn the PV matmuls + o-proj run as their own grid phase so
-    # the attention compute spans TWO weight-prefetch windows)
-    @pl.when(j == nq)
-    def _():
+    # ---- attention phases: head transform + RoPE + quantize + scores +
+    # softmax, then PV + o-proj. attn_splits=0 fuses everything into phase nq
+    # (single-layer kernel); attn_splits=ns runs ns scores phases then ns PV
+    # phases, each over B/ns sequences, so the batched attention compute spans
+    # 2*ns weight/cache-prefetch windows (the KV slabs ride as per-split
+    # blocks and stream between the sub-phases).
+    def _scores_part(b_lo, b_hi):
         R2 = R // 2
         sq, oqv = m(6), m(7) - 128.0
         sk, okv = m(8), m(9) - 128.0
         neg_inf = m(18)
         inv = 1.0 / math.sqrt(hd)
-        for bb in range(B):
+        kb = k_ref.shape[1]                     # sequences per cache block
+        for bb in range(b_lo, b_hi):
             if perm:
                 v2 = v2_scr[bb]
                 qk_scr[bb * R8:bb * R8 + R2, :] = v2[:, :hd]
@@ -192,7 +199,7 @@ def _layer_phase(j, m, pos_ref, cs_ref, x_get, ofq_ref,
                 r0 = bb * R8 + hkv * G
                 qf = q8_scr[r0:r0 + G, :]                        # (G,hd) f32
                 qg = qf.astype(jnp.int8)
-                kc = k_ref[0, bb, hkv]                           # (S,hd) int8
+                kc = k_ref[0, bb % kb, hkv]                      # (S,hd) int8
                 acc = jax.lax.dot_general(qg, kc, (((1,), (1,)), ((), ())),
                                           preferred_element_type=jnp.int32)
                 acc = acc.astype(jnp.float32)                    # (G,S)
@@ -219,14 +226,15 @@ def _layer_phase(j, m, pos_ref, cs_ref, x_get, ofq_ref,
                 p_scr[a0:a0 + G, :] = _fq16b(e / den, m(15), m(16), m(17))
                 ps_scr[a0:a0 + G, :] = _fq16b(es / den, m(15), m(16), m(17))
 
-    def _pv_o_phase():
+    def _pv_part(b_lo, b_hi):
         sv, ovv = m(10), m(11) - 128.0
-        for bb in range(B):
+        vb = v_ref.shape[1]                     # sequences per cache block
+        for bb in range(b_lo, b_hi):
             for hkv in range(Hkv):
                 a0 = bb * Hq + hkv * G
                 p = p_scr[a0:a0 + G, :]                          # (G,S) f32
                 ps = ps_scr[a0:a0 + G, :]                        # (G,1)
-                vc = v_ref[0, bb, hkv].astype(jnp.float32)       # (S,hd)
+                vc = v_ref[0, bb % vb, hkv].astype(jnp.float32)  # (S,hd)
                 pv = jax.lax.dot_general(p, vc, (((1,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
                 psum = jnp.sum(p, axis=1, keepdims=True)
@@ -235,6 +243,7 @@ def _layer_phase(j, m, pos_ref, cs_ref, x_get, ofq_ref,
                 vnf = (vn + 128.0 - m(11)) * sv
                 attn_scr[a0:a0 + G, :] = (pv - ovv * psum) * sv + ps * vnf
 
+    def _o_part():
         # quantize attention output (pv_bmm output site) + flatten each
         # sequence's heads into its own (1, Ko) row of flat_scr: for the
         # permuted hd==64 layout a lane-concat of the two head halves gives
@@ -251,19 +260,19 @@ def _layer_phase(j, m, pos_ref, cs_ref, x_get, ofq_ref,
         a8 = flat_scr[:].astype(jnp.int8)
         # o pack may ride as 1 block or 2 row-split blocks (the model kernel
         # splits it so the two halves DMA during different phases): split
-        # s of ns covers packed rows [s*Ko2/ns, ...), i.e. lo = a8 cols of
-        # that range and hi = the same range shifted by Ko2
-        ns = len(ow_refs)
+        # si of nsp covers packed rows [si*Ko2/nsp, ...), i.e. lo = a8 cols
+        # of that range and hi = the same range shifted by Ko2
+        nsp = len(ow_refs)
         oacc = jnp.zeros((B, K), jnp.int32)
         if wbits == 8:
-            kq = Ko // ns
+            kq = Ko // nsp
             for si, owr in enumerate(ow_refs):
                 oacc = oacc + jax.lax.dot_general(
                     a8[:, si * kq:(si + 1) * kq], owr[0],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)
         else:
-            kq = Ko2 // ns
+            kq = Ko2 // nsp
             for si, owr in enumerate(ow_refs):
                 wo = owr[0]
                 lo2 = wo & 0x0F
@@ -287,11 +296,27 @@ def _layer_phase(j, m, pos_ref, cs_ref, x_get, ofq_ref,
         y = _fq16b(y, m(21), m(22), m(23))
         resid_scr[:] = x_get() + y
 
-    nqa = nq + 1 if split_attn else nq   # phase index of the PV + o-proj step
+    if attn_splits == 0:                 # fused: everything in phase nq
+        nqa = nq
 
-    @pl.when(j == nqa)
-    def _():
-        _pv_o_phase()
+        @pl.when(j == nq)
+        def _():
+            _scores_part(0, B)
+            _pv_part(0, B)
+            _o_part()
+    else:
+        bh = B // attn_splits
+        nqa = nq + 2 * attn_splits - 1   # phase of the last PV (+o-proj) step
+        for s_ in range(attn_splits):
+            @pl.when(j == nq + s_)
+            def _(s_=s_):
+                _scores_part(s_ * bh, (s_ + 1) * bh)
+        for s_ in range(attn_splits):
+            @pl.when(j == nq + attn_splits + s_)
+            def _(s_=s_):
+                _pv_part(s_ * bh, (s_ + 1) * bh)
+                if s_ == attn_splits - 1:
+                    _o_part()
 
     # ---- phases (nqa, nqa+nh]: whole MLP block on the attention residual ---
     @pl.when(j > nqa)
@@ -353,7 +378,7 @@ def _model_kernel(meta_ref, pos_ref,
     layer-derived index maps, so layer l+1's first blocks prefetch during
     layer l's MLP tail — no per-layer dispatch or DMA-startup cost."""
     jj = pl.program_id(0)
-    P = statics["nq"] + 2 + statics["nh"]   # split_attn: PV+o is its own phase
+    P = statics["nq"] + 2 * statics["attn_splits"] + statics["nh"]
     l = jj // P
     j = jj - l * P
 
@@ -380,8 +405,7 @@ def _model_kernel(meta_ref, pos_ref,
                  else (w2p_ref, w2b_ref),
                  aux2_ref, out_set, kvnew_set,
                  v2_scr, qk_scr, q8_scr, p_scr, ps_scr, attn_scr, flat_scr,
-                 resid_scr, h_ref, acc_ref, rsum_ref, split_attn=True,
-                 **statics)
+                 resid_scr, h_ref, acc_ref, rsum_ref, **statics)
 
 
 def _pick_block_nq(K2: int, Nq: int, hd: int) -> int:
@@ -697,7 +721,10 @@ def fused_model_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
     mnw3 = jnp.reshape(mnw_L, (L, 1, K)).astype(jnp.float32)
     mnb3 = jnp.reshape(mnb_L, (L, 1, K)).astype(jnp.float32)
 
-    P = nq + 2 + nh    # qkv cols | scores+softmax | PV+o | MLP phases
+    # attention sub-phases: ns scores + ns PV steps; batched decode splits the
+    # per-sequence attention across two extra prefetch windows per split
+    ns_a = 2 if (B >= 4 and B % 2 == 0) else 1
+    P = nq + 2 * ns_a + nh   # qkv cols | scores xns | PV xns (+o) | MLP
 
     def lyr(j):
         return j // P
@@ -718,7 +745,7 @@ def fused_model_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
         return jnp.maximum(j - delay, 0) // P
 
     def mlu(j):
-        return jnp.maximum(j - (nq + 2), 0)
+        return jnp.maximum(j - (nq + 2 * ns_a), 0)
 
     def mlw(j):
         return mlu(j) // P
@@ -727,10 +754,24 @@ def fused_model_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
         return jnp.clip(mlu(j) - mlw(j) * P, 0, nh - 1)
 
     w2blk = nh if wbits == 8 else 0     # W8: seg_hi row blocks start at nh
+    Bh = B // ns_a
+
+    def l_k(j):
+        return jnp.maximum(j - (nq - 1), 0) // P
+
+    def s_k(j):
+        return jnp.clip(j - l_k(j) * P - nq, 0, ns_a - 1)
+
+    def l_v(j):
+        return jnp.maximum(j - (nq + ns_a - 1), 0) // P
+
+    def s_v(j):
+        return jnp.clip(j - l_v(j) * P - (nq + ns_a), 0, ns_a - 1)
+
     kernel = functools.partial(
         _model_kernel, num_layers=L, Hq=Hq, Hkv=Hkv, hd=hd, rot=rot, nq=nq,
         nh=nh, half_f=half_f, act_kind=act_kind, norm_kind=norm_kind,
-        perm=perm, wbits=wbits, B=B)
+        perm=perm, wbits=wbits, B=B, attn_splits=ns_a)
     wbytes = L * (K2w * Nq + Kor * K + K2w * F2 + w2sp["wq"].shape[1] * K)
     out, kvnew = pl.pallas_call(
         kernel,
@@ -752,16 +793,17 @@ def fused_model_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
                          memory_space=pltpu.VMEM),                    # qkv pack
             pl.BlockSpec((1, 4, TNq), lambda j: (lyr(j), 0, qcl(j)),
                          memory_space=pltpu.VMEM),                    # qkv aux
-            pl.BlockSpec((1, B, Hkv, S, hd),
-                         lambda j: (d_lyr(j, nq - 1), 0, 0, 0, 0),
+            pl.BlockSpec((1, Bh, Hkv, S, hd),
+                         lambda j: (l_k(j), s_k(j), 0, 0, 0),
                          memory_space=pltpu.VMEM),                    # k cache
-            pl.BlockSpec((1, B, Hkv, S, hd),
-                         lambda j: (d_lyr(j, nq + 1), 0, 0, 0, 0),
+            pl.BlockSpec((1, Bh, Hkv, S, hd),
+                         lambda j: (l_v(j), s_v(j), 0, 0, 0),
                          memory_space=pltpu.VMEM),                    # v cache
-            pl.BlockSpec((1, Kor // 2, K), lambda j: (d_lyr(j, nq), 0, 0),
+            pl.BlockSpec((1, Kor // 2, K),
+                         lambda j: (d_lyr(j, nq + ns_a - 1), 0, 0),
                          memory_space=pltpu.VMEM),                    # o pack a
             pl.BlockSpec((1, Kor // 2, K),
-                         lambda j: (d_lyr(j, nq + 1), 1, 0),
+                         lambda j: (d_lyr(j, nq + ns_a), 1, 0),
                          memory_space=pltpu.VMEM),                    # o pack b
             pl.BlockSpec((1, 4, K), lambda j: (lyr(j), 0, 0),
                          memory_space=pltpu.VMEM),                    # o aux

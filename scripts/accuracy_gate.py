@@ -23,10 +23,15 @@ import numpy as np
 
 sys.path.insert(0, ".")
 # CPU tool (tiny model): don't require the axon TPU relay, whose plugin also
-# breaks when PYTHONPATH=. displaces /root/.axon_site
+# breaks when PYTHONPATH=. displaces /root/.axon_site. The env var alone is
+# NOT enough when /root/.axon_site has already imported jax (it wins backend
+# selection and the gate silently runs — or hangs — on the relay), so force
+# the platform through jax.config too.
 os.environ.setdefault("MQTPU_GATE_DEVICE", "cpu")
 if os.environ["MQTPU_GATE_DEVICE"] == "cpu":
     os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 
 def make_markov_data(vocab=256, n_tokens=400_000, seed=0):

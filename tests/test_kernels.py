@@ -461,17 +461,18 @@ def test_whole_layer_w4_kernel_matches_engine_decode(variant):
                 np.testing.assert_array_equal(np.asarray(cc.v),
                                               np.asarray(caches[0].v))
 
-            # batched decode (B=2, staggered cache positions): the whole-model
+            # batched decode (B=4, staggered per-sequence cache positions —
+            # exercises the split attention sub-phases): the whole-model
             # kernel must match the XLA path per sequence
-            t2 = jnp.asarray(tokens[:2])
-            ca2 = E.init_kv_cache(ecfg, 2)
-            cb2 = E.init_kv_cache(ecfg, 2)
-            pos0 = jnp.asarray([0, 0], jnp.int32)
+            t2 = jnp.asarray(np.tile(tokens[:2], (2, 1)))
+            ca2 = E.init_kv_cache(ecfg, 4)
+            cb2 = E.init_kv_cache(ecfg, 4)
+            pos0 = jnp.zeros((4,), jnp.int32)
             _, ca2 = E.forward(packed, t2[:, :4], cfg, policy, kv_cache=ca2,
                                cache_position=pos0)
             _, cb2 = E.forward(packed, t2[:, :4], cfg, policy, kv_cache=cb2,
                                cache_position=pos0)
-            pos = jnp.asarray([4, 3], jnp.int32)     # per-sequence positions
+            pos = jnp.asarray([4, 3, 2, 4], jnp.int32)
             ref2, ca2 = E.forward(packed, t2[:, 4:5], cfg, policy,
                                   positions=pos[:, None], kv_cache=ca2,
                                   cache_position=pos, kv_valid_len=pos + 1)
