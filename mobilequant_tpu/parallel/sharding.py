@@ -201,6 +201,14 @@ def packed_pspecs(packed: dict, config: ModelConfig, mesh: Mesh) -> dict:
         elif pkey == "w2":
             layers[pkey] = build_moe_proj(entry) if entry["wq"].ndim == 4 \
                 else build_proj(entry, "row")
+        elif pkey in ("qkvp", "op"):
+            # whole-layer/whole-model kernel packs (permuted layouts): the
+            # kernels read them single-chip — replicate (TP serving reshards
+            # the canonical per-projection packs instead)
+            layers[pkey] = build_proj(entry, "rep")
+        else:
+            layers[pkey] = jax.tree.map(
+                lambda a: P(*([None] * a.ndim)), entry)
 
     specs = {
         "embed": P("tp", None),
@@ -212,6 +220,15 @@ def packed_pspecs(packed: dict, config: ModelConfig, mesh: Mesh) -> dict:
         specs["rvec"] = P(None, None)
     if "lm_head" in packed:
         specs["lm_head"] = {"w": P(None, "tp")}
+    if "qkv_seg" in packed:
+        specs["qkv_seg"] = P(None)
+    if "head_q" in packed:
+        # quantized head: per-out-channel leaves shard the (padded) vocab axis
+        hq = packed["head_q"]
+        specs["head_q"] = {"wq": P(None, "tp"),
+                           "scale": P(*([None] * (hq["scale"].ndim - 1) + ["tp"])),
+                           "offset": P(*([None] * (hq["offset"].ndim - 1) + ["tp"])),
+                           "colsum": P("tp")}
     return specs
 
 

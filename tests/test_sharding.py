@@ -220,3 +220,44 @@ def test_collective_matmuls_match_reference():
         np.testing.assert_array_equal(
             np.asarray(CM.matmul_reduce_scatter(x8, w8, mesh, axis="tp", dot=dot8)),
             np.asarray(ref8))
+
+
+def test_packed_pspecs_cover_w4_kernel_packs():
+    """packed_pspecs must cover EVERY leaf of a W4 pack that carries the
+    whole-layer kernel stacks (qkvp/op/qkv_seg) and a quantized head —
+    sharding such a model must still match single-device."""
+    import dataclasses
+    from mobilequant_tpu.models import get_config
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant import calibrate
+    from mobilequant_tpu.quant.policy import default_policy
+    from mobilequant_tpu.quant.quantizer import QuantConfig
+
+    cfg = dataclasses.replace(
+        get_config("test-llama"), hidden_size=256, intermediate_size=512,
+        num_heads=8, num_kv_heads=4, head_dim=64, num_layers=2)
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    policy = default_policy(cfg,
+                            QuantConfig(bitwidth=4, is_per_channel=True,
+                                        is_symmetric=True),
+                            QuantConfig(bitwidth=8))
+    tokens = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 8)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, policy, batch_size=2)
+    ranges = calibrate.stats_to_ranges(stats, policy)
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=128, weight_bits=4,
+                          head_bits=8)
+    packed = E.pack(params, ranges, cfg, policy, ecfg)
+    assert "qkvp" in packed["layers"] and "head_q" in packed
+
+    t = jnp.asarray(tokens[:2])
+    ref, _ = E.forward(packed, t, cfg, policy)
+    mesh = S.make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+    specs = S.packed_pspecs(packed, cfg, mesh)
+    packed_sh = S.shard_tree(packed, specs, mesh)   # raises on missing leaves
+    t_sh = jax.device_put(t, NamedSharding(mesh, P("dp", None)))
+    with jax.set_mesh(mesh):
+        out, _ = jax.jit(lambda p, x: E.forward(p, x, cfg, policy))(packed_sh,
+                                                                    t_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
