@@ -95,13 +95,19 @@ class ContinuousBatcher:
         self._last_tokens = np.zeros((self.B,), np.int32)
 
         cfg, pol = config, policy
+        # batched decode rides the whole-model kernel when the pack supports
+        # it and batch_slots <= 8 (engine.forward gates itself); CPU backends
+        # can't compile the Pallas kernels
+        up_decode = self.ecfg.use_pallas if jax.default_backend() != "cpu" \
+            else False
 
         @functools.partial(jax.jit, donate_argnums=(2, 3))
         def decode_step(packed, tokens, k_cache, v_cache, pos, valid):
             logits, nc = E.forward(
                 packed, tokens, cfg, pol, positions=pos[:, None],
                 kv_cache=E.EngineKVCache(k=k_cache, v=v_cache),
-                cache_position=pos, kv_valid_len=valid)
+                cache_position=pos, kv_valid_len=valid,
+                use_pallas=up_decode)
             return logits[:, 0], nc.k, nc.v
 
         self._decode = decode_step
