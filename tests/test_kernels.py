@@ -430,9 +430,17 @@ def test_whole_layer_w4_kernel_matches_engine_decode(variant):
     PL.fused_model_w4_stacked = functools.partial(orig[1], interpret=True)
     PM.int_linear_pallas_stacked = functools.partial(orig[2], interpret=True)
     PMLP.fused_mlp_block_w4_stacked = functools.partial(orig[3], interpret=True)
+    # a third policy with the fused per-channel qkv output fq DISABLED
+    # (q/k/v_proj.output -> 32-bit): exercises the per-segment seg-id branch
+    # of engine._qkv_ofq_rows
+    import dataclasses as _dc
+    noofq = dict(base)
+    for site in ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"):
+        sq = base[site]
+        noofq[site] = _dc.replace(sq, output=sq.output.replace(bitwidth=32))
     t = jnp.asarray(tokens[:1])
     try:
-        for policy in (base, relax_16bit(base)):
+        for policy in (base, relax_16bit(base), noofq):
             # prefill all caches identically via the XLA path; then decode:
             # ref = XLA, b = per-LAYER kernel ("w4nomodelk"), m = whole-MODEL
             caches = [E.init_kv_cache(ecfg, 1) for _ in range(3)]
