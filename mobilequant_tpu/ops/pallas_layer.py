@@ -368,18 +368,28 @@ def _model_kernel(meta_ref, pos_ref,
                   mnw_ref, mnb_ref,
                   w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
                   w2p_ref, w2b_ref, aux2_ref,
-                  out_ref, kvnew_ref,
-                  x_scr, v2_scr, qk_scr, q8_scr, p_scr, ps_scr, attn_scr,
-                  flat_scr, resid_scr, h_ref, acc_ref, rsum_ref,
-                  *, num_layers: int, **statics):
-    """Whole-MODEL decode kernel: grid = (L * P,) flat over (layer, phase).
-    The hidden state lives in x_scr across grid steps (layer l's final MLP
-    phase writes it for layer l+1's norm); weight/cache blocks stream by
-    layer-derived index maps, so layer l+1's first blocks prefetch during
-    layer l's MLP tail — no per-layer dispatch or DMA-startup cost."""
+                  *rest, num_layers: int, nv: int = 0, wbits_h: int = 4,
+                  **statics):
+    """Whole-MODEL decode kernel: grid = (L * P [+ nv],) flat over
+    (layer, phase). The hidden state lives in x_scr across grid steps (layer
+    l's final MLP phase writes it for layer l+1's norm); weight/cache blocks
+    stream by layer-derived index maps, so layer l+1's first blocks prefetch
+    during layer l's MLP tail — no per-layer dispatch or DMA-startup cost.
+    With nv > 0 the final norm + quantized lm_head run as nv extra tail
+    phases (_head_phase) and the kernel also emits the (B, Vp) logits."""
+    if nv:
+        (hnw_ref, hnb_ref, hwq_ref, haux_ref,
+         out_ref, kvnew_ref, lout_ref,
+         x_scr, v2_scr, qk_scr, q8_scr, p_scr, ps_scr, attn_scr,
+         flat_scr, resid_scr, h_ref, acc_ref, rsum_ref, hs_scr) = rest
+    else:
+        (out_ref, kvnew_ref,
+         x_scr, v2_scr, qk_scr, q8_scr, p_scr, ps_scr, attn_scr,
+         flat_scr, resid_scr, h_ref, acc_ref, rsum_ref) = rest
     jj = pl.program_id(0)
     P = statics["nq"] + 2 * statics["attn_splits"] + statics["nh"]
-    l = jj // P
+    LP = num_layers * P
+    l = jnp.minimum(jj // P, num_layers - 1)
     j = jj - l * P
 
     @pl.when(jj == 0)
@@ -396,16 +406,102 @@ def _model_kernel(meta_ref, pos_ref,
     def kvnew_set(bb, rows):
         kvnew_ref[0, bb] = rows
 
-    _layer_phase(j, lambda i: meta_ref[l, i], pos_ref, cs_ref,
-                 lambda: x_scr[:], ofq_ref,
-                 anw_ref, anb_ref, qkvw_ref, qaux_ref, k_ref, v_ref,
-                 (ow_a_ref, ow_b_ref), oaux_ref, mnw_ref, mnb_ref,
-                 w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
-                 (w2p_ref,) if statics.get("wbits", 4) == 4
-                 else (w2p_ref, w2b_ref),
-                 aux2_ref, out_set, kvnew_set,
-                 v2_scr, qk_scr, q8_scr, p_scr, ps_scr, attn_scr, flat_scr,
-                 resid_scr, h_ref, acc_ref, rsum_ref, **statics)
+    def layer_body():
+        _layer_phase(j, lambda i: meta_ref[l, i], pos_ref, cs_ref,
+                     lambda: x_scr[:], ofq_ref,
+                     anw_ref, anb_ref, qkvw_ref, qaux_ref, k_ref, v_ref,
+                     (ow_a_ref, ow_b_ref), oaux_ref, mnw_ref, mnb_ref,
+                     w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
+                     (w2p_ref,) if statics.get("wbits", 4) == 4
+                     else (w2p_ref, w2b_ref),
+                     aux2_ref, out_set, kvnew_set,
+                     v2_scr, qk_scr, q8_scr, p_scr, ps_scr, attn_scr,
+                     flat_scr, resid_scr, h_ref, acc_ref, rsum_ref, **statics)
+
+    if nv == 0:
+        layer_body()
+    else:
+        @pl.when(jj < LP)
+        def _():
+            layer_body()
+
+        @pl.when(jj >= LP)
+        def _():
+            _head_phase(jj - LP, meta_ref[num_layers - 1, 3],
+                        lambda: x_scr[:], hnw_ref, hnb_ref, hwq_ref, haux_ref,
+                        lout_ref, h_ref, hs_scr,
+                        norm_kind=statics["norm_kind"], wbits_h=wbits_h)
+
+
+def _head_phase(hj, eps, x_get, hnw_ref, hnb_ref, hwq_ref, haux_ref,
+                lout_ref, h_ref, hs_scr, *, norm_kind: str, wbits_h: int):
+    """Final-norm + quantized-lm_head tail phases of the whole-model kernel
+    (hj = phase index over vocab column blocks). Bit-faithful to
+    engine.forward's tail: final norm (unquantized, ref qmodule.py:843-845) ->
+    qops.dynamic_quantize_act (per-token symmetric A8) ->
+    qops.int_head_linear (per-channel symmetric W8/W4 head — the reference's
+    on-device SLinear head, sim_layers.py:34-44). Padded vocab columns have
+    scale 0 => logits exactly 0 (sliced off by the caller). Folding the head
+    into the model kernel removes the separate head dispatch, and the head's
+    first weight block prefetches during the last layer's MLP tail."""
+    K = h_ref.shape[1]
+    K2 = K // 2
+
+    @pl.when(hj == 0)
+    def _():
+        xf = x_get()
+        if norm_kind == "layernorm":
+            mu = jnp.mean(xf, axis=1, keepdims=True)
+            var = jnp.mean(jnp.square(xf - mu), axis=1, keepdims=True)
+            y = (xf - mu) * jax.lax.rsqrt(var + eps)
+        else:
+            y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=1, keepdims=True)
+                                   + eps)
+        y = y * hnw_ref[0] + hnb_ref[0]
+        amax = jnp.max(jnp.abs(y), axis=1, keepdims=True)
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        q = jnp.clip(jnp.round(y / scale), -127.0, 127.0)
+        h_ref[:] = q.astype(jnp.int8)
+        hs_scr[:, 0:1] = scale
+        hs_scr[:, 1:2] = jnp.sum(q, axis=1, keepdims=True)
+
+    h = h_ref[:]
+    if wbits_h == 8:
+        acc = jax.lax.dot_general(h, hwq_ref[:], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+    else:
+        wp = hwq_ref[:]
+        lo = wp & 0x0F
+        hi = ((wp.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
+        acc = jax.lax.dot_general(h[:, :K2], lo, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        acc = acc + jax.lax.dot_general(h[:, K2:], hi,
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.int32)
+    sw = haux_ref[0:1, :]
+    ow = haux_ref[1:2, :]
+    sx = hs_scr[:, 0:1]
+    rs = hs_scr[:, 1:2]
+    lout_ref[:] = (acc.astype(jnp.float32) - ow * rs) * (sx * sw)
+
+
+def _pick_block_v(Kh: int, Vp: int) -> int:
+    """Head vocab-block width: divides the padded vocab, multiple of 512, and
+    Kh*TV <= ~4 MB per block (the measured block-width sweet spot; see
+    _pick_block_n in ops/pallas_matmul.py). 0 = no valid width (unsupported)."""
+    cap = (4 * 1024 * 1024) // max(Kh, 1)
+    for t in range(min(cap, Vp) // 512 * 512, 511, -512):
+        if Vp % t == 0:
+            return t
+    return 0
+
+
+def head_kernel_supported(head_pack: dict, hidden_size: int) -> bool:
+    """Static gate for folding the quantized head into the model kernel."""
+    Kh, Vp = head_pack["wq"].shape
+    if Kh not in (hidden_size, hidden_size // 2):
+        return False
+    return Vp % 512 == 0 and _pick_block_v(Kh, Vp) > 0
 
 
 def _pick_block_nq(K2: int, Nq: int, hd: int) -> int:
@@ -668,7 +764,8 @@ def fused_model_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
                            qkv_ofq_L: jax.Array, anw_L, anb_L, qkvsp: dict,
                            osp: dict, mnw_L, mnb_L, w13sp: dict, w2sp: dict,
                            kcache: jax.Array, vcache: jax.Array,
-                           meta_L: jax.Array, *,
+                           meta_L: jax.Array, head: dict = None,
+                           hnorm_w=None, hnorm_b=None, *,
                            num_q_heads: int, num_kv_heads: int, head_dim: int,
                            rotary_dim: int, act_kind: str = "silu",
                            norm_kind: str = "rmsnorm", interpret: bool = False):
@@ -681,7 +778,11 @@ def fused_model_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
     disappears. Supports decode batches up to 8 (continuous batching:
     per-sequence cache positions in pos (B,), per-sequence RoPE rows in
     rope_cs (B,2,hd)). qkv_ofq_L (L,4,Nq); meta_L (L, LAYER_META_LEN).
-    Returns (x_out (B,K) fp32, kv_new (L, B, 2*Hkv, hd) int8)."""
+    Returns (x_out (B,K) fp32, kv_new (L, B, 2*Hkv, hd) int8).
+
+    With head (an engine.pack_head dict) + hnorm_w/hnorm_b, the final norm and
+    the quantized lm_head fold in as tail grid phases (_head_phase) and the
+    return gains logits (B, Vp) fp32 (padded vocab columns exactly 0)."""
     Hq, Hkv, hd, rot = num_q_heads, num_kv_heads, head_dim, rotary_dim
     B, K = x.shape
     assert B <= 8, "whole-model kernel supports decode batches up to 8"
@@ -725,9 +826,26 @@ def fused_model_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
     # per-sequence attention across two extra prefetch windows per split
     ns_a = 2 if (B >= 4 and B % 2 == 0) else 1
     P = nq + 2 * ns_a + nh   # qkv cols | scores xns | PV xns (+o) | MLP
+    Lm1 = L - 1              # layer index maps clamp here during head phases
+
+    # folded final-norm + quantized-head tail phases
+    nv = 0
+    wbits_h = 4
+    if head is not None:
+        Kh, Vp = head["wq"].shape
+        wbits_h = 8 if Kh == K else 4
+        assert Kh in (K, K // 2), (Kh, K)
+        TV = _pick_block_v(Kh, Vp)
+        assert TV and Vp % TV == 0, (Kh, Vp)
+        nv = Vp // TV
+        haux = jnp.concatenate(
+            [jnp.reshape(head["scale"], (1, Vp)),
+             jnp.reshape(head["offset"], (1, Vp))], axis=0).astype(jnp.float32)
+        hnw = jnp.reshape(hnorm_w, (1, K)).astype(jnp.float32)
+        hnb = jnp.reshape(hnorm_b, (1, K)).astype(jnp.float32)
 
     def lyr(j):
-        return j // P
+        return jnp.minimum(j // P, Lm1)
 
     def ph(j):
         return j - lyr(j) * P
@@ -742,13 +860,13 @@ def fused_model_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
     # boundary load spreads over the qkv phases; w13/w2 block 0 fetches during
     # the attention phase (the longest-compute step).
     def d_lyr(j, delay):
-        return jnp.maximum(j - delay, 0) // P
+        return jnp.minimum(jnp.maximum(j - delay, 0) // P, Lm1)
 
     def mlu(j):
         return jnp.maximum(j - (nq + 2 * ns_a), 0)
 
     def mlw(j):
-        return mlu(j) // P
+        return jnp.minimum(mlu(j) // P, Lm1)
 
     def mlt(j):
         return jnp.clip(mlu(j) - mlw(j) * P, 0, nh - 1)
@@ -757,26 +875,26 @@ def fused_model_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
     Bh = B // ns_a
 
     def l_k(j):
-        return jnp.maximum(j - (nq - 1), 0) // P
+        return jnp.minimum(jnp.maximum(j - (nq - 1), 0) // P, Lm1)
 
     def s_k(j):
         return jnp.clip(j - l_k(j) * P - nq, 0, ns_a - 1)
 
     def l_v(j):
-        return jnp.maximum(j - (nq + ns_a - 1), 0) // P
+        return jnp.minimum(jnp.maximum(j - (nq + ns_a - 1), 0) // P, Lm1)
 
     def s_v(j):
         return jnp.clip(j - l_v(j) * P - (nq + ns_a), 0, ns_a - 1)
 
+    def hblk(j):
+        return jnp.clip(j - L * P, 0, max(nv - 1, 0))
+
     kernel = functools.partial(
-        _model_kernel, num_layers=L, Hq=Hq, Hkv=Hkv, hd=hd, rot=rot, nq=nq,
-        nh=nh, half_f=half_f, act_kind=act_kind, norm_kind=norm_kind,
-        perm=perm, wbits=wbits, B=B, attn_splits=ns_a)
+        _model_kernel, num_layers=L, nv=nv, wbits_h=wbits_h, Hq=Hq, Hkv=Hkv,
+        hd=hd, rot=rot, nq=nq, nh=nh, half_f=half_f, act_kind=act_kind,
+        norm_kind=norm_kind, perm=perm, wbits=wbits, B=B, attn_splits=ns_a)
     wbytes = L * (K2w * Nq + Kor * K + K2w * F2 + w2sp["wq"].shape[1] * K)
-    out, kvnew = pl.pallas_call(
-        kernel,
-        grid=(L * P,),
-        in_specs=[
+    in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),                    # meta_L
             pl.BlockSpec(memory_space=pltpu.SMEM),                    # pos
             pl.BlockSpec((B, K), lambda j: (0, 0),
@@ -831,40 +949,67 @@ def fused_model_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
                          memory_space=pltpu.VMEM),            # w2 seg_hi (W8)
             pl.BlockSpec((1, 4, K), lambda j: (lyr(j), 0, 0),
                          memory_space=pltpu.VMEM),                    # aux2
-        ],
-        out_specs=[
-            pl.BlockSpec((B, K), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),                    # x out
-            pl.BlockSpec((1, B, 2 * Hkv, hd), lambda j: (lyr(j), 0, 0, 0),
-                         memory_space=pltpu.VMEM),                    # k/v new
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((B, K), jnp.float32),                          # x carry
-            pltpu.VMEM((B, max(Nq // 128, 1), 128), jnp.float32),     # v2
-            pltpu.VMEM((B * R8, hd), jnp.float32),                    # qk
-            pltpu.VMEM((B * R8, hd), jnp.float32),                    # q8 (f32)
-            pltpu.VMEM((B * Hq, S), jnp.float32),                     # probs
-            pltpu.VMEM((B * Hq, 1), jnp.float32),                     # p_self
-            pltpu.VMEM((B * Hq, hd), jnp.float32),                    # attn
-            pltpu.VMEM((B, Ko), jnp.float32),                         # flat
-            pltpu.VMEM((B, K), jnp.float32),                          # resid
-            pltpu.VMEM((B, K), jnp.int8),                             # h
-            pltpu.VMEM((B, K), jnp.int32),                            # mlp acc
-            pltpu.VMEM((B, 1), jnp.int32),                            # mlp rsum
-        ],
-        out_shape=[jax.ShapeDtypeStruct((B, K), jnp.float32),
-                   jax.ShapeDtypeStruct((L, B, 2 * Hkv, hd), jnp.int8)],
+    ]
+    out_specs = [
+        pl.BlockSpec((B, K), lambda j: (0, 0),
+                     memory_space=pltpu.VMEM),                        # x out
+        pl.BlockSpec((1, B, 2 * Hkv, hd), lambda j: (lyr(j), 0, 0, 0),
+                     memory_space=pltpu.VMEM),                        # k/v new
+    ]
+    out_shape = [jax.ShapeDtypeStruct((B, K), jnp.float32),
+                 jax.ShapeDtypeStruct((L, B, 2 * Hkv, hd), jnp.int8)]
+    scratch_shapes = [
+        pltpu.VMEM((B, K), jnp.float32),                              # x carry
+        pltpu.VMEM((B, max(Nq // 128, 1), 128), jnp.float32),         # v2
+        pltpu.VMEM((B * R8, hd), jnp.float32),                        # qk
+        pltpu.VMEM((B * R8, hd), jnp.float32),                        # q8 (f32)
+        pltpu.VMEM((B * Hq, S), jnp.float32),                         # probs
+        pltpu.VMEM((B * Hq, 1), jnp.float32),                         # p_self
+        pltpu.VMEM((B * Hq, hd), jnp.float32),                        # attn
+        pltpu.VMEM((B, Ko), jnp.float32),                             # flat
+        pltpu.VMEM((B, K), jnp.float32),                              # resid
+        pltpu.VMEM((B, K), jnp.int8),                                 # h
+        pltpu.VMEM((B, K), jnp.int32),                                # mlp acc
+        pltpu.VMEM((B, 1), jnp.int32),                                # mlp rsum
+    ]
+    args = [meta_L.astype(jnp.float32), pos.astype(jnp.int32),
+            x.astype(jnp.float32), rope_cs.astype(jnp.float32),
+            qkv_ofq_L.astype(jnp.float32),
+            anw3, anb3, qkvsp["wq"], qaux, kcache, vcache, osp["wq"],
+            osp["wq"], oaux, mnw3, mnb3, w13sp["wq"], w13sp["wq"],
+            w13sp["wq"], w13sp["wq"], aux13, w2sp["wq"], w2sp["wq"], aux2]
+    hbytes = 0
+    if nv:
+        in_specs += [
+            pl.BlockSpec((1, K), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),                    # final nw
+            pl.BlockSpec((1, K), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),                    # final nb
+            pl.BlockSpec((Kh, TV), lambda j: (0, hblk(j)),
+                         memory_space=pltpu.VMEM),                    # head pack
+            pl.BlockSpec((2, TV), lambda j: (0, hblk(j)),
+                         memory_space=pltpu.VMEM),                    # head aux
+        ]
+        out_specs.append(pl.BlockSpec((B, TV), lambda j: (0, hblk(j)),
+                                      memory_space=pltpu.VMEM))       # logits
+        out_shape.append(jax.ShapeDtypeStruct((B, Vp), jnp.float32))
+        scratch_shapes.append(pltpu.VMEM((B, 2), jnp.float32))  # sx | rowsum
+        args += [hnw, hnb, head["wq"], haux]
+        hbytes = Kh * Vp + B * Vp * 4
+    res = pl.pallas_call(
+        kernel,
+        grid=(L * P + nv,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=2 * L * (K * Nq + Ko * K + K * F2 + F * K + 2 * Hq * S * hd),
-            bytes_accessed=wbytes + L * 2 * Hkv * S * hd,
+            flops=2 * L * (K * Nq + Ko * K + K * F2 + F * K + 2 * Hq * S * hd)
+            + (2 * B * K * (Vp if nv else 0)),
+            bytes_accessed=wbytes + L * 2 * Hkv * S * hd + hbytes,
             transcendentals=L * (Hq * S + F)),
         interpret=interpret,
-    )(meta_L.astype(jnp.float32), pos.astype(jnp.int32),
-      x.astype(jnp.float32), rope_cs.astype(jnp.float32),
-      qkv_ofq_L.astype(jnp.float32),
-      anw3, anb3, qkvsp["wq"], qaux, kcache, vcache, osp["wq"], osp["wq"],
-      oaux, mnw3, mnb3, w13sp["wq"], w13sp["wq"], w13sp["wq"], w13sp["wq"],
-      aux13, w2sp["wq"], w2sp["wq"], aux2)
-    return out, kvnew
+    )(*args)
+    return res if nv else (res[0], res[1])

@@ -993,21 +993,35 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
             lambda rv: _layer_meta(_lr_from_rvec(rv, packed["ranges"]),
                                    policy, c))(packed["rvec"])
         ofq_L = _qkv_ofq_rows_stacked(packed, policy, c)
-        hm, kvnew = _PL.fused_model_w4_stacked(
+        # fold the final norm + quantized lm_head into the model kernel as
+        # tail grid phases: no separate head dispatch, and the head's first
+        # weight block prefetches during the last layer's MLP tail
+        hfold = ("head_q" in packed
+                 and _PL.head_kernel_supported(packed["head_q"], c.hidden_size))
+        hargs = (packed["head_q"], packed["norm"]["w"],
+                 packed["norm"]["b"]) if hfold else (None, None, None)
+        res = _PL.fused_model_w4_stacked(
             x.reshape(B, -1).astype(jnp.float32), cache_position,
             sp["rope_cs"], ofq_L, ly["attn_norm"]["w"], ly["attn_norm"]["b"],
             ly["qkvp"], ly["op"], ly["mlp_norm"]["w"], ly["mlp_norm"]["b"],
-            ly["w13_proj"], ly["w2"], kv_cache.k, kv_cache.v, meta_L,
+            ly["w13_proj"], ly["w2"], kv_cache.k, kv_cache.v, meta_L, *hargs,
             num_q_heads=c.num_heads, num_kv_heads=c.num_kv_heads,
             head_dim=c.head_dim_, rotary_dim=c.rotary_dim,
             act_kind=c.hidden_act,
             norm_kind="layernorm" if c.norm_class == "layernorm" else "rmsnorm")
+        if hfold:
+            hm, kvnew, lg = res
+            logits = lg[:, :c.vocab_size].reshape(B, T, c.vocab_size)
+        else:
+            hm, kvnew = res
+            logits = None
         h = hm.reshape(B, T, -1).astype(x.dtype)
         Hkv_, hd_ = c.num_kv_heads, c.head_dim_
         kv_out = (kvnew[:, :, :Hkv_].reshape(c.num_layers, B, Hkv_, 1, hd_),
                   kvnew[:, :, Hkv_:].reshape(c.num_layers, B, Hkv_, 1, hd_))
     else:
         h, kv_out = jax.lax.scan(body, x, xs, unroll=layer_unroll)
+        logits = None
     if kv_cache is not None and T == 1 and "attn" not in mode_s:
         # decode-light: the scan emitted only the new K/V rows; scatter them
         # into the cache with ONE batched update after the scan. This DUS
@@ -1034,6 +1048,9 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
                                   v=scat(kv_cache.v, kv_out[1]))
     else:
         new_cache = EngineKVCache(k=kv_out[0], v=kv_out[1])
+
+    if logits is not None:          # head folded into the model kernel
+        return logits, new_cache
 
     # final norm + lm_head: unquantized (ref qmodule.py:843-845)
     xf = h.astype(jnp.float32)

@@ -420,16 +420,26 @@ def test_whole_layer_w4_kernel_matches_engine_decode(variant):
         0, cfg.vocab_size, (2, 8)).astype(np.int32)
     stats = calibrate.run_calibration(params, tokens, cfg, base, batch_size=2)
     ranges = calibrate.stats_to_ranges(stats, base)
-    ecfg = E.EngineConfig(model=cfg, max_seq_len=128, weight_bits=wb)
+    # llama variants also fold the quantized lm_head into the model kernel
+    # (W4 body -> h4 head, W8 -> h8); the others keep the bf16 head and cover
+    # the logits=None (unfolded) model-kernel path
+    hb = wb if variant.startswith("llama") else 16
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=128, weight_bits=wb,
+                          head_bits=hb)
     packed = E.pack(params, ranges, cfg, base, ecfg)
     assert "qkvp" in packed["layers"] and "op" in packed["layers"]
+    if hb != 16:
+        import mobilequant_tpu.ops.pallas_layer as _PLs
+        assert _PLs.head_kernel_supported(packed["head_q"], cfg.hidden_size)
 
     orig = (PL.fused_layer_w4_stacked, PL.fused_model_w4_stacked,
-            PM.int_linear_pallas_stacked, PMLP.fused_mlp_block_w4_stacked)
+            PM.int_linear_pallas_stacked, PMLP.fused_mlp_block_w4_stacked,
+            PM.w4a8_matmul)
     PL.fused_layer_w4_stacked = functools.partial(orig[0], interpret=True)
     PL.fused_model_w4_stacked = functools.partial(orig[1], interpret=True)
     PM.int_linear_pallas_stacked = functools.partial(orig[2], interpret=True)
     PMLP.fused_mlp_block_w4_stacked = functools.partial(orig[3], interpret=True)
+    PM.w4a8_matmul = functools.partial(orig[4], interpret=True)  # W4 head
     # a third policy with the fused per-channel qkv output fq DISABLED
     # (q/k/v_proj.output -> 32-bit): exercises the per-segment seg-id branch
     # of engine._qkv_ofq_rows
@@ -497,6 +507,7 @@ def test_whole_layer_w4_kernel_matches_engine_decode(variant):
         PL.fused_model_w4_stacked = orig[1]
         PM.int_linear_pallas_stacked = orig[2]
         PMLP.fused_mlp_block_w4_stacked = orig[3]
+        PM.w4a8_matmul = orig[4]
         # this test compiles ~30 distinct interpret-mode programs per variant;
         # drop them so later tests' XLA:CPU compiles don't hit allocator
         # pressure (observed: segfault in backend_compile_and_load during
