@@ -915,8 +915,14 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
 def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolicy,
             positions=None, kv_cache: Optional[EngineKVCache] = None,
             cache_position=None, kv_valid_len=None, use_pallas: bool = False,
-            layer_unroll: int = 1):
-    """Packed-int forward -> (logits, new_kv_cache)."""
+            layer_unroll: int = 1, logits_at=None):
+    """Packed-int forward -> (logits, new_kv_cache).
+
+    logits_at: optional (B,) per-sequence row index — compute the final norm +
+    lm_head on that single position only and return (B, 1, vocab) logits.
+    Generation prefill needs exactly one row; the full T-position head matmul
+    it replaces is the prefill's largest single op (Gemma: 2·T·K·V ≈ 1 TFLOP
+    bf16 at T=1024). Default None = full (B, T, vocab) logits (ppl eval)."""
     c = config
     B, T = tokens.shape
     if positions is None:
@@ -1051,6 +1057,12 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
 
     if logits is not None:          # head folded into the model kernel
         return logits, new_cache
+
+    if logits_at is not None and T > 1:
+        idx = jnp.asarray(logits_at, jnp.int32)
+        h = jax.vmap(lambda hb, i: jax.lax.dynamic_slice_in_dim(
+            hb, i, 1, axis=0))(h, idx)
+        T = 1
 
     # final norm + lm_head: unquantized (ref qmodule.py:843-845)
     xf = h.astype(jnp.float32)

@@ -48,11 +48,15 @@ class Generator:
         def _prefill(packed, tokens, cache):
             B, T = tokens.shape
             positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+            # logits_at: generation needs only the last prompt position, so
+            # the lm_head runs on one row instead of all T (the prefill's
+            # largest single matmul); consumers index logits[:, -1] as before
             logits, new_cache = E.forward(
                 packed, tokens, cfg, pol, positions=positions, kv_cache=cache,
                 cache_position=jnp.zeros((B,), jnp.int32),
                 kv_valid_len=jnp.full((B,), T, jnp.int32),
-                use_pallas=up_prefill)
+                use_pallas=up_prefill,
+                logits_at=jnp.full((B,), T - 1, jnp.int32))
             return logits, new_cache
 
         @functools.partial(jax.jit, donate_argnums=(2,))

@@ -121,16 +121,19 @@ class ContinuousBatcher:
 
         @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(2, 3))
         def prefill_slot(packed, tokens, k_cache, v_cache, bucket, slot, length):
-            # tokens: (1, bucket) padded prompt; writes K/V into `slot`
+            # tokens: (1, bucket) padded prompt; writes K/V into `slot`.
+            # logits_at: generation needs only the last prompt position's
+            # logits — skips the bucket-wide lm_head matmul
             positions = jnp.arange(bucket)[None, :]
             logits, seg = E.forward(packed, tokens, cfg, pol, positions=positions,
                                     kv_valid_len=jnp.asarray([length]),
-                                    use_pallas=up_prefill)
+                                    use_pallas=up_prefill,
+                                    logits_at=(length - 1)[None])
             k_cache = jax.lax.dynamic_update_slice(
                 k_cache, seg.k, (0, slot[0], 0, 0, 0))
             v_cache = jax.lax.dynamic_update_slice(
                 v_cache, seg.v, (0, slot[0], 0, 0, 0))
-            last = logits[0, length - 1]
+            last = logits[0, -1]
             return last, k_cache, v_cache
 
         self._prefill = prefill_slot
@@ -141,7 +144,9 @@ class ContinuousBatcher:
 
             @functools.partial(jax.jit, donate_argnums=(2,))
             def prefill_chunk(packed, tokens, slot_cache, start, valid):
-                # tokens (1, C); slot_cache (L, 1, Hkv, S, hd); start scalar
+                # tokens (1, C); slot_cache (L, 1, Hkv, S, hd); start scalar.
+                # logits_at: only the final chunk's last valid row is ever
+                # consumed (valid-1-start is C-1 on intermediate chunks)
                 C = tokens.shape[1]
                 positions = (start + jnp.arange(C))[None, :]
                 logits, nc = E.forward(
@@ -149,7 +154,8 @@ class ContinuousBatcher:
                     kv_cache=slot_cache,
                     cache_position=jnp.full((1,), start, jnp.int32),
                     kv_valid_len=jnp.asarray([valid], jnp.int32),
-                    use_pallas=up_prefill)
+                    use_pallas=up_prefill,
+                    logits_at=jnp.clip(valid - 1 - start, 0, C - 1)[None])
                 return logits, nc.k, nc.v
 
             @functools.partial(jax.jit, donate_argnums=(1, 2))
@@ -183,7 +189,7 @@ class ContinuousBatcher:
         k, v = self._adopt_slot(jnp.int32(slot), self.cache.k, self.cache.v,
                                 sk, sv)
         self.cache = E.EngineKVCache(k=k, v=v)
-        return last[0, (T - 1) % C if T % C else C - 1]
+        return last[0, -1]       # logits_at already selected the last row
 
     # ------------------------------------------------------------------
     def submit(self, prompt_tokens, max_new_tokens: int) -> int:

@@ -223,3 +223,28 @@ def test_engine_quantized_head(name, head_bits):
     if head_bits == 8:
         agree = (ref_np.argmax(-1) == out_np.argmax(-1)).mean()
         assert agree > 0.95, agree
+
+
+def test_forward_logits_at_matches_full():
+    """logits_at (single-row lm_head at generation prefill) == the same row of
+    the full-T logits, for the bf16, W8, and W4 heads, incl. ragged batches."""
+    cfg, params, policy, ranges, packed, ecfg, tokens = _build("test-llama", 8)
+    t = jnp.asarray(tokens[:2])
+    idx = jnp.asarray([t.shape[1] - 1, 7], jnp.int32)   # ragged last positions
+    full, _ = E.forward(packed, t, cfg, policy)
+    one, _ = E.forward(packed, t, cfg, policy, logits_at=idx)
+    assert one.shape == (2, 1, cfg.vocab_size)
+    for b in range(2):
+        np.testing.assert_allclose(np.asarray(one[b, 0]),
+                                   np.asarray(full[b, int(idx[b])]),
+                                   rtol=1e-6, atol=1e-6)
+    # quantized heads go through the same sliced path
+    for hb in (8, 4):
+        ecfg_q = E.EngineConfig(model=cfg, max_seq_len=32, head_bits=hb)
+        packed_q = E.pack(params, ranges, cfg, policy, ecfg_q)
+        full_q, _ = E.forward(packed_q, t, cfg, policy)
+        one_q, _ = E.forward(packed_q, t, cfg, policy, logits_at=idx)
+        for b in range(2):
+            np.testing.assert_allclose(np.asarray(one_q[b, 0]),
+                                       np.asarray(full_q[b, int(idx[b])]),
+                                       rtol=1e-5, atol=1e-5)
