@@ -186,11 +186,18 @@ def main():
     policy_pf = relax_16bit(policy8)
     r1, r2 = (2, 4) if smoke else (2, 8)
 
-    def measure_prefill(use_pallas):
+    def measure_prefill(use_pallas, last_only=False):
+        # last_only: generation-style prefill (engine logits_at) — the lm_head
+        # runs on the final prompt row only, as Generator/batcher prefill do.
+        # The chain stays forced: the last row's logits depend on every prompt
+        # position through attention, and the sampled token perturbs the whole
+        # next prompt.
         @jax.jit
         def step(p, t):
-            logits, _ = E.forward(p, t, cfg, policy_pf, use_pallas=use_pallas)
-            return jnp.argmax(logits, -1).astype(jnp.int32)
+            la = jnp.full((1,), seq - 1, jnp.int32) if last_only else None
+            logits, _ = E.forward(p, t, cfg, policy_pf, use_pallas=use_pallas,
+                                  logits_at=la)
+            return jnp.argmax(logits, -1).astype(jnp.int32)   # (1,seq) | (1,1)
 
         rng = np.random.default_rng(0)
 
@@ -199,7 +206,7 @@ def main():
                             % cfg.vocab_size, jnp.int32)
             t0 = time.perf_counter()
             for _ in range(reps):
-                t = (step(packed, t) + 1) % cfg.vocab_size
+                t = (t + step(packed, t) + 1) % cfg.vocab_size   # broadcasts
                 np.asarray(t)                      # fetch forces the chain
             return time.perf_counter() - t0
 
@@ -214,6 +221,9 @@ def main():
         pf_k = measure_prefill("attn")             # fused prefill-attention kernel
         results["w8a8_prefill_pallas_tok_s"] = pf_k
         log(f"W8A8 prefill (fused attn kernel): {pf_k:.0f} tok/s")
+        pf_g = measure_prefill("attn", last_only=True)
+        results["w8a8_prefill_gen_tok_s"] = pf_g
+        log(f"W8A8 prefill (fused kernel, last-only head): {pf_g:.0f} tok/s")
 
     # --- other reference target models (gemma-2b, stablelm-2-1.6b): gated —
     # each adds several minutes of compile+run to the official bench ---
