@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -823,8 +824,14 @@ def fused_model_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
     mnb3 = jnp.reshape(mnb_L, (L, 1, K)).astype(jnp.float32)
 
     # attention sub-phases: ns scores + ns PV steps; batched decode splits the
-    # per-sequence attention across two extra prefetch windows per split
-    ns_a = 2 if (B >= 4 and B % 2 == 0) else 1
+    # per-sequence attention across two extra prefetch windows per split.
+    # MQTPU_MODELK_ATTN_SPLITS overrides for on-chip sweeps (must divide B).
+    ns_env = os.environ.get("MQTPU_MODELK_ATTN_SPLITS")
+    if ns_env:
+        ns_a = int(ns_env)
+        assert B % ns_a == 0, (B, ns_a)
+    else:
+        ns_a = 2 if (B >= 4 and B % 2 == 0) else 1
     P = nq + 2 * ns_a + nh   # qkv cols | scores xns | PV xns (+o) | MLP
     Lm1 = L - 1              # layer index maps clamp here during head phases
 
