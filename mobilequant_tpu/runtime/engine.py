@@ -781,7 +781,7 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         h28, h2r = h8, hr
 
     if c.is_moe and "router" in lp:
-        # --- MoE tail (Mixtral): dense dispatch + integer expert matmuls ---
+        # --- MoE tail (Mixtral): integer expert matmuls ---
         # Router runs FP on the fake-quanted normed hidden == dequant(h28),
         # exactly the sim's moe_block input; combine-weight mixing replicates
         # models/model.py moe_block (ref HFMoEBlock, hf_model.py:1065-1162).
@@ -790,6 +790,83 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         top_vals, top_idx = jax.lax.top_k(probs, c.num_experts_per_tok)
         top_vals = top_vals / jnp.sum(top_vals, axis=-1, keepdims=True)
+
+        kk = c.num_experts_per_tok
+        E = c.num_local_experts
+        if T == 1 and B * kk < E:
+            # --- sparse dispatch (decode): compute ONLY each sequence's top-k
+            # experts. Numerically identical to dense dispatch (the combine
+            # weights zero the other experts), but weight traffic drops from
+            # E to k experts per token — the decode step is weight-bound.
+            # W8: the expert dynamic-slice fuses into XLA's own matmul reads;
+            # W4: the stacked-select Pallas kernel picks the expert via a
+            # scalar-prefetch index into the (L*E)-flattened pack (the same
+            # no-copy trick as the per-layer select, see _int_linear).
+            def flat_sp(name):
+                # (L, E, ...) leaves -> (L*E, ...); leaves without the expert
+                # axis (per-tensor scale scalars / (L,) vectors) broadcast
+                if sp is None or name not in sp:
+                    return None
+
+                def f(a):
+                    if a.ndim >= 2 and a.shape[1] == E:
+                        return a.reshape((a.shape[0] * E,) + a.shape[2:])
+                    if a.ndim == 1:                    # (L,) per-layer scalar
+                        return jnp.repeat(a, E, axis=0)
+                    return a                           # 0-dim: shared scalar
+                return {k2: f(a) for k2, a in sp[name].items()}
+
+            sp1, sp3, sp2 = flat_sp("w1"), flat_sp("w3"), flat_sp("w2")
+            w2r = lr["mlp.w2"]["input"]
+
+            def one(b, e):
+                idx_e = top_idx[b, 0, e]
+                fi = (li * E + idx_e) if li is not None else None
+
+                def pick(entry):
+                    # index the expert axis; shared leaves (per-tensor scale
+                    # scalars, no leading E) pass through
+                    return jax.tree.map(
+                        lambda a: jax.lax.dynamic_index_in_dim(
+                            a, idx_e, 0, keepdims=False)
+                        if a.ndim >= 1 and a.shape[0] == E else a, entry)
+
+                x1 = h28[b]                                       # (1, K)
+                w1p = pick(lp["w1"])
+                g1 = _int_linear(x1, h2r["scale"], h2r["offset"], w1p,
+                                 w1p["bias"], use_pallas, spack=sp1, li=fi)
+                g1 = _fq16(g1, lr["mlp.w1"]["output"], policy["mlp.w1"].output)
+                if c.hidden_act == "silu":
+                    sig = jax.nn.sigmoid(g1)
+                    af = lr["mlp.act_fn"]
+                    if "input2" in af:
+                        sig = _fq16(sig, af["input2"],
+                                    policy["mlp.act_fn"].input2)
+                    act = g1 * sig
+                elif c.hidden_act == "gelu_tanh":
+                    act = jax.nn.gelu(g1, approximate=True)
+                else:
+                    act = jax.nn.gelu(g1, approximate=False)
+                act = _fq16(act, lr["mlp.act_fn"]["output"],
+                            policy["mlp.act_fn"].output)
+                if "w3" in lp:
+                    w3p = pick(lp["w3"])
+                    g3 = _int_linear(x1, h2r["scale"], h2r["offset"], w3p,
+                                     w3p["bias"], use_pallas, spack=sp3, li=fi)
+                    g3 = _fq16(g3, lr["mlp.w3"]["output"],
+                               policy["mlp.w3"].output)
+                    act = act * g3
+                act8 = qops.quantize_act(act, w2r["scale"], w2r["offset"])
+                w2p = pick(lp["w2"])
+                y1 = _int_linear(act8, w2r["scale"], w2r["offset"], w2p,
+                                 w2p["bias"], use_pallas, spack=sp2, li=fi)
+                y1 = _fq16(y1, lr["mlp.w2"]["output"], policy["mlp.w2"].output)
+                return y1 * top_vals[b, 0, e]
+
+            y = jnp.stack([sum(one(b, e) for e in range(kk))
+                           for b in range(B)], axis=0)            # (B, 1, D)
+            return resid + y, (k_all, v_all)
+
         combine = jnp.sum(
             jax.nn.one_hot(top_idx, c.num_local_experts, dtype=top_vals.dtype)
             * top_vals[..., None], axis=-2)                       # (B,T,E)

@@ -248,3 +248,41 @@ def test_forward_logits_at_matches_full():
             np.testing.assert_allclose(np.asarray(one_q[b, 0]),
                                        np.asarray(full_q[b, int(idx[b])]),
                                        rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("w_bits", [8, 4], ids=["w8", "w4"])
+def test_moe_sparse_decode_matches_dense(w_bits):
+    """B=1 MoE decode takes the sparse top-k dispatch (only the routed experts
+    compute); logits must match the dense-dispatch prefill of the same tokens.
+    W4 additionally routes the expert select through the stacked Pallas kernel
+    ((L*E)-flat scalar-prefetch index) in interpret mode."""
+    import functools
+    import mobilequant_tpu.ops.pallas_matmul as PM
+    cfg, params, policy, ranges, packed, ecfg, tokens = _build("test-mixtral", w_bits)
+    assert cfg.num_experts_per_tok < cfg.num_local_experts
+    T = 8
+    t = jnp.asarray(tokens[:1, :T])
+    full, _ = E.forward(packed, t, cfg, policy)           # dense (T > 1)
+
+    def decode_chain(use_pallas):
+        cache = E.init_kv_cache(ecfg, 1)
+        outs = []
+        for i in range(T):
+            pos = jnp.full((1,), i, jnp.int32)
+            logits, cache = E.forward(packed, t[:, i:i + 1], cfg, policy,
+                                      positions=pos[:, None], kv_cache=cache,
+                                      cache_position=pos, kv_valid_len=pos + 1,
+                                      use_pallas=use_pallas)
+            outs.append(np.asarray(logits[:, 0]))
+        return np.stack(outs, axis=1)
+
+    dec = decode_chain(False)
+    np.testing.assert_allclose(dec, np.asarray(full), rtol=1e-3, atol=1e-3)
+    if w_bits == 4:
+        om = PM.int_linear_pallas_stacked
+        PM.int_linear_pallas_stacked = functools.partial(om, interpret=True)
+        try:
+            dec_k = decode_chain("w4nomodelk")
+        finally:
+            PM.int_linear_pallas_stacked = om
+        np.testing.assert_allclose(dec_k, dec, rtol=2e-4, atol=2e-4)
