@@ -74,16 +74,25 @@ def pack_weight(w, qcfg: QuantConfig):
     Returns dict with:
       wq      int8 shifted-signed values; for 4-bit: nibble-packed (in/2, out)
               (packedness is shape-inferred at use: wq.shape[0] == in/2)
-      scale   fp32 () or (1, out)
+      scale   fp32 () or (1, out); grouped: (G, 1, out) along the input axis
+              (the reference's auto_gptq W4 g128 layout, ref qmodule.py:803-829)
       offset  fp32 shifted zero-point (same shape as scale)
-      colsum  fp32 per-out-channel sum of q values (activation-offset correction)
+      colsum  fp32 per-out-channel sum of q values (activation-offset
+              correction; per group when grouped)
     """
-    assert qcfg.group_size == -1, "grouped weights pack via per-channel sub-tiles"
+    grouped = qcfg.is_per_channel and qcfg.group_size != -1
     mn, mx = weight_min_max(w, qcfg)
     scale, offset = scale_offset_from_min_max(mn, mx, qcfg)
     wf = w.astype(jnp.float32)
-    q = jnp.round(wf / scale) + offset
-    q = jnp.clip(q, qcfg.qmin, qcfg.qmax)
+    if grouped:
+        from mobilequant_tpu.quant.quantizer import _group_reshape
+        wg = _group_reshape(wf, qcfg.group_size)
+        q = jnp.round(wg / scale) + offset          # (..., G, gs, out)
+        q = jnp.clip(q, qcfg.qmin, qcfg.qmax)
+        q = q.reshape(wf.shape)
+    else:
+        q = jnp.round(wf / scale) + offset
+        q = jnp.clip(q, qcfg.qmin, qcfg.qmax)
     if qcfg.bitwidth == 4:
         # store UNSIGNED nibbles q - qmin ∈ [0,15]; the zero-point shifts by
         # -qmin so the affine corrections are unchanged (see unpack_nibbles)
@@ -95,7 +104,12 @@ def pack_weight(w, qcfg: QuantConfig):
     q = q - shift
     q_i8 = q.astype(jnp.int8)
     wq = pack_nibbles(q_i8) if qcfg.bitwidth == 4 else q_i8
-    colsum = jnp.sum(q.astype(jnp.float32), axis=-2)  # (out,) / (E, out) for MoE
+    if grouped:
+        from mobilequant_tpu.quant.quantizer import _group_reshape
+        colsum = jnp.sum(_group_reshape(q.astype(jnp.float32),
+                                        qcfg.group_size), axis=-2)
+    else:
+        colsum = jnp.sum(q.astype(jnp.float32), axis=-2)  # (out,) / (E, out)
     return {
         "wq": wq,
         "scale": jnp.asarray(scale, jnp.float32),
@@ -183,14 +197,22 @@ def int_head_linear(x, pack: dict, bias=None):
 
 def weight_only_linear(x, pack: dict, bias):
     """W4A16/W8A16: fp activations × integer weights dequantized on the fly —
-    the role of the reference's auto_gptq real-W4 kernels (qmodule.py:803-829).
-    XLA path; ops/pallas_matmul.w4a16_matmul fuses the dequant in VMEM."""
+    the role of the reference's auto_gptq real-W4 kernels (qmodule.py:803-829),
+    including the grouped (g128-style) layout: a (G, 1, out) scale/offset pack
+    dequantizes per input-axis group. XLA path; ops/pallas_matmul.w4a16_matmul
+    fuses the per-channel dequant in VMEM."""
     wq = pack["wq"]
     K = x.shape[-1]
     if wq.shape[0] * 2 == K:
         wq = unpack_nibbles(wq)
-    w = (wq.astype(jnp.float32) - jnp.reshape(pack["offset"], (1, -1))) \
-        * jnp.reshape(pack["scale"], (1, -1))
+    scale, offset = pack["scale"], pack["offset"]
+    if scale.ndim == 3:                  # grouped: (G, 1, out)
+        G = scale.shape[0]
+        wg = wq.astype(jnp.float32).reshape(G, K // G, -1)
+        w = ((wg - offset) * scale).reshape(K, -1)
+    else:
+        w = (wq.astype(jnp.float32) - jnp.reshape(offset, (1, -1))) \
+            * jnp.reshape(scale, (1, -1))
     y = x.astype(jnp.float32) @ w
     if bias is not None:
         y = y + bias

@@ -121,3 +121,26 @@ def test_qcfg_dict_roundtrip_matches_reference_schema():
     d = qcfg.to_dict()
     assert d["bitwidth"] == "4" and d["is_symmetric"] == "True"
     assert QuantConfig.from_dict(d) == qcfg
+
+
+def test_weight_only_linear_grouped_matches_fake_quant():
+    """Grouped (g128-style) W4A16/W8A16 pack: weight_only_linear ==
+    x @ fake_quant_weight(w) for per-channel+group configs (the reference's
+    auto_gptq default layout, ref qmodule.py:803-829)."""
+    import jax.numpy as jnp
+    from mobilequant_tpu.ops import qops
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(3, 64)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(64, 48)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(48,)), jnp.float32)
+    for bits in (4, 8):
+        for gs in (16, 32):
+            qcfg = QuantConfig(bitwidth=bits, is_per_channel=True,
+                               group_size=gs, is_symmetric=(bits == 4))
+            ref = x @ fake_quant_weight(w, qcfg) + b
+            pack = qops.pack_weight(w, qcfg)
+            assert pack["scale"].shape == (64 // gs, 1, 48)
+            out = qops.weight_only_linear(x, pack, b)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-4,
+                                       err_msg=f"bits={bits} gs={gs}")
