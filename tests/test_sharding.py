@@ -261,3 +261,64 @@ def test_packed_pspecs_cover_w4_kernel_packs():
                                                                     t_sh)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("cp", [2, 4])
+def test_cp_decode_attention_matches_unsharded(cp):
+    """Context-parallel decode attention (KV cache sequence-sharded over a
+    "cp" axis, flash-decoding split-softmax merge) == the engine's unsharded
+    decode-light attention math, including the 16-bit score/probability
+    fake-quant sites and the new-token self term."""
+    import math
+    from jax.sharding import Mesh
+    from mobilequant_tpu.ops import qops
+    from mobilequant_tpu.parallel.context_parallel import cp_decode_attention
+    from mobilequant_tpu.quant.quantizer import fake_quant
+
+    B, Hkv, G, hd, S_ = 2, 2, 3, 16, 64
+    rng = np.random.default_rng(5)
+    qg = jnp.asarray(rng.integers(-128, 128, (B, Hkv, G, hd)), jnp.int8)
+    k_new = jnp.asarray(rng.integers(-128, 128, (B, Hkv, 1, hd)), jnp.int8)
+    v_new = jnp.asarray(rng.integers(-128, 128, (B, Hkv, 1, hd)), jnp.int8)
+    k_cache = jnp.asarray(rng.integers(-128, 128, (B, Hkv, S_, hd)), jnp.int8)
+    v_cache = jnp.asarray(rng.integers(-128, 128, (B, Hkv, S_, hd)), jnp.int8)
+    pos = jnp.asarray([37, 5], jnp.int32)
+    r = lambda s, o: {"scale": jnp.float32(s), "offset": jnp.float32(o)}
+    qk = {"input": r(0.021, 131.0), "input2": r(0.017, 120.0),
+          "output": r(0.0009, 32111.0)}
+    pv = {"input": r(1.6e-5, 11.0), "input2": r(0.013, 125.0)}
+    cfg16 = QuantConfig(bitwidth=16)
+    neg_inf = -40000.0
+
+    for qk_out_cfg, pv_in_cfg in ((cfg16, cfg16), (None, None)):
+        # unsharded reference: engine._layer_forward decode-light order
+        def fq(x, rr, cfg):
+            return x if cfg is None else fake_quant(x, rr["scale"], rr["offset"], cfg)
+        scores = qops.int_matmul_qk(qg, k_cache, qk["input"]["scale"],
+                                    qk["input"]["offset"], qk["input2"]["scale"],
+                                    qk["input2"]["offset"])
+        oqv, okv = qk["input"]["offset"] - 128.0, qk["input2"]["offset"] - 128.0
+        s_self = jnp.sum((qg.astype(jnp.float32) - oqv)
+                         * (k_new.astype(jnp.float32) - okv), -1, keepdims=True) \
+            * (qk["input"]["scale"] * qk["input2"]["scale"])
+        scores = fq(scores, qk["output"], qk_out_cfg)
+        s_self = fq(s_self, qk["output"], qk_out_cfg)
+        inv = 1.0 / math.sqrt(hd)
+        col = jnp.arange(S_)[None, None, None, :]
+        maskc = jnp.where(col < pos[:, None, None, None], 0.0, neg_inf)
+        logits = jnp.concatenate([scores * inv + maskc, s_self * inv], -1)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), -1)
+        probs = fq(probs, pv["input"], pv_in_cfg)
+        attn = qops.int_matmul_pv(probs[..., :S_], v_cache,
+                                  pv["input2"]["scale"], pv["input2"]["offset"])
+        v_new_f = (v_new.astype(jnp.float32) + 128.0
+                   - pv["input2"]["offset"]) * pv["input2"]["scale"]
+        ref = attn + probs[..., S_:] * v_new_f
+
+        mesh = Mesh(np.asarray(jax.devices()[:cp]), ("cp",))
+        out = cp_decode_attention(qg, k_new, v_new, k_cache, v_cache, pos,
+                                  qk, pv, qk_out_cfg, pv_in_cfg, mesh,
+                                  neg_inf=neg_inf)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"cp={cp} fq={qk_out_cfg is not None}")
