@@ -443,8 +443,10 @@ def _head_phase(hj, eps, x_get, hnw_ref, hnb_ref, hwq_ref, haux_ref,
     qops.int_head_linear (per-channel symmetric W8/W4 head — the reference's
     on-device SLinear head, sim_layers.py:34-44). Padded vocab columns have
     scale 0 => logits exactly 0 (sliced off by the caller). Folding the head
-    into the model kernel removes the separate head dispatch, and the head's
-    first weight block prefetches during the last layer's MLP tail."""
+    into the model kernel removes the separate head dispatch and pipelines
+    head blocks 1..nv-1 behind the head-phase compute; block 0 is fetched at
+    kernel START like every operand's step-0 block (hblk maps all layer
+    phases to 0), riding with layer 0's startup DMAs and staying resident."""
     K = h_ref.shape[1]
     K2 = K // 2
 
@@ -826,6 +828,8 @@ def fused_model_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
     # attention sub-phases: ns scores + ns PV steps; batched decode splits the
     # per-sequence attention across two extra prefetch windows per split.
     # MQTPU_MODELK_ATTN_SPLITS overrides for on-chip sweeps (must divide B).
+    # Read at TRACE time — jit's cache key does not include env vars, so each
+    # sweep setting needs a fresh process (bench runs are one process each).
     ns_env = os.environ.get("MQTPU_MODELK_ATTN_SPLITS")
     if ns_env:
         ns_a = int(ns_env)

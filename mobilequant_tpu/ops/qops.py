@@ -81,6 +81,8 @@ def pack_weight(w, qcfg: QuantConfig):
               correction; per group when grouped)
     """
     grouped = qcfg.is_per_channel and qcfg.group_size != -1
+    assert qcfg.group_size == -1 or qcfg.is_per_channel, \
+        "group_size requires is_per_channel (grouped-per-tensor is undefined)"
     mn, mx = weight_min_max(w, qcfg)
     scale, offset = scale_offset_from_min_max(mn, mx, qcfg)
     wf = w.astype(jnp.float32)

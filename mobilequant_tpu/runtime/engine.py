@@ -793,6 +793,32 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
 
         kk = c.num_experts_per_tok
         E = c.num_local_experts
+
+        def expert_chain(mm1, mm3, mm2):
+            """The w1 -> act -> (w3) -> w2 chain with the MoE fq sites —
+            ONE source of truth shared by the dense and sparse dispatches
+            (mm1/mm3 produce the gate/up matmuls, mm2 maps act8 -> down)."""
+            g1 = _fq16(mm1(), lr["mlp.w1"]["output"], policy["mlp.w1"].output)
+            if c.hidden_act == "silu":
+                sig = jax.nn.sigmoid(g1)
+                af = lr["mlp.act_fn"]
+                if "input2" in af:
+                    sig = _fq16(sig, af["input2"], policy["mlp.act_fn"].input2)
+                act = g1 * sig
+            elif c.hidden_act == "gelu_tanh":
+                act = jax.nn.gelu(g1, approximate=True)
+            else:
+                act = jax.nn.gelu(g1, approximate=False)
+            act = _fq16(act, lr["mlp.act_fn"]["output"],
+                        policy["mlp.act_fn"].output)
+            if mm3 is not None:
+                act = act * _fq16(mm3(), lr["mlp.w3"]["output"],
+                                  policy["mlp.w3"].output)
+            w2r = lr["mlp.w2"]["input"]
+            act8 = qops.quantize_act(act, w2r["scale"], w2r["offset"])
+            return _fq16(mm2(act8, w2r), lr["mlp.w2"]["output"],
+                         policy["mlp.w2"].output)
+
         if T == 1 and B * kk < E:
             # --- sparse dispatch (decode): compute ONLY each sequence's top-k
             # experts. Numerically identical to dense dispatch (the combine
@@ -817,7 +843,6 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
                 return {k2: f(a) for k2, a in sp[name].items()}
 
             sp1, sp3, sp2 = flat_sp("w1"), flat_sp("w3"), flat_sp("w2")
-            w2r = lr["mlp.w2"]["input"]
 
             def one(b, e):
                 idx_e = top_idx[b, 0, e]
@@ -832,35 +857,20 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
                         if a.ndim >= 1 and a.shape[0] == E else a, entry)
 
                 x1 = h28[b]                                       # (1, K)
-                w1p = pick(lp["w1"])
-                g1 = _int_linear(x1, h2r["scale"], h2r["offset"], w1p,
-                                 w1p["bias"], use_pallas, spack=sp1, li=fi)
-                g1 = _fq16(g1, lr["mlp.w1"]["output"], policy["mlp.w1"].output)
-                if c.hidden_act == "silu":
-                    sig = jax.nn.sigmoid(g1)
-                    af = lr["mlp.act_fn"]
-                    if "input2" in af:
-                        sig = _fq16(sig, af["input2"],
-                                    policy["mlp.act_fn"].input2)
-                    act = g1 * sig
-                elif c.hidden_act == "gelu_tanh":
-                    act = jax.nn.gelu(g1, approximate=True)
-                else:
-                    act = jax.nn.gelu(g1, approximate=False)
-                act = _fq16(act, lr["mlp.act_fn"]["output"],
-                            policy["mlp.act_fn"].output)
-                if "w3" in lp:
-                    w3p = pick(lp["w3"])
-                    g3 = _int_linear(x1, h2r["scale"], h2r["offset"], w3p,
-                                     w3p["bias"], use_pallas, spack=sp3, li=fi)
-                    g3 = _fq16(g3, lr["mlp.w3"]["output"],
-                               policy["mlp.w3"].output)
-                    act = act * g3
-                act8 = qops.quantize_act(act, w2r["scale"], w2r["offset"])
-                w2p = pick(lp["w2"])
-                y1 = _int_linear(act8, w2r["scale"], w2r["offset"], w2p,
-                                 w2p["bias"], use_pallas, spack=sp2, li=fi)
-                y1 = _fq16(y1, lr["mlp.w2"]["output"], policy["mlp.w2"].output)
+                w1p, w2p = pick(lp["w1"]), pick(lp["w2"])
+                w3p = pick(lp["w3"]) if "w3" in lp else None
+                y1 = expert_chain(
+                    lambda: _int_linear(x1, h2r["scale"], h2r["offset"], w1p,
+                                        w1p["bias"], use_pallas,
+                                        spack=sp1, li=fi),
+                    (lambda: _int_linear(x1, h2r["scale"], h2r["offset"], w3p,
+                                         w3p["bias"], use_pallas,
+                                         spack=sp3, li=fi))
+                    if w3p is not None else None,
+                    lambda a8, w2r: _int_linear(a8, w2r["scale"],
+                                                w2r["offset"], w2p,
+                                                w2p["bias"], use_pallas,
+                                                spack=sp2, li=fi))
                 return y1 * top_vals[b, 0, e]
 
             y = jnp.stack([sum(one(b, e) for e in range(kk))
@@ -871,32 +881,15 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
             jax.nn.one_hot(top_idx, c.num_local_experts, dtype=top_vals.dtype)
             * top_vals[..., None], axis=-2)                       # (B,T,E)
 
-        g1 = qops.int_expert_linear(h28, h2r["scale"], h2r["offset"],
-                                    lp["w1"], lp["w1"]["bias"])   # (B,T,E,F)
-        g1 = _fq16(g1, lr["mlp.w1"]["output"], policy["mlp.w1"].output)
-        if c.hidden_act == "silu":
-            sig = jax.nn.sigmoid(g1)
-            af = lr["mlp.act_fn"]
-            if "input2" in af:
-                sig = _fq16(sig, af["input2"], policy["mlp.act_fn"].input2)
-            act = g1 * sig
-        elif c.hidden_act == "gelu_tanh":
-            act = jax.nn.gelu(g1, approximate=True)
-        else:
-            act = jax.nn.gelu(g1, approximate=False)
-        act = _fq16(act, lr["mlp.act_fn"]["output"], policy["mlp.act_fn"].output)
-        if "w3" in lp:
-            g3 = qops.int_expert_linear(h28, h2r["scale"], h2r["offset"],
-                                        lp["w3"], lp["w3"]["bias"])
-            g3 = _fq16(g3, lr["mlp.w3"]["output"], policy["mlp.w3"].output)
-            act = act * g3
-
-        w2r = lr["mlp.w2"]["input"]
-        act8 = qops.quantize_act(act, w2r["scale"], w2r["offset"])
-        y = qops.int_expert_linear(act8, w2r["scale"], w2r["offset"],
-                                   lp["w2"], lp["w2"]["bias"],
-                                   x_has_expert_axis=True)        # (B,T,E,D)
-        y = _fq16(y, lr["mlp.w2"]["output"], policy["mlp.w2"].output)
+        y = expert_chain(
+            lambda: qops.int_expert_linear(h28, h2r["scale"], h2r["offset"],
+                                           lp["w1"], lp["w1"]["bias"]),
+            (lambda: qops.int_expert_linear(h28, h2r["scale"], h2r["offset"],
+                                            lp["w3"], lp["w3"]["bias"]))
+            if "w3" in lp else None,
+            lambda a8, w2r: qops.int_expert_linear(
+                a8, w2r["scale"], w2r["offset"], lp["w2"], lp["w2"]["bias"],
+                x_has_expert_axis=True))                          # (B,T,E,D)
         y = jnp.einsum("bted,bte->btd", y, combine.astype(jnp.float32))
         return resid + y, (k_all, v_all)
 
@@ -1077,8 +1070,8 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
                                    policy, c))(packed["rvec"])
         ofq_L = _qkv_ofq_rows_stacked(packed, policy, c)
         # fold the final norm + quantized lm_head into the model kernel as
-        # tail grid phases: no separate head dispatch, and the head's first
-        # weight block prefetches during the last layer's MLP tail
+        # tail grid phases: no separate head dispatch; head blocks 1..nv-1
+        # stream behind the tail phases (block 0 rides the startup DMAs)
         hfold = ("head_q" in packed
                  and _PL.head_kernel_supported(packed["head_q"], c.hidden_size))
         hargs = (packed["head_q"], packed["norm"]["w"],
