@@ -122,3 +122,68 @@ def cp_decode_attention(qg, k8_new, v8_new, k_cache, v_cache, cache_position,
         check_vma=False,
     )
     return fn(qg, k8_new, v8_new, k_cache, v_cache, cache_position, qk, pv)
+
+
+def _local_prefill_attention(qg, k_shard, v_shard, positions, kv_valid_len,
+                             qk, pv, *, qk_out_cfg, pv_in_cfg,
+                             neg_inf: float, axis: str, G: int):
+    """shard_map body: per-device prefill attention over an S-slab + merge.
+
+    qg (B,Hkv,G*T,hd) shifted-int8; k_shard/v_shard (B,Hkv,S/cp,hd);
+    positions (B,T). Returns (B,Hkv,G*T,hd) fp32 (replicated)."""
+    B, Hkv, GT, hd = qg.shape
+    T = GT // G
+    S_loc = k_shard.shape[2]
+    r = jax.lax.axis_index(axis)
+    col0 = r * S_loc
+
+    scores = qops.int_matmul_qk(qg, k_shard,
+                                qk["input"]["scale"], qk["input"]["offset"],
+                                qk["input2"]["scale"], qk["input2"]["offset"])
+    scores = scores.reshape(B, Hkv, G, T, S_loc)
+    scores = _fq16(scores, qk["output"], qk_out_cfg)
+    # causal mask on GLOBAL kv positions (models.model.causal_mask semantics)
+    kv_pos = col0 + jnp.arange(S_loc)[None, None, :]               # (1,1,Sl)
+    ok = kv_pos <= positions[:, :, None]
+    if kv_valid_len is not None:
+        ok = ok & (kv_pos < kv_valid_len[:, None, None])
+    mask = jnp.where(ok, 0.0, neg_inf)[:, None, None, :, :]        # (B,1,1,T,Sl)
+    scores = scores.astype(jnp.float32) / math.sqrt(hd) + mask
+
+    # flash split-softmax merge with the 16-bit probability fq on the TRUE
+    # normalized values (needs the global max + denominator first)
+    m = jax.lax.pmax(jnp.max(scores, axis=-1, keepdims=True), axis)
+    e = jnp.exp(scores - m)
+    den = jax.lax.psum(jnp.sum(e, axis=-1, keepdims=True), axis)
+    probs = _fq16(e / den, pv["input"], pv_in_cfg)
+    attn = qops.int_matmul_pv(probs.reshape(B, Hkv, GT, S_loc), v_shard,
+                              pv["input2"]["scale"], pv["input2"]["offset"])
+    return jax.lax.psum(attn, axis)
+
+
+def cp_prefill_attention(qg, k_cache, v_cache, positions, kv_valid_len,
+                         qk, pv, qk_out_cfg, pv_in_cfg, mesh: Mesh,
+                         *, num_groups: int, axis: str = "cp",
+                         neg_inf: float = -40000.0):
+    """Prefill attention with the int8 K/V sequence axis sharded over `axis`
+    — the long-context case: the (B,Hq,T,S) score tensor exists only as
+    per-shard (…,S/cp) slabs. Mirrors engine._layer_forward's batched prefill
+    attention (int Q·Kᵀ + fq16 → /√hd + causal mask → softmax → fq16 probs →
+    int P·V) with the flash split-softmax merge across shards.
+
+    qg (B,Hkv,G·T,hd) shifted-int8 roped queries (num_groups = G);
+    k_cache/v_cache (B,Hkv,S,hd) int8, S sharded over `axis`;
+    positions (B,T); kv_valid_len (B,) or None.
+    Returns (B,Hkv,G·T,hd) fp32, replicated across `axis`."""
+    spec_kv = P(None, None, axis, None)
+    rep = P()
+    fn = jax.shard_map(
+        partial(_local_prefill_attention, qk_out_cfg=qk_out_cfg,
+                pv_in_cfg=pv_in_cfg, neg_inf=neg_inf, axis=axis,
+                G=num_groups),
+        mesh=mesh,
+        in_specs=(rep, spec_kv, spec_kv, rep, rep, rep, rep),
+        out_specs=rep,
+        check_vma=False,
+    )
+    return fn(qg, k_cache, v_cache, positions, kv_valid_len, qk, pv)

@@ -322,3 +322,53 @@ def test_cp_decode_attention_matches_unsharded(cp):
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5,
                                    err_msg=f"cp={cp} fq={qk_out_cfg is not None}")
+
+
+@pytest.mark.parametrize("cp", [2, 4])
+def test_cp_prefill_attention_matches_unsharded(cp):
+    """Sequence-sharded prefill attention (flash split-softmax merge over the
+    "cp" axis) == the engine's batched prefill attention math, including the
+    16-bit score/probability fake-quant sites and ragged kv_valid_len."""
+    import math
+    from jax.sharding import Mesh
+    from mobilequant_tpu.ops import qops
+    from mobilequant_tpu.parallel.context_parallel import cp_prefill_attention
+    from mobilequant_tpu.quant.quantizer import fake_quant
+
+    B, Hkv, G, T, hd, S_ = 2, 2, 2, 8, 16, 64
+    rng = np.random.default_rng(9)
+    qg = jnp.asarray(rng.integers(-128, 128, (B, Hkv, G * T, hd)), jnp.int8)
+    k_all = jnp.asarray(rng.integers(-128, 128, (B, Hkv, S_, hd)), jnp.int8)
+    v_all = jnp.asarray(rng.integers(-128, 128, (B, Hkv, S_, hd)), jnp.int8)
+    positions = jnp.asarray([np.arange(T), np.arange(5, 5 + T)], jnp.int32)
+    valid = jnp.asarray([T, 5 + T], jnp.int32)
+    r = lambda s, o: {"scale": jnp.float32(s), "offset": jnp.float32(o)}
+    qk = {"input": r(0.021, 131.0), "input2": r(0.017, 120.0),
+          "output": r(0.0009, 32111.0)}
+    pv = {"input": r(1.6e-5, 11.0), "input2": r(0.013, 125.0)}
+    cfg16 = QuantConfig(bitwidth=16)
+    neg_inf = -40000.0
+
+    from mobilequant_tpu.models.model import causal_mask
+    for qk_out_cfg, pv_in_cfg in ((cfg16, cfg16), (None, None)):
+        def fq(x, rr, cfg):
+            return x if cfg is None else fake_quant(x, rr["scale"], rr["offset"], cfg)
+        # unsharded reference: engine._layer_forward prefill branch
+        scores = qops.int_matmul_qk(qg, k_all, qk["input"]["scale"],
+                                    qk["input"]["offset"], qk["input2"]["scale"],
+                                    qk["input2"]["offset"]).reshape(B, Hkv, G, T, S_)
+        scores = fq(scores, qk["output"], qk_out_cfg)
+        mask = causal_mask(positions, S_, neg_inf, valid)
+        scores = scores / math.sqrt(hd) + mask[:, :, None, :, :]
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        probs = fq(probs, pv["input"], pv_in_cfg)
+        ref = qops.int_matmul_pv(probs.reshape(B, Hkv, G * T, S_), v_all,
+                                 pv["input2"]["scale"], pv["input2"]["offset"])
+
+        mesh = Mesh(np.asarray(jax.devices()[:cp]), ("cp",))
+        out = cp_prefill_attention(qg, k_all, v_all, positions, valid,
+                                   qk, pv, qk_out_cfg, pv_in_cfg, mesh,
+                                   num_groups=G, neg_inf=neg_inf)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"cp={cp} fq={qk_out_cfg is not None}")
