@@ -520,7 +520,8 @@ def _rope_cs_vec(cos, sin, hd: int, rot: int):
 
 def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
                    config: ModelConfig, policy: QPolicy, use_pallas=False,
-                   kv_valid_len=None, positions=None, sp=None, li=None):
+                   kv_valid_len=None, positions=None, sp=None, li=None,
+                   cp_mesh=None, cp_axis="cp"):
     """One decoder layer on packed ints. lp/lr = this layer's packed params/ranges.
     sp/li: the full layer-stacked packed dict + this layer's traced index —
     lets the W4 Pallas path read weights straight from the stack (see
@@ -631,7 +632,25 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
     k_cache, v_cache = kv
     decode_light = (cache_position is not None and T == 1
                     and "attn" not in str(mode))
-    if decode_light:
+    assert cp_mesh is None or "attn" not in str(mode), \
+        "cp_mesh shards the KV sequence axis — the single-chip attention " \
+        "kernels cannot read a sharded cache; use the XLA attention paths"
+    if decode_light and cp_mesh is not None:
+        # context-parallel decode: the cache's S axis is sharded over cp_axis;
+        # the flash-decoding merge in parallel/context_parallel.py reproduces
+        # this branch's math (incl. fq sites + self term) across the shards
+        from mobilequant_tpu.parallel.context_parallel import (
+            cp_decode_attention)
+        qg = jnp.transpose(q8.reshape(B, 1, Hkv, G, hd), (0, 2, 3, 1, 4))
+        qg = qg.reshape(B, Hkv, G, hd)
+        attn = cp_decode_attention(
+            qg, k8_new, v8_new, k_cache, v_cache, cache_position, qk, pv,
+            policy["self_attn.qk_bmm"].output, policy["self_attn.pv_bmm"].input,
+            cp_mesh, axis=cp_axis, neg_inf=c.neg_inf)
+        attn = attn.reshape(B, Hkv, G, 1, hd)
+        attn = jnp.transpose(attn, (0, 3, 1, 2, 4)).reshape(B, 1, Hq * hd)
+        k_all, v_all = k8_new, v8_new
+    elif decode_light:
         # Decode fast path: do NOT rewrite the full cache inside the layer scan
         # (profiling showed the per-layer full-cache ys writes + while-boundary
         # carry copies cost ~80 µs/step). Attention decomposes into scores over
@@ -707,6 +726,21 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
             qg, k_all, v_all, meta, positions, valid,
             qk_fq=_on(policy["self_attn.qk_bmm"].output),
             pv_fq=_on(policy["self_attn.pv_bmm"].input))
+        attn = jnp.transpose(attn, (0, 3, 1, 2, 4)).reshape(B, T, Hq * hd)
+    elif cp_mesh is not None:
+        # context-parallel prefill: scores only ever exist as per-shard
+        # (…, S/cp) slabs (parallel/context_parallel.cp_prefill_attention)
+        from mobilequant_tpu.parallel.context_parallel import (
+            cp_prefill_attention)
+        qg = jnp.transpose(q8.reshape(B, T, Hkv, G, hd), (0, 2, 3, 1, 4))
+        qg = qg.reshape(B, Hkv, G * T, hd)
+        pos_q = positions if positions is not None \
+            else jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+        attn = cp_prefill_attention(
+            qg, k_all, v_all, pos_q, kv_valid_len, qk, pv,
+            policy["self_attn.qk_bmm"].output, policy["self_attn.pv_bmm"].input,
+            cp_mesh, num_groups=G, axis=cp_axis, neg_inf=c.neg_inf)
+        attn = attn.reshape(B, Hkv, G, T, hd)
         attn = jnp.transpose(attn, (0, 3, 1, 2, 4)).reshape(B, T, Hq * hd)
     else:
         # q: (B,T,Hq,hd) → (B,Hkv,G·T,hd) batched over kv heads
@@ -985,14 +1019,22 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
 def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolicy,
             positions=None, kv_cache: Optional[EngineKVCache] = None,
             cache_position=None, kv_valid_len=None, use_pallas: bool = False,
-            layer_unroll: int = 1, logits_at=None):
+            layer_unroll: int = 1, logits_at=None, cp_mesh=None,
+            cp_axis: str = "cp"):
     """Packed-int forward -> (logits, new_kv_cache).
 
     logits_at: optional (B,) per-sequence row index — compute the final norm +
     lm_head on that single position only and return (B, 1, vocab) logits.
     Generation prefill needs exactly one row; the full T-position head matmul
     it replaces is the prefill's largest single op (Gemma: 2·T·K·V ≈ 1 TFLOP
-    bf16 at T=1024). Default None = full (B, T, vocab) logits (ppl eval)."""
+    bf16 at T=1024). Default None = full (B, T, vocab) logits (ppl eval).
+
+    cp_mesh: optional Mesh with a `cp_axis` axis — context parallelism: the
+    KV cache's sequence axis shards over it and attention runs as per-shard
+    partials + flash split-softmax merge (parallel/context_parallel.py).
+    Mutually exclusive with the fused attention / whole-model kernels (they
+    are single-chip); shard the cache with
+    NamedSharding(cp_mesh, P(None, None, None, cp_axis, None))."""
     c = config
     B, T = tokens.shape
     if positions is None:
@@ -1017,7 +1059,8 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
         h, kv_new = _layer_forward(lp, lr, h, cos, sin, mask, kv,
                                    cache_position, c, policy, use_pallas,
                                    kv_valid_len, positions,
-                                   sp=sp, li=xs.get("li"))
+                                   sp=sp, li=xs.get("li"),
+                                   cp_mesh=cp_mesh, cp_axis=cp_axis)
         return h, kv_new
 
     # W4 Pallas path: hand the kernels the layer-STACKED weights (closure, a
@@ -1029,7 +1072,7 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
     mode_s = w4_mode
     sp = packed["layers"] if w4_mode != "none" else None
     if (sp is not None and kv_cache is not None and T == 1 and B <= 8
-            and cache_position is not None
+            and cache_position is not None and cp_mesh is None
             and "qkvp" in sp and "nolayerk" not in w4_mode):
         # whole-layer kernel extras: the FULL stacked cache (read by layer
         # index inside the kernel — the per-layer xs slices are DCE'd) and

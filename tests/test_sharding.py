@@ -372,3 +372,48 @@ def test_cp_prefill_attention_matches_unsharded(cp):
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5,
                                    err_msg=f"cp={cp} fq={qk_out_cfg is not None}")
+
+
+def test_engine_forward_cp_mesh_matches_unsharded():
+    """engine.forward(cp_mesh=...) — prefill and a decode chain with the KV
+    cache sequence-sharded over "cp" must match the unsharded engine."""
+    from jax.sharding import Mesh
+    cfg = get_config("test-llama")
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    policy = default_policy(cfg, QuantConfig(bitwidth=8), QuantConfig(bitwidth=8))
+    tokens = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 12)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, policy, batch_size=2)
+    ranges = calibrate.stats_to_ranges(stats, policy)
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=32)
+    packed = E.pack(params, ranges, cfg, policy, ecfg)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("cp",))
+    cache_spec = NamedSharding(mesh, P(None, None, None, "cp", None))
+
+    t = jnp.asarray(tokens)
+    # prefill through an S=32 cache (shard_map needs S % cp == 0)
+    c_ref = E.init_kv_cache(ecfg, 2)
+    c_cp = jax.device_put(E.init_kv_cache(ecfg, 2), cache_spec)
+    pos0 = jnp.zeros((2,), jnp.int32)
+    Tp = 8
+    ref, c_ref = E.forward(packed, t[:, :Tp], cfg, policy, kv_cache=c_ref,
+                           cache_position=pos0, kv_valid_len=jnp.full((2,), Tp))
+    out, c_cp = E.forward(packed, t[:, :Tp], cfg, policy, kv_cache=c_cp,
+                          cache_position=pos0, kv_valid_len=jnp.full((2,), Tp),
+                          cp_mesh=mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # decode chain
+    for i in range(3):
+        pos = jnp.full((2,), Tp + i, jnp.int32)
+        ref, c_ref = E.forward(packed, t[:, Tp + i:Tp + i + 1], cfg, policy,
+                               positions=pos[:, None], kv_cache=c_ref,
+                               cache_position=pos, kv_valid_len=pos + 1)
+        out, c_cp = E.forward(packed, t[:, Tp + i:Tp + i + 1], cfg, policy,
+                              positions=pos[:, None], kv_cache=c_cp,
+                              cache_position=pos, kv_valid_len=pos + 1,
+                              cp_mesh=mesh)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"step {i}")
+    np.testing.assert_array_equal(np.asarray(c_cp.k), np.asarray(c_ref.k))
+    np.testing.assert_array_equal(np.asarray(c_cp.v), np.asarray(c_ref.v))
