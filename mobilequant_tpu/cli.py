@@ -159,7 +159,13 @@ def cmd_pack(args):
 
     params, qstate, cfg, policy, _ = _load_model_dir(args.model_dir)
     assert qstate is not None, "run `quantize` first (needs learned ranges)"
+    # default weight_bits follows the quantized policy (W4A8 models pack W4)
+    wb = args.weight_bits
+    if wb is None:
+        wq = policy["mlp.w1"].weight
+        wb = 4 if (wq is not None and wq.bitwidth == 4) else 8
     ecfg = E.EngineConfig(model=cfg, max_seq_len=args.max_seq_len,
+                          weight_bits=wb, head_bits=args.head_bits,
                           global_kv_encoding=args.global_kv)
     packed = E.pack(params, qstate["ranges"], cfg, policy, ecfg)
     artifacts.save_packed(args.output_dir, packed, cfg, policy,
@@ -314,6 +320,10 @@ def build_parser():
     q.add_argument("--model_dir", required=True)
     q.add_argument("--output_dir", required=True)
     q.add_argument("--max_seq_len", type=int, default=1024)
+    q.add_argument("--weight_bits", type=int, choices=(4, 8), default=None,
+                   help="engine weight packing; default follows the policy")
+    q.add_argument("--head_bits", type=int, choices=(4, 8, 16), default=16,
+                   help="lm_head: 16=fp, 8/4=per-channel sym int (SLinear)")
     q.add_argument("--global_kv", action="store_true")
     q.add_argument("--export_hlo", action="store_true")
     q.set_defaults(fn=cmd_pack)
