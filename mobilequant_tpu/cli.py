@@ -196,6 +196,45 @@ def cmd_eval_ppl(args):
         print(f"quant ppl: {ppl_q:.4f} (Δ {ppl_q - ppl_fp:+.4f})")
 
 
+def cmd_serve(args):
+    """Offline batch serving: run a prompt file through the continuous
+    batcher (slot-based, bucketed or chunked prefill) and emit JSONL."""
+    import json as _json
+    from mobilequant_tpu.export import artifacts
+    from mobilequant_tpu.runtime import engine as E
+    from mobilequant_tpu.runtime.native import NativeTokenizer
+    from mobilequant_tpu.runtime.sampling import SamplerConfig
+    from mobilequant_tpu.runtime.serve import ContinuousBatcher
+
+    packed, cfg, policy, meta = artifacts.load_packed(args.engine_dir)
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=meta.get("max_seq_len", 1024))
+    tk = NativeTokenizer(args.tokenizer)
+    sampler = SamplerConfig(greedy=args.temperature <= 0.0,
+                            temperature=max(args.temperature, 1e-6))
+    cb = ContinuousBatcher(
+        packed, cfg, policy, ecfg, batch_slots=args.batch_slots,
+        sampler=sampler, eos_token_id=args.eos if args.eos >= 0 else None,
+        chunk_prefill=args.chunk_prefill, seed=args.seed)
+    prompts = [ln.rstrip("\n") for ln in open(args.prompts)
+               if ln.strip()]
+    rids = []
+    for p in prompts:
+        ids = tk.encode(p, prefix=[args.bos] if args.bos >= 0 else [])
+        rids.append(cb.submit(np.asarray(ids, np.int32), args.max_new_tokens))
+    t0 = time.perf_counter()
+    outs = cb.run()
+    dt = time.perf_counter() - t0
+    n_tok = sum(len(outs[r]) for r in rids)
+    sink = open(args.output, "w") if args.output else sys.stdout
+    for p, r in zip(prompts, rids):
+        sink.write(_json.dumps({"prompt": p,
+                                "completion": tk.decode(list(outs[r]))}) + "\n")
+    if args.output:
+        sink.close()
+    print(f"[{len(prompts)} prompts, {n_tok} tokens, "
+          f"{n_tok / max(dt, 1e-9):.1f} tok/s total]", file=sys.stderr)
+
+
 def cmd_demo(args):
     from mobilequant_tpu.export import artifacts
     from mobilequant_tpu.runtime.generate import Generator
@@ -334,6 +373,22 @@ def build_parser():
     q.add_argument("--seqlen", type=int, default=1024)
     q.add_argument("--max_windows", type=int, default=None)
     q.set_defaults(fn=cmd_eval_ppl)
+
+    q = sub.add_parser("serve")
+    q.add_argument("--engine_dir", required=True)
+    q.add_argument("--tokenizer", required=True)
+    q.add_argument("--prompts", required=True,
+                   help="text file, one prompt per line")
+    q.add_argument("--output", default=None, help="JSONL out (default stdout)")
+    q.add_argument("--max_new_tokens", type=int, default=128)
+    q.add_argument("--batch_slots", type=int, default=8)
+    q.add_argument("--chunk_prefill", type=int, default=None)
+    q.add_argument("--temperature", type=float, default=0.0)
+    q.add_argument("--seed", type=int, default=0)
+    q.add_argument("--bos", type=int, default=1)
+    q.add_argument("--eos", type=int, default=-1,
+                   help="stop at this token id (-1 = run to max_new_tokens)")
+    q.set_defaults(fn=cmd_serve)
 
     q = sub.add_parser("demo")
     q.add_argument("--engine_dir", required=True)

@@ -79,6 +79,17 @@ def test_cli_full_pipeline(hf_ckpt, tmp_path):
               "--prompt", "hi", "--max_new_tokens", "3",
               "--native-session", "--eos", "-1"])
 
+    # serve command: batch inference through the continuous batcher
+    import json
+    (tmp_path / "prompts.txt").write_text("hi\nok there\n")
+    cli.main(["serve", "--engine_dir", str(engine_dir),
+              "--tokenizer", str(tmp_path / "tokenizer.bin"),
+              "--prompts", str(tmp_path / "prompts.txt"),
+              "--output", str(tmp_path / "out.jsonl"),
+              "--max_new_tokens", "4", "--batch_slots", "2", "--eos", "-1"])
+    lines = [json.loads(ln) for ln in open(tmp_path / "out.jsonl")]
+    assert len(lines) == 2 and all("completion" in ln for ln in lines)
+
 
 def test_export_decode_step_stablehlo(tmp_path):
     from mobilequant_tpu.export import artifacts
