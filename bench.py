@@ -88,9 +88,13 @@ def main():
     log(f"devices: {jax.devices()} smoke={smoke}")
     results = {}
 
+    # MQTPU_BENCH_BS8_ONLY=1: only the batched-decode section (for the
+    # MQTPU_MODELK_ATTN_SPLITS sweep — each setting needs a fresh process)
+    bs8_only = os.environ.get("MQTPU_BENCH_BS8_ONLY") == "1"
+
     # --- integer engine: W8A8 strict, W8A8 relaxed-16bit, W4A8(pallas) ---
     from mobilequant_tpu.quant.policy import relax_16bit
-    for name, w_bits, use_pallas, relax, head_bits in (
+    for name, w_bits, use_pallas, relax, head_bits in () if bs8_only else (
             ("w8a8", 8, False, False, 16),
             ("w8a8_fast", 8, False, True, 16),
             ("w8a8_fast_h8", 8, False, True, 8),
@@ -149,6 +153,15 @@ def main():
         results[f"{bname}_bs8_decode_tok_s"] = tps
         log(f"{bname} bs=8 decode: {tps:.1f} tok/s total (marginal)")
         del packed
+
+    if bs8_only:
+        log(json.dumps(results))
+        tag, best = max(results.items(), key=lambda kv: kv[1])
+        print(json.dumps({
+            "metric": f"tinyllama1.1b_{tag}",
+            "value": round(best, 2), "unit": "tok/s",
+            "vs_baseline": None}))
+        return
 
     # --- bf16 FP baseline (same in-graph loop shape) ---
     cfg = get_config(model_name)
