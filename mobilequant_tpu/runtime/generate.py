@@ -163,3 +163,107 @@ class Generator:
             }
             return tokens_out, stats
         return tokens_out
+
+    def generate_speculative(self, prompt_tokens: np.ndarray,
+                             max_new_tokens: int, *, k: int = 4,
+                             draft_fn=None, eos_token_id: Optional[int] = None,
+                             return_stats: bool = False):
+        """Greedy speculative decoding (B=1): a cheap draft proposes k-1
+        tokens and ONE chunked engine forward verifies the whole pack — at
+        bs=1 the decode step is weight-stream-bound, so verifying k tokens
+        costs nearly the same HBM traffic as one. The emitted sequence is
+        exactly the verify program's own greedy chain for ANY draft (wrong
+        drafts only cost speed, never correctness).
+
+        No KV rollback: the verify chunk writes K/V rows for rejected drafts
+        too, but a later query at position p only attends columns ≤ p, and
+        every such column is either previously accepted or rewritten by the
+        same chunk before its attention runs — stale rows are unreachable.
+
+        draft_fn(history: list[int], n: int) -> list[int] (n proposals);
+        default = prompt-lookup n-gram continuation (the zero-extra-model
+        draft: copy what followed the last occurrence of the trailing bigram
+        in the history — strong on repetitive/template text).
+        """
+        B, T0 = prompt_tokens.shape
+        assert B == 1, "speculative decoding is a bs=1 latency optimization"
+        assert k >= 2
+        if draft_fn is None:
+            draft_fn = prompt_lookup_draft
+        cfg, pol = self.config, self.policy
+        up = False if jax.default_backend() == "cpu" else \
+            ("w4nomodelk" if self.ecfg.weight_bits == 4 else False)
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def verify(packed, toks, cache, start):
+            # toks (1,k) = [current token, k-1 drafts]; writes K/V rows
+            # start..start+k-1 and returns the greedy next-token per row
+            positions = (start + jnp.arange(k))[None, :]
+            logits, cache = E.forward(
+                packed, toks, cfg, pol, positions=positions, kv_cache=cache,
+                cache_position=jnp.full((1,), start, jnp.int32),
+                kv_valid_len=jnp.asarray([start + k], jnp.int32),
+                use_pallas=up)
+            return jnp.argmax(logits[0], axis=-1).astype(jnp.int32), cache
+
+        cache = E.init_kv_cache(self.ecfg, 1)
+        t0 = time.perf_counter()
+        logits, cache = self._prefill(
+            self.packed, jnp.asarray(prompt_tokens, jnp.int32), cache)
+        cur = int(np.asarray(jnp.argmax(logits[0, -1])))
+        t_prefill = time.perf_counter() - t0
+
+        history = [int(t) for t in prompt_tokens[0]]
+        out = [cur]
+        pos = T0
+        n_verify = 0
+        t_dec = time.perf_counter()
+        while len(out) < max_new_tokens and \
+                (eos_token_id is None or out[-1] != eos_token_id):
+            drafts = list(draft_fn(history + out, k - 1))[:k - 1]
+            drafts += [out[-1]] * (k - 1 - len(drafts))      # pad (degenerate)
+            toks = jnp.asarray([[out[-1]] + drafts], jnp.int32)
+            am, cache = verify(self.packed, toks, cache,
+                               jnp.int32(pos))
+            am = np.asarray(am)
+            n_verify += 1
+            n_acc = 0
+            while n_acc < k - 1 and drafts[n_acc] == am[n_acc]:
+                n_acc += 1
+            emitted = drafts[:n_acc] + [int(am[n_acc])]
+            if eos_token_id is not None and eos_token_id in emitted:
+                emitted = emitted[:emitted.index(eos_token_id) + 1]
+            room = max_new_tokens - len(out)
+            out.extend(emitted[:room])
+            pos += n_acc + 1
+        t_decode = time.perf_counter() - t_dec
+
+        tokens_out = np.asarray([out], np.int32)
+        if return_stats:
+            n = len(out)
+            stats = {
+                "prefill_s": t_prefill,
+                "decode_s": t_decode,
+                "decode_tok_s": n / t_decode if t_decode > 0 else float("inf"),
+                "verify_calls": n_verify,
+                "tokens_per_verify": (n - 1) / max(n_verify, 1),
+            }
+            return tokens_out, stats
+        return tokens_out
+
+
+def prompt_lookup_draft(history, n: int, ngram: int = 2):
+    """Draft by n-gram continuation: find the most recent earlier occurrence
+    of the trailing `ngram` tokens and propose what followed it. No model, no
+    extra memory traffic; acceptance is high exactly when decode is cheap to
+    predict (templates, code, quoted context)."""
+    h = list(history)
+    if len(h) >= ngram:
+        key = h[-ngram:]
+        for i in range(len(h) - ngram - 1, -1, -1):
+            if h[i:i + ngram] == key:
+                cont = h[i + ngram:i + ngram + n]
+                if cont:
+                    return (cont + [cont[-1]] * n)[:n]
+                break
+    return [h[-1]] * n if h else [0] * n

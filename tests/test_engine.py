@@ -286,3 +286,34 @@ def test_moe_sparse_decode_matches_dense(w_bits):
         finally:
             PM.int_linear_pallas_stacked = om
         np.testing.assert_allclose(dec_k, dec, rtol=2e-4, atol=2e-4)
+
+
+def test_speculative_decode_matches_greedy():
+    """Greedy speculative decoding emits exactly the plain greedy chain for
+    ANY draft (good prompt-lookup drafts AND adversarial random drafts only
+    change speed, never tokens); rejected draft rows never pollute the cache."""
+    from mobilequant_tpu.runtime.generate import Generator, prompt_lookup_draft
+    cfg, params, policy, ranges, packed, ecfg, tokens = _build("test-llama", 8)
+    gen = Generator(packed, cfg, policy, ecfg)
+    # repetitive prompt: prompt-lookup drafting has something to copy
+    prompt = np.asarray([[7, 3, 9, 4, 7, 3, 9, 4, 7, 3]], np.int32)
+    want = np.asarray(gen.generate(prompt, 12))[0].tolist()
+
+    got, stats = gen.generate_speculative(prompt, 12, k=4, return_stats=True)
+    assert np.asarray(got)[0].tolist() == want
+    assert stats["verify_calls"] <= 12
+
+    rng = np.random.default_rng(0)
+    bad_draft = lambda hist, n: [int(x) for x in
+                                 rng.integers(0, cfg.vocab_size, n)]
+    got_bad = gen.generate_speculative(prompt, 12, k=4, draft_fn=bad_draft)
+    assert np.asarray(got_bad)[0].tolist() == want
+
+    # eos handling: truncate at the first eos the chain produces
+    eos = want[5]
+    got_eos = gen.generate_speculative(prompt, 12, k=4, eos_token_id=eos)
+    lst = np.asarray(got_eos)[0].tolist()
+    assert lst == want[:want.index(eos) + 1]
+
+    # the default draft helper proposes continuations from history
+    assert prompt_lookup_draft([1, 2, 3, 1, 2], 2) == [3, 1]
