@@ -251,6 +251,16 @@ def cmd_demo(args):
     def answer(prompt: str):
         text_in = apply_chat_template(prompt, args.chat)
         ids = tk.encode(text_in, prefix=[args.bos] if args.bos >= 0 else [])
+        if args.speculative > 0 and temperature <= 0.0:
+            out, stats = gen.generate_speculative(
+                np.asarray([ids], np.int32), args.max_new_tokens,
+                k=args.speculative, eos_token_id=args.eos if args.eos >= 0
+                else None, return_stats=True)
+            print(tk.decode(out[0].tolist()))
+            print(f"[{stats['decode_tok_s']:.1f} tok/s decode, "
+                  f"{stats['tokens_per_verify']:.2f} tok/verify, "
+                  f"prefill {stats['prefill_s']*1e3:.0f} ms]", file=sys.stderr)
+            return
         out, stats = gen.generate_fast(np.asarray([ids], np.int32),
                                        args.max_new_tokens,
                                        temperature=temperature, return_stats=True)
@@ -403,6 +413,9 @@ def build_parser():
     q.add_argument("--eos", type=int, default=2)
     q.add_argument("--native-session", action="store_true",
                    help="drive the loop from the C++ session (libllmod-style)")
+    q.add_argument("--speculative", type=int, default=0, metavar="K",
+                   help="greedy speculative decoding with K-token verify "
+                        "(prompt-lookup drafts; greedy only)")
     q.set_defaults(fn=cmd_demo)
     return p
 

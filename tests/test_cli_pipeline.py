@@ -90,6 +90,12 @@ def test_cli_full_pipeline(hf_ckpt, tmp_path):
     lines = [json.loads(ln) for ln in open(tmp_path / "out.jsonl")]
     assert len(lines) == 2 and all("completion" in ln for ln in lines)
 
+    # speculative demo (greedy; prompt-lookup drafts)
+    cli.main(["demo", "--engine_dir", str(engine_dir),
+              "--tokenizer", str(tmp_path / "tokenizer.bin"),
+              "--prompt", "ababab", "--max_new_tokens", "6",
+              "--speculative", "3", "--eos", "-1"])
+
 
 def test_export_decode_step_stablehlo(tmp_path):
     from mobilequant_tpu.export import artifacts
