@@ -66,6 +66,18 @@ def time_decode_loop(make_chunk, packed, cache_fn, batch, vocab):
 def main():
     import functools
     import os
+
+    # Smoke mode validates the bench *paths* on a tiny model; default it to the
+    # CPU backend so it never blocks on the axon relay (which hangs device
+    # enumeration when down). MQTPU_SMOKE_TPU=1 opts back into the real chip.
+    if (os.environ.get("MQTPU_BENCH_SMOKE") == "1" or "--smoke" in sys.argv) \
+            and os.environ.get("MQTPU_SMOKE_TPU") != "1":
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass   # backend already initialized; run wherever we are
+
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _build_packed_tinyllama as _build_base
