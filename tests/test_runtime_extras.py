@@ -324,3 +324,62 @@ def test_native_session_end_to_end_engine(tmp_path):
     text, last_pos = sess.run("hello world", max_new_tokens=4)
     assert last_pos >= 4
     assert isinstance(text, str)
+
+
+def test_online_http_server_matches_generator():
+    """Online serving (runtime/server.py): live requests from multiple client
+    threads through the HTTP front-end produce exactly the sequential greedy
+    outputs — continuous batching is correctness-transparent under concurrency."""
+    import json
+    import threading
+    import urllib.request
+
+    from mobilequant_tpu.runtime.generate import Generator
+    from mobilequant_tpu.runtime.serve import ContinuousBatcher
+    from mobilequant_tpu.runtime.server import InferenceServer, make_http_server
+
+    cfg, policy, ecfg, packed = _engine_setup()
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int32)
+               for n in (5, 9, 3)]
+
+    gen = Generator(packed, cfg, policy, ecfg)
+    refs = [gen.generate_fast(p[None], 6)[0] for p in prompts]
+
+    cb = ContinuousBatcher(packed, cfg, policy, ecfg, batch_slots=2,
+                           prefill_buckets=(16,))
+    srv = InferenceServer(cb).start()
+    httpd = make_http_server(srv, port=0)          # ephemeral port
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        results = [None] * len(prompts)
+
+        def post(i):
+            body = json.dumps({"prompt_ids": [int(x) for x in prompts[i]],
+                               "max_new_tokens": 6}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                results[i] = json.loads(r.read())["completion_ids"]
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(len(prompts))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=180)
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/health", timeout=10) as r:
+            assert json.loads(r.read())["ok"] is True
+
+        for got, ref in zip(results, refs):
+            assert got is not None, "request did not complete"
+            np.testing.assert_array_equal(np.asarray(got, np.int32),
+                                          np.asarray(ref))
+    finally:
+        httpd.shutdown()
+        srv.close()
