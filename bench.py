@@ -202,7 +202,32 @@ def main():
     fp_tps = time_decode_loop(make_fp_chunk, params, fp_cache_fn, 1, cfg.vocab_size)
     results["bf16_decode_tok_s"] = fp_tps
     log(f"bf16 FP decode: {fp_tps:.1f} tok/s (bs=1, S=1024, marginal)")
+
+    # --- weight-only W4A16 (g128) decode: fp activations/KV, stacked-kernel
+    # dequant (runtime/wonly.py — the reference's auto_gptq mode) ---
+    from mobilequant_tpu.runtime import wonly as WW
+    w_gs = 16 if smoke else 128
+    wpacked = WW.pack_weight_only(params, cfg, WW.default_weight_cfg(4, w_gs),
+                                  act_dtype=jnp.bfloat16)
     del params
+    ecfg_w = E.EngineConfig(model=cfg, max_seq_len=seq, act_bits=16,
+                            act_dtype=jnp.bfloat16)
+    wonly_pallas = jax.default_backend() != "cpu"
+
+    def make_wonly_chunk(n):
+        @jax.jit
+        def chunk(packed, token, cache, pos):
+            toks, _, _ = WW.decode_loop(packed, token, cache, pos, n, cfg,
+                                        None, use_pallas=wonly_pallas)
+            return toks
+        return chunk
+
+    w_tps = time_decode_loop(make_wonly_chunk, wpacked,
+                             lambda: WW.init_kv_cache(ecfg_w, 1), 1,
+                             cfg.vocab_size)
+    results["w4a16_decode_tok_s"] = w_tps
+    log(f"W4A16 weight-only decode: {w_tps:.1f} tok/s (bs=1, S=1024, marginal)")
+    del wpacked
 
     # --- prefill throughput (W8A8), marginal method with per-rep token fetch
     # (block_until_ready alone is NOT enough: the relay lazily skips chained

@@ -158,6 +158,25 @@ def cmd_pack(args):
     from mobilequant_tpu.runtime import engine as E
 
     params, qstate, cfg, policy, _ = _load_model_dir(args.model_dir)
+
+    if args.act_bits == 16:
+        # weight-only mode (W4A16/W8A16): fp activations, no calibration or
+        # learned ranges needed — packs straight off a converted FP checkpoint
+        # (the reference's auto_gptq path, ref qmodule.py:868-886)
+        from mobilequant_tpu.quant.policy import default_policy
+        from mobilequant_tpu.quant.quantizer import QuantConfig
+        from mobilequant_tpu.runtime import wonly
+        wb = args.weight_bits or 4
+        wcfg = wonly.default_weight_cfg(wb, args.group_size)
+        packed = wonly.pack_weight_only(params, cfg, wcfg)
+        policy = policy or default_policy(cfg, wcfg, QuantConfig(bitwidth=8))
+        artifacts.save_packed(args.output_dir, packed, cfg, policy,
+                              {"max_seq_len": args.max_seq_len, "act_bits": 16,
+                               "weight_bits": wb, "group_size": args.group_size})
+        print(f"packed weight-only (W{wb}A16 g{args.group_size}) engine "
+              f"-> {args.output_dir}")
+        return
+
     assert qstate is not None, "run `quantize` first (needs learned ranges)"
     # default weight_bits follows the quantized policy (W4A8 models pack W4)
     wb = args.weight_bits
@@ -194,11 +213,24 @@ def cmd_eval_ppl(args):
         ppl_q = perplexity(fwd_q, stream, seqlen=args.seqlen,
                            max_windows=args.max_windows)
         print(f"quant ppl: {ppl_q:.4f} (Δ {ppl_q - ppl_fp:+.4f})")
+    if args.engine_dir:
+        # packed-engine ppl (int engine or weight-only per the artifact meta) —
+        # the executable-artifact rung of the fidelity ladder
+        from mobilequant_tpu.export import artifacts
+        packed, ecfg_cfg, epolicy, meta = artifacts.load_packed(args.engine_dir)
+        if meta.get("act_bits", 8) == 16:
+            from mobilequant_tpu.runtime import wonly as _emod
+        else:
+            from mobilequant_tpu.runtime import engine as _emod
+        fwd_e = lambda tok: _emod.forward(packed, tok, ecfg_cfg, epolicy)[0]
+        ppl_e = perplexity(fwd_e, stream, seqlen=args.seqlen,
+                           max_windows=args.max_windows)
+        print(f"engine ppl: {ppl_e:.4f} (Δ {ppl_e - ppl_fp:+.4f})")
 
 
 def cmd_serve(args):
-    """Offline batch serving: run a prompt file through the continuous
-    batcher (slot-based, bucketed or chunked prefill) and emit JSONL."""
+    """Serving: offline (--prompts file → JSONL) or online (--http PORT →
+    continuous batching over live requests, stdlib HTTP front-end)."""
     import json as _json
     from mobilequant_tpu.export import artifacts
     from mobilequant_tpu.runtime import engine as E
@@ -207,7 +239,9 @@ def cmd_serve(args):
     from mobilequant_tpu.runtime.serve import ContinuousBatcher
 
     packed, cfg, policy, meta = artifacts.load_packed(args.engine_dir)
-    ecfg = E.EngineConfig(model=cfg, max_seq_len=meta.get("max_seq_len", 1024))
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=meta.get("max_seq_len", 1024),
+                          act_bits=meta.get("act_bits", 8),
+                          weight_bits=meta.get("weight_bits", 8))
     tk = NativeTokenizer(args.tokenizer)
     sampler = SamplerConfig(greedy=args.temperature <= 0.0,
                             temperature=max(args.temperature, 1e-6))
@@ -215,6 +249,27 @@ def cmd_serve(args):
         packed, cfg, policy, ecfg, batch_slots=args.batch_slots,
         sampler=sampler, eos_token_id=args.eos if args.eos >= 0 else None,
         chunk_prefill=args.chunk_prefill, seed=args.seed)
+
+    if args.http is not None:
+        from mobilequant_tpu.runtime.server import (InferenceServer,
+                                                    make_http_server)
+        srv = InferenceServer(cb).start()
+        httpd = make_http_server(
+            srv, tokenizer=tk, host=args.host, port=args.http,
+            bos_id=args.bos, eos_id=args.eos, chat_family=args.chat or None,
+            default_max_new_tokens=args.max_new_tokens)
+        print(f"serving on http://{args.host}:{httpd.server_address[1]} "
+              f"(POST /generate, GET /health, GET /stats)", file=sys.stderr)
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            httpd.shutdown()
+            srv.close()
+        return
+
+    assert args.prompts is not None, "offline mode needs --prompts (or use --http)"
     prompts = [ln.rstrip("\n") for ln in open(args.prompts)
                if ln.strip()]
     rids = []
@@ -243,7 +298,9 @@ def cmd_demo(args):
 
     packed, cfg, policy, meta = artifacts.load_packed(args.engine_dir)
     from mobilequant_tpu.runtime import engine as E
-    ecfg = E.EngineConfig(model=cfg, max_seq_len=meta.get("max_seq_len", 1024))
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=meta.get("max_seq_len", 1024),
+                          act_bits=meta.get("act_bits", 8),
+                          weight_bits=meta.get("weight_bits", 8))
     gen = Generator(packed, cfg, policy, ecfg)
     tk = NativeTokenizer(args.tokenizer)
     temperature = args.temperature
@@ -278,7 +335,7 @@ def cmd_demo(args):
 
         def forward(token, position):
             if position == 0 or "cache" not in state:
-                state["cache"] = E.init_kv_cache(ecfg, 1)
+                state["cache"] = gen._mod.init_kv_cache(ecfg, 1)
             pos = jnp.asarray([position], jnp.int32)
             logits, state["cache"] = gen._decode(
                 packed, jnp.asarray([[token]], jnp.int32), state["cache"], pos)
@@ -373,6 +430,11 @@ def build_parser():
                    help="engine weight packing; default follows the policy")
     q.add_argument("--head_bits", type=int, choices=(4, 8, 16), default=16,
                    help="lm_head: 16=fp, 8/4=per-channel sym int (SLinear)")
+    q.add_argument("--act_bits", type=int, choices=(8, 16), default=8,
+                   help="8=int engine (needs learned ranges); 16=weight-only "
+                        "W4A16/W8A16 (no calibration, fp activations)")
+    q.add_argument("--group_size", type=int, default=128,
+                   help="weight-only input-axis group size (-1=per-channel)")
     q.add_argument("--global_kv", action="store_true")
     q.add_argument("--export_hlo", action="store_true")
     q.set_defaults(fn=cmd_pack)
@@ -382,13 +444,22 @@ def build_parser():
     q.add_argument("--tokens", required=True, help=".npy token stream")
     q.add_argument("--seqlen", type=int, default=1024)
     q.add_argument("--max_windows", type=int, default=None)
+    q.add_argument("--engine_dir", default=None,
+                   help="also eval a packed engine artifact (int or "
+                        "weight-only per its engine.json)")
     q.set_defaults(fn=cmd_eval_ppl)
 
     q = sub.add_parser("serve")
     q.add_argument("--engine_dir", required=True)
     q.add_argument("--tokenizer", required=True)
-    q.add_argument("--prompts", required=True,
-                   help="text file, one prompt per line")
+    q.add_argument("--prompts", default=None,
+                   help="text file, one prompt per line (offline mode)")
+    q.add_argument("--http", type=int, default=None,
+                   help="serve online on this port (0 = ephemeral): "
+                        "continuous batching over live POST /generate requests")
+    q.add_argument("--host", default="127.0.0.1")
+    q.add_argument("--chat", default="",
+                   help="chat template family for online text requests")
     q.add_argument("--output", default=None, help="JSONL out (default stdout)")
     q.add_argument("--max_new_tokens", type=int, default=128)
     q.add_argument("--batch_slots", type=int, default=8)

@@ -344,3 +344,145 @@ def int_linear_pallas(x_q, x_scale, x_offset, pack: dict, bias, *,
                       x_scale, x_offset, block_n=_pick_block_n(K2, N),
                       interpret=interpret)
     return out.reshape(*lead, N)
+
+
+# ---------------------------------------------------------------------------
+# Weight-only (W4A16 / W8A16) stacked-layer kernels
+# ---------------------------------------------------------------------------
+
+def _wonly_kernel_stacked(idx_ref, x_ref, wp_ref, scale_ref, offset_ref,
+                          bias_ref, out_ref, *, wbits: int):
+    """Weight-only stacked-layer matmul: fp activations × layer-selected integer
+    weights dequantized in VMEM (per-channel or grouped g128-style scales) —
+    the decode path of the reference's auto_gptq real-W4 kernels
+    (ref qmodule.py:803-829) without the HBM round trip for either the
+    unpacked nibbles or the dequantized fp weights.
+
+    Blocks: x (M,K) fp32; wp (1,K2|K,TN); scale/offset (1,G,TN) — G==1 is
+    per-channel (or broadcast per-tensor), G>1 dequantizes per input-axis
+    group (rows expand in VMEM via broadcast, never in HBM); bias (1,TN)."""
+    del idx_ref  # consumed by the index maps
+    x = x_ref[:].astype(jnp.float32)                  # (M, K)
+    wp = wp_ref[0]                                    # (K2|K, TN)
+    sc = scale_ref[0]                                 # (G, TN)
+    of = offset_ref[0]
+    G = sc.shape[0]
+    Kr, TN = wp.shape
+
+    def expand(v):
+        """(Gh, TN) per-group rows → (Kr, TN) per-input rows."""
+        Gh = v.shape[0]
+        gs = Kr // Gh
+        return jnp.broadcast_to(v[:, None, :], (Gh, gs, TN)).reshape(Kr, TN)
+
+    if wbits == 4:
+        # UNSIGNED block nibbles (qops.pack_nibbles): low nibbles = input rows
+        # [0,K2), high nibbles = rows [K2,K). Grouped scales split the same
+        # way: groups [0,G/2) dequantize lo, [G/2,G) dequantize hi.
+        lo = (wp & 0x0F).astype(jnp.float32)
+        hi = ((wp.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.float32)
+        if G == 1:
+            slo = shi = sc
+            olo = ohi = of
+        else:
+            G2 = G // 2
+            slo, shi = expand(sc[:G2]), expand(sc[G2:])
+            olo, ohi = expand(of[:G2]), expand(of[G2:])
+        acc = jax.lax.dot_general(
+            x[:, :Kr], (lo - olo) * slo,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot_general(
+            x[:, Kr:], (hi - ohi) * shi,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        s = sc if G == 1 else expand(sc)
+        o = of if G == 1 else expand(of)
+        acc = jax.lax.dot_general(
+            x, (wp.astype(jnp.float32) - o) * s,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    out_ref[:] = acc + bias_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def wonly_matmul_stacked(x, wq_L, scale_L, offset_L, bias_L, layer_idx, *,
+                         block_n: int = 512, interpret: bool = False):
+    """fp (M,K) × layer `layer_idx` of a stacked weight-only pack → fp32 (M,N).
+
+    wq_L: (L,K/2,N) nibble-packed W4 or (L,K,N) int8 W8 (shape-inferred).
+    scale_L/offset_L: (L,), (L,1,N) or grouped (L,G,1,N). bias_L: (L,N).
+    Same contract as qops.weight_only_linear on the selected layer; exists for
+    the same reason as w4a8_matmul_stacked — inside the decode layer scan the
+    weights must stream straight out of the HBM stack (scalar-prefetch layer
+    select), not through a materialized per-layer slice."""
+    M, K = x.shape
+    L, Kr, N = wq_L.shape
+    assert Kr == K or Kr * 2 == K, (Kr, K)
+    wbits = 4 if Kr * 2 == K else 8
+    TN = min(block_n, N)
+    assert N % TN == 0, (N, TN)
+
+    def norm_go(v):
+        v = jnp.asarray(v, jnp.float32)
+        if v.ndim == 1:                    # per-tensor (L,)
+            v = v[:, None, None]
+        elif v.ndim == 4:                  # grouped (L,G,1,N)
+            v = v[:, :, 0, :]
+        G_ = v.shape[1]
+        return jnp.broadcast_to(v, (L, G_, N))
+
+    scale_L = norm_go(scale_L)
+    offset_L = norm_go(offset_L)
+    G = scale_L.shape[1]
+    assert G == 1 or (wbits == 8) or (G % 2 == 0), \
+        "grouped W4 needs an even group count (groups split at the nibble half)"
+    assert G == 1 or Kr % max(G // (2 if wbits == 4 else 1), 1) == 0, (Kr, G)
+    bias_L = jnp.asarray(bias_L, jnp.float32)
+
+    idx = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N // TN,),
+        in_specs=[
+            pl.BlockSpec((M, K), lambda j, idx: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kr, TN), lambda j, idx: (idx[0], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, TN), lambda j, idx: (idx[0], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, TN), lambda j, idx: (idx[0], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda j, idx: (idx[0], j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, TN), lambda j, idx: (0, j),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_wonly_kernel_stacked, wbits=wbits),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * N,
+            bytes_accessed=M * K * 4 + Kr * N + M * N * 4 + 2 * G * N * 4,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(idx, x.astype(jnp.float32), wq_L, scale_L, offset_L, bias_L)
+
+
+def wonly_linear_pallas_stacked(x, spack: dict, bias_L, layer_idx, *,
+                                interpret: bool = False):
+    """qops.weight_only_linear on layer `layer_idx` of a stacked pack
+    {wq (L,K2|K,N), scale, offset} + stacked bias (L,N)."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    L, Kr, N = spack["wq"].shape
+    out = wonly_matmul_stacked(x2, spack["wq"], spack["scale"], spack["offset"],
+                               bias_L, layer_idx, block_n=_pick_block_n(Kr, N),
+                               interpret=interpret)
+    return out.reshape(*lead, N)

@@ -221,6 +221,39 @@ def weight_only_linear(x, pack: dict, bias):
     return y.astype(x.dtype)
 
 
+def weight_only_expert_linear(x, pack: dict, bias):
+    """Weight-only MoE expert projection: fp activations × per-expert integer
+    weight stacks dequantized on the fly (the W4A16/W8A16 twin of
+    int_expert_linear; expert stacking as in models/model.Ops.expert_linear):
+
+      x (..., K)    × wq (E, K, N) → (..., E, N)   (dispatch form: w1/w3)
+      x (..., E, K) × wq (E, K, N) → (..., E, N)   (expert-axis form: w2)
+
+    W4 stacks arrive nibble-packed (E, K/2, N); grouped scales are
+    (E, G, 1, N) along each expert's input axis."""
+    wq = pack["wq"]
+    K = x.shape[-1]
+    if wq.shape[-2] * 2 == K:
+        wq = unpack_nibbles(wq)
+    E, _, N = wq.shape
+    scale, offset = pack["scale"], pack["offset"]
+    wf = wq.astype(jnp.float32)
+    if scale.ndim == 4:                       # grouped (E, G, 1, N)
+        G = scale.shape[1]
+        wg = wf.reshape(E, G, K // G, N)
+        w = ((wg - offset[:, :, None, 0]) * scale[:, :, None, 0]).reshape(E, K, N)
+    else:
+        w = (wf - jnp.reshape(offset, (E, 1, -1))) * jnp.reshape(scale, (E, 1, -1))
+    xf = x.astype(jnp.float32)
+    if x.ndim == 3:
+        y = jnp.einsum("btd,edf->btef", xf, w)
+    else:
+        y = jnp.einsum("btef,efd->bted", xf, w)
+    if bias is not None:
+        y = y + bias
+    return y.astype(x.dtype)
+
+
 def int_expert_linear(x_q, x_scale, x_offset, pack: dict, bias,
                       x_has_expert_axis: bool = False):
     """MoE expert integer matmul, affine-exact per expert (dense-dispatch twin of

@@ -58,6 +58,12 @@ class EngineConfig:
                                        # across layers (calibrate.py:275-281);
                                        # per-layer is strictly better on TPU
     act_dtype: jnp.dtype = jnp.float32
+    act_bits: int = 8                  # 8 = the static-range integer engine;
+                                       # 16 = weight-only mode (W4A16/W8A16,
+                                       # runtime/wonly.py — fp activations, fp
+                                       # KV cache, packs dequantized on the
+                                       # fly; the reference's auto_gptq path,
+                                       # ref qmodule.py:868-886)
     use_pallas: bool = True            # fused-unpack kernel for nibble-packed W4
                                        # (ops/pallas_matmul.py); 8-bit matmuls
                                        # always go through XLA (already BW-bound)

@@ -37,9 +37,20 @@ class Generator:
 
         cfg, pol = config, policy
 
+        # weight-only mode (act_bits=16): same Generator, the engine module
+        # swaps to runtime/wonly.py (signature-compatible forward/decode_loop/
+        # init_kv_cache over fp activations + fp KV cache)
+        if getattr(self.ecfg, "act_bits", 8) == 16:
+            from mobilequant_tpu.runtime import wonly as _mod
+        else:
+            _mod = E
+        self._mod = _mod
+
         # fused prefill-attention kernel on TPU (23% less device time at
         # T=1024, BENCHMARKS.md); CPU backends fall back to the XLA path
-        if jax.default_backend() != "cpu":
+        if _mod is not E:
+            up_prefill = False            # wonly prefill: XLA dequant path
+        elif jax.default_backend() != "cpu":
             up_prefill = "w4_attn" if self.ecfg.weight_bits == 4 else "attn"
         else:
             up_prefill = False
@@ -51,7 +62,7 @@ class Generator:
             # logits_at: generation needs only the last prompt position, so
             # the lm_head runs on one row instead of all T (the prefill's
             # largest single matmul); consumers index logits[:, -1] as before
-            logits, new_cache = E.forward(
+            logits, new_cache = _mod.forward(
                 packed, tokens, cfg, pol, positions=positions, kv_cache=cache,
                 cache_position=jnp.zeros((B,), jnp.int32),
                 kv_valid_len=jnp.full((B,), T, jnp.int32),
@@ -59,22 +70,26 @@ class Generator:
                 logits_at=jnp.full((B,), T - 1, jnp.int32))
             return logits, new_cache
 
+        dec_pallas = (_mod is not E and self.ecfg.use_pallas
+                      and jax.default_backend() != "cpu")
+
         @functools.partial(jax.jit, donate_argnums=(2,))
         def _decode(packed, token, cache, pos):
             # token: (B,1); pos: (B,) current position
-            logits, new_cache = E.forward(
+            logits, new_cache = _mod.forward(
                 packed, token, cfg, pol, positions=pos[:, None], kv_cache=cache,
-                cache_position=pos, kv_valid_len=pos + 1)
+                cache_position=pos, kv_valid_len=pos + 1,
+                use_pallas=dec_pallas)
             return logits[:, 0], new_cache
 
         self._prefill = _prefill
         self._decode = _decode
 
-        use_pallas = self.ecfg.use_pallas
+        use_pallas = dec_pallas if _mod is not E else self.ecfg.use_pallas
 
         @functools.partial(jax.jit, static_argnums=(3, 6), donate_argnums=(2,))
         def _decode_chunk(packed, token, cache, n_steps, pos, key, temperature):
-            toks, cache, last = E.decode_loop(
+            toks, cache, last = _mod.decode_loop(
                 packed, token, cache, pos, n_steps, cfg, pol,
                 use_pallas=use_pallas, temperature=temperature, key=key)
             return toks, cache, last
@@ -89,7 +104,7 @@ class Generator:
         (EOS is checked between chunks). Greedy (temperature=0) or temperature
         sampling; for top-k/top-p use generate()."""
         B, T0 = prompt_tokens.shape
-        cache = E.init_kv_cache(self.ecfg, B)
+        cache = self._mod.init_kv_cache(self.ecfg, B)
         key = jax.random.PRNGKey(seed)
 
         t0 = time.perf_counter()
@@ -130,7 +145,7 @@ class Generator:
                  return_stats: bool = False):
         """prompt_tokens: (B, T_prompt) -> (B, ≤max_new_tokens) generated ids."""
         B, T0 = prompt_tokens.shape
-        cache = E.init_kv_cache(self.ecfg, B)
+        cache = self._mod.init_kv_cache(self.ecfg, B)
         key = jax.random.PRNGKey(seed)
 
         t_start = time.perf_counter()
@@ -191,22 +206,25 @@ class Generator:
         if draft_fn is None:
             draft_fn = prompt_lookup_draft
         cfg, pol = self.config, self.policy
-        up = False if jax.default_backend() == "cpu" else \
-            ("w4nomodelk" if self.ecfg.weight_bits == 4 else False)
+        if self._mod is not E:
+            up = self.ecfg.use_pallas and jax.default_backend() != "cpu"
+        else:
+            up = False if jax.default_backend() == "cpu" else \
+                ("w4nomodelk" if self.ecfg.weight_bits == 4 else False)
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def verify(packed, toks, cache, start):
             # toks (1,k) = [current token, k-1 drafts]; writes K/V rows
             # start..start+k-1 and returns the greedy next-token per row
             positions = (start + jnp.arange(k))[None, :]
-            logits, cache = E.forward(
+            logits, cache = self._mod.forward(
                 packed, toks, cfg, pol, positions=positions, kv_cache=cache,
                 cache_position=jnp.full((1,), start, jnp.int32),
                 kv_valid_len=jnp.asarray([start + k], jnp.int32),
                 use_pallas=up)
             return jnp.argmax(logits[0], axis=-1).astype(jnp.int32), cache
 
-        cache = E.init_kv_cache(self.ecfg, 1)
+        cache = self._mod.init_kv_cache(self.ecfg, 1)
         t0 = time.perf_counter()
         logits, cache = self._prefill(
             self.packed, jnp.asarray(prompt_tokens, jnp.int32), cache)

@@ -63,6 +63,18 @@ class ContinuousBatcher:
         prompt length, prompts up to max_seq_len with no length buckets);
         the causal-block-skipping prefill kernel makes each chunk pay only
         for the KV prefix it can see."""
+        self.ecfg = ecfg or E.EngineConfig(model=config)
+        # weight-only mode (act_bits=16): same batcher over the wonly engine
+        # (fp activations + fp KV cache; slot axis is 1 in both cache layouts)
+        if getattr(self.ecfg, "act_bits", 8) == 16:
+            from mobilequant_tpu.models.model import KVCache as _KVC
+            from mobilequant_tpu.runtime import wonly as _mod
+            assert mesh is None, \
+                "weight-only serving is single-chip for now (the tp/dp pspecs " \
+                "describe the int engine's packs/cache layout)"
+        else:
+            _mod, _KVC = E, E.EngineKVCache
+        self._mod, self._kvc = _mod, _KVC
         if mesh is not None:
             from jax.sharding import NamedSharding
             from mobilequant_tpu.parallel import sharding as S
@@ -75,7 +87,6 @@ class ContinuousBatcher:
         self.packed = packed
         self.config = config
         self.policy = policy
-        self.ecfg = ecfg or E.EngineConfig(model=config)
         self.B = batch_slots
         self.buckets = tuple(b for b in sorted(prefill_buckets)
                              if b <= self.ecfg.max_seq_len)
@@ -83,9 +94,9 @@ class ContinuousBatcher:
         self.eos = eos_token_id
         self.key = jax.random.PRNGKey(seed)
 
-        self.cache = E.init_kv_cache(self.ecfg, self.B)
+        self.cache = _mod.init_kv_cache(self.ecfg, self.B)
         if self._cache_sharding is not None:
-            self.cache = E.EngineKVCache(
+            self.cache = _KVC(
                 k=jax.device_put(self.cache.k, self._cache_sharding),
                 v=jax.device_put(self.cache.v, self._cache_sharding))
         self.queue: deque[Request] = deque()
@@ -103,9 +114,9 @@ class ContinuousBatcher:
 
         @functools.partial(jax.jit, donate_argnums=(2, 3))
         def decode_step(packed, tokens, k_cache, v_cache, pos, valid):
-            logits, nc = E.forward(
+            logits, nc = _mod.forward(
                 packed, tokens, cfg, pol, positions=pos[:, None],
-                kv_cache=E.EngineKVCache(k=k_cache, v=v_cache),
+                kv_cache=_KVC(k=k_cache, v=v_cache),
                 cache_position=pos, kv_valid_len=valid,
                 use_pallas=up_decode)
             return logits[:, 0], nc.k, nc.v
@@ -114,7 +125,9 @@ class ContinuousBatcher:
 
         # fused prefill-attention kernel on TPU (23% less device time at
         # T=1024, BENCHMARKS.md); CPU backends fall back to the XLA path
-        if jax.default_backend() != "cpu":
+        if _mod is not E:
+            up_prefill = False        # wonly prefill: XLA dequant path
+        elif jax.default_backend() != "cpu":
             up_prefill = "w4_attn" if self.ecfg.weight_bits == 4 else "attn"
         else:
             up_prefill = False
@@ -125,7 +138,7 @@ class ContinuousBatcher:
             # logits_at: generation needs only the last prompt position's
             # logits — skips the bucket-wide lm_head matmul
             positions = jnp.arange(bucket)[None, :]
-            logits, seg = E.forward(packed, tokens, cfg, pol, positions=positions,
+            logits, seg = _mod.forward(packed, tokens, cfg, pol, positions=positions,
                                     kv_valid_len=jnp.asarray([length]),
                                     use_pallas=up_prefill,
                                     logits_at=(length - 1)[None])
@@ -149,7 +162,7 @@ class ContinuousBatcher:
                 # consumed (valid-1-start is C-1 on intermediate chunks)
                 C = tokens.shape[1]
                 positions = (start + jnp.arange(C))[None, :]
-                logits, nc = E.forward(
+                logits, nc = _mod.forward(
                     packed, tokens, cfg, pol, positions=positions,
                     kv_cache=slot_cache,
                     cache_position=jnp.full((1,), start, jnp.int32),
@@ -175,7 +188,7 @@ class ContinuousBatcher:
         C = self.chunk
         T = len(req.prompt)
         n_chunks = -(-T // C)
-        scratch = E.init_kv_cache(self.ecfg, 1)
+        scratch = self._mod.init_kv_cache(self.ecfg, 1)
         sk, sv = scratch.k, scratch.v
         last = None
         for ci in range(n_chunks):
@@ -184,11 +197,11 @@ class ContinuousBatcher:
             tok[0, :len(piece)] = piece
             last, sk, sv = self._prefill_chunk(
                 self.packed, jnp.asarray(tok),
-                E.EngineKVCache(k=sk, v=sv),
+                self._kvc(k=sk, v=sv),
                 jnp.int32(ci * C), jnp.int32(min(T, (ci + 1) * C)))
         k, v = self._adopt_slot(jnp.int32(slot), self.cache.k, self.cache.v,
                                 sk, sv)
-        self.cache = E.EngineKVCache(k=k, v=v)
+        self.cache = self._kvc(k=k, v=v)
         return last[0, -1]       # logits_at already selected the last row
 
     # ------------------------------------------------------------------
@@ -220,7 +233,7 @@ class ContinuousBatcher:
                 last_logits, k, v = self._prefill(
                     self.packed, jnp.asarray(tok), self.cache.k, self.cache.v,
                     bucket, jnp.asarray([slot]), jnp.asarray(T))
-                self.cache = E.EngineKVCache(k=k, v=v)
+                self.cache = self._kvc(k=k, v=v)
             self.key, sk = jax.random.split(self.key)
             first = int(jax.device_get(sample(last_logits[None], sk, self.sampler))[0])
             req.out.append(first)
@@ -248,7 +261,7 @@ class ContinuousBatcher:
         logits, k, v = self._decode(
             self.packed, jnp.asarray(self._last_tokens[:, None]),
             self.cache.k, self.cache.v, jnp.asarray(pos), jnp.asarray(valid))
-        self.cache = E.EngineKVCache(k=k, v=v)
+        self.cache = self._kvc(k=k, v=v)
 
         self.key, sk = jax.random.split(self.key)
         nxt = np.asarray(jax.device_get(sample(logits, sk, self.sampler)))

@@ -97,6 +97,49 @@ def test_cli_full_pipeline(hf_ckpt, tmp_path):
               "--speculative", "3", "--eos", "-1"])
 
 
+def test_cli_weight_only_pipeline(hf_ckpt, tmp_path):
+    """Weight-only journey: convert → pack --act_bits 16 (no quantize step
+    needed — the reference's auto_gptq path likewise packs an FP checkpoint,
+    ref qmodule.py:868-886) → demo → serve → eval-ppl --engine_dir."""
+    from mobilequant_tpu import cli
+
+    work = tmp_path / "work"
+    cli.main(["convert", "--hf_path", str(hf_ckpt), "--model", "test-llama",
+              "--family", "llama", "--output_dir", str(work)])
+
+    engine_dir = tmp_path / "engine_w4a16"
+    cli.main(["pack", "--model_dir", str(work), "--output_dir", str(engine_dir),
+              "--max_seq_len", "32", "--act_bits", "16", "--weight_bits", "4",
+              "--group_size", "16"])
+    import json
+    meta = json.loads((engine_dir / "engine.json").read_text())
+    assert meta["act_bits"] == 16 and meta["weight_bits"] == 4
+
+    from mobilequant_tpu.export.tokenizer_bin import write_tokenizer_bin
+    pieces = [b"<unk>", b"<s>", b"</s>"]
+    pieces += [f"<0x{i:02X}>".encode() for i in range(256)]
+    write_tokenizer_bin(tmp_path / "tokenizer.bin", pieces,
+                        [0.0] * len(pieces), version=2)
+    cli.main(["demo", "--engine_dir", str(engine_dir),
+              "--tokenizer", str(tmp_path / "tokenizer.bin"),
+              "--prompt", "hi", "--max_new_tokens", "3", "--eos", "-1"])
+
+    (tmp_path / "prompts.txt").write_text("hi\nok there\n")
+    cli.main(["serve", "--engine_dir", str(engine_dir),
+              "--tokenizer", str(tmp_path / "tokenizer.bin"),
+              "--prompts", str(tmp_path / "prompts.txt"),
+              "--output", str(tmp_path / "out_w.jsonl"),
+              "--max_new_tokens", "4", "--batch_slots", "2", "--eos", "-1"])
+    lines = [json.loads(ln) for ln in open(tmp_path / "out_w.jsonl")]
+    assert len(lines) == 2 and all("completion" in ln for ln in lines)
+
+    stream = np.random.default_rng(0).integers(0, 256, (200,))
+    np.save(tmp_path / "toks_w.npy", stream)
+    cli.main(["eval-ppl", "--model_dir", str(work),
+              "--tokens", str(tmp_path / "toks_w.npy"), "--seqlen", "32",
+              "--max_windows", "2", "--engine_dir", str(engine_dir)])
+
+
 def test_export_decode_step_stablehlo(tmp_path):
     from mobilequant_tpu.export import artifacts
     from mobilequant_tpu.models import model as M
