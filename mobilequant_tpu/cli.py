@@ -228,6 +228,49 @@ def cmd_eval_ppl(args):
         print(f"engine ppl: {ppl_e:.4f} (Δ {ppl_e - ppl_fp:+.4f})")
 
 
+def cmd_eval_choice(args):
+    """Multiple-choice accuracy (ARC/HellaSwag/MMLU style) on a local task
+    file — the harness-free accuracy rung (ref eval/harness_eval.py)."""
+    import json as _json
+    from mobilequant_tpu.eval.choice import (load_task_file,
+                                             multiple_choice_accuracy)
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant import qmodel
+
+    tk = None
+    if args.tokenizer:
+        from mobilequant_tpu.runtime.native import NativeTokenizer
+        tk = NativeTokenizer(args.tokenizer)
+    examples = load_task_file(args.task, tokenizer=tk, bos_id=args.bos)
+
+    results = {}
+    if args.model_dir:
+        params, qstate, cfg, policy, _ = _load_model_dir(args.model_dir)
+        fwd_fp = lambda tok: M.forward(params, tok, cfg)[0]
+        results["fp"] = multiple_choice_accuracy(fwd_fp, examples,
+                                                 max_length=args.max_length)
+        if qstate is not None:
+            fwd_q = lambda tok: qmodel.qforward(params, qstate, tok, cfg,
+                                                policy)[0]
+            results["quant_sim"] = multiple_choice_accuracy(
+                fwd_q, examples, max_length=args.max_length)
+    if args.engine_dir:
+        from mobilequant_tpu.export import artifacts
+        packed, ecfg_cfg, epolicy, meta = artifacts.load_packed(args.engine_dir)
+        if meta.get("act_bits", 8) == 16:
+            from mobilequant_tpu.runtime import wonly as _emod
+        else:
+            from mobilequant_tpu.runtime import engine as _emod
+        fwd_e = lambda tok: _emod.forward(packed, tok, ecfg_cfg, epolicy)[0]
+        results["engine"] = multiple_choice_accuracy(fwd_e, examples,
+                                                     max_length=args.max_length)
+    for name, r in results.items():
+        print(f"{name}: acc {r['acc']:.4f}  acc_norm {r['acc_norm']:.4f}  "
+              f"(n={r['n']})")
+    if args.output:
+        Path(args.output).write_text(_json.dumps(results, indent=2))
+
+
 def cmd_serve(args):
     """Serving: offline (--prompts file → JSONL) or online (--http PORT →
     continuous batching over live requests, stdlib HTTP front-end)."""
@@ -448,6 +491,18 @@ def build_parser():
                    help="also eval a packed engine artifact (int or "
                         "weight-only per its engine.json)")
     q.set_defaults(fn=cmd_eval_ppl)
+
+    q = sub.add_parser("eval-choice")
+    q.add_argument("--task", required=True,
+                   help="local JSON task file (ctx/choices/label; ids or text)")
+    q.add_argument("--model_dir", default=None)
+    q.add_argument("--engine_dir", default=None)
+    q.add_argument("--tokenizer", default=None,
+                   help="tokenizer.bin for raw-text task files")
+    q.add_argument("--bos", type=int, default=-1)
+    q.add_argument("--max_length", type=int, default=2048)
+    q.add_argument("--output", default=None, help="write results JSON here")
+    q.set_defaults(fn=cmd_eval_choice)
 
     q = sub.add_parser("serve")
     q.add_argument("--engine_dir", required=True)
