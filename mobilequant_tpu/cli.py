@@ -44,6 +44,17 @@ def cmd_convert(args):
     print(f"converted {args.hf_path} -> {args.output_dir}")
 
 
+def _enable_engine_cache(args):
+    """--compile_cache auto|off|PATH: persistent XLA executable cache living
+    next to the engine artifact (the qnn_model.bin cold-start analogue)."""
+    mode = getattr(args, "compile_cache", "off")
+    if mode == "off":
+        return
+    from mobilequant_tpu.utils.io import enable_compilation_cache
+    path = Path(args.engine_dir) / "xla_cache" if mode == "auto" else Path(mode)
+    enable_compilation_cache(path)
+
+
 def _load_model_dir(model_dir):
     from mobilequant_tpu.export import artifacts
     return artifacts.load_quantized(model_dir)
@@ -153,6 +164,20 @@ def cmd_quantize(args):
     logger.info(f"saved quantized model -> {out}")
 
 
+def _warm_engine_cache(output_dir, packed, cfg, policy, ecfg):
+    """pack --warm_cache: pre-compile the shape-stable decode-chunk executable
+    into the artifact's xla_cache so the first demo/serve cold start skips the
+    big compile (ship-the-compiled-graph, like the reference's qnn_model.bin)."""
+    from mobilequant_tpu.utils.io import enable_compilation_cache
+    from mobilequant_tpu.runtime.generate import Generator
+    # explicit warming: cache every executable, however quick its compile
+    enable_compilation_cache(Path(output_dir) / "xla_cache",
+                             min_compile_time_secs=0.0)
+    gen = Generator(packed, cfg, policy, ecfg)
+    gen.generate_fast(np.zeros((1, 8), np.int32), 33, chunk=32)
+    print(f"warmed xla_cache (decode chunk + prefill) -> {output_dir}/xla_cache")
+
+
 def cmd_pack(args):
     from mobilequant_tpu.export import artifacts
     from mobilequant_tpu.runtime import engine as E
@@ -175,6 +200,10 @@ def cmd_pack(args):
                                "weight_bits": wb, "group_size": args.group_size})
         print(f"packed weight-only (W{wb}A16 g{args.group_size}) engine "
               f"-> {args.output_dir}")
+        if args.warm_cache:
+            ecfg = E.EngineConfig(model=cfg, max_seq_len=args.max_seq_len,
+                                  act_bits=16, weight_bits=wb)
+            _warm_engine_cache(args.output_dir, packed, cfg, policy, ecfg)
         return
 
     assert qstate is not None, "run `quantize` first (needs learned ranges)"
@@ -193,6 +222,8 @@ def cmd_pack(args):
         artifacts.export_decode_step(packed, cfg, policy, args.max_seq_len,
                                      Path(args.output_dir) / "decode_step.stablehlo")
     print(f"packed engine -> {args.output_dir}")
+    if args.warm_cache:
+        _warm_engine_cache(args.output_dir, packed, cfg, policy, ecfg)
 
 
 def cmd_eval_ppl(args):
@@ -275,6 +306,7 @@ def cmd_serve(args):
     """Serving: offline (--prompts file → JSONL) or online (--http PORT →
     continuous batching over live requests, stdlib HTTP front-end)."""
     import json as _json
+    _enable_engine_cache(args)
     from mobilequant_tpu.export import artifacts
     from mobilequant_tpu.runtime import engine as E
     from mobilequant_tpu.runtime.native import NativeTokenizer
@@ -334,6 +366,7 @@ def cmd_serve(args):
 
 
 def cmd_demo(args):
+    _enable_engine_cache(args)
     from mobilequant_tpu.export import artifacts
     from mobilequant_tpu.runtime.generate import Generator
     from mobilequant_tpu.runtime.native import NativeTokenizer
@@ -480,6 +513,9 @@ def build_parser():
                    help="weight-only input-axis group size (-1=per-channel)")
     q.add_argument("--global_kv", action="store_true")
     q.add_argument("--export_hlo", action="store_true")
+    q.add_argument("--warm_cache", action="store_true",
+                   help="pre-compile the decode executable into "
+                        "<output_dir>/xla_cache (instant cold start)")
     q.set_defaults(fn=cmd_pack)
 
     q = sub.add_parser("eval-ppl")
@@ -509,6 +545,8 @@ def build_parser():
     q.add_argument("--tokenizer", required=True)
     q.add_argument("--prompts", default=None,
                    help="text file, one prompt per line (offline mode)")
+    q.add_argument("--compile_cache", default="auto",
+                   help="auto = <engine_dir>/xla_cache, off, or a path")
     q.add_argument("--http", type=int, default=None,
                    help="serve online on this port (0 = ephemeral): "
                         "continuous batching over live POST /generate requests")
@@ -542,6 +580,8 @@ def build_parser():
     q.add_argument("--speculative", type=int, default=0, metavar="K",
                    help="greedy speculative decoding with K-token verify "
                         "(prompt-lookup drafts; greedy only)")
+    q.add_argument("--compile_cache", default="auto",
+                   help="auto = <engine_dir>/xla_cache, off, or a path")
     q.set_defaults(fn=cmd_demo)
     return p
 

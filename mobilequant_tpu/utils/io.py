@@ -60,3 +60,28 @@ def create_logger(name: str = "mobilequant_tpu", log_file: str | None = None,
         logger.addHandler(fh)
     _LOGGERS[name] = logger
     return logger
+
+
+def enable_compilation_cache(cache_dir, min_compile_time_secs: float = 0.5):
+    """Persistent XLA compilation cache — the TPU-native analogue of the
+    reference shipping a prebuilt NPU graph (`qnn_model.bin`,
+    ref device/export.py:352-365): the first process pays the 20-40 s trace+
+    compile, every later cold start loads the serialized executable from disk.
+    Keyed by program HLO + compiler version + topology, so a cache written at
+    pack time on the serving machine is hit by demo/serve/eval."""
+    import jax
+    p = Path(cache_dir)
+    p.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(p))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_time_secs)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    try:
+        # jax memoizes the cache backend at first use; re-point it when the
+        # directory changes mid-process (e.g. pack --warm_cache after another
+        # engine already enabled its own cache)
+        from jax._src import compilation_cache as _cc
+        _cc.reset_cache()
+    except Exception:
+        pass
+    return p

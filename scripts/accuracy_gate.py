@@ -165,6 +165,16 @@ def main():
         assert ppl_h <= ppl_rel + max(tol, 0.05), \
             f"W{hb} head must stay accuracy-neutral ({ppl_h} vs {ppl_rel})"
 
+    # weight-only serving mode (W4A16 g-grouped; the reference's auto_gptq
+    # path): fp activations, so ppl must land between FP and the A8 engine —
+    # gate at 2% over FP (weight rounding is the only error source)
+    from mobilequant_tpu.runtime import wonly
+    gsz = 32 if cfg.hidden_size % 32 == 0 else -1
+    wpacked = wonly.pack_weight_only(params, cfg, wonly.default_weight_cfg(4, gsz))
+    ppl_wo = ppl_of(lambda t: wonly.forward(wpacked, t, cfg)[0])
+    print(f"weight-only W4A16 (g{gsz}) ppl: {ppl_wo:.3f} (Δ {ppl_wo - ppl_fp:+.3f})")
+    assert ppl_wo <= ppl_fp * 1.02, (ppl_wo, ppl_fp)
+
     # the paper-style gate: quantized ppl within a small Δ of FP
     # (on real checkpoints the reference's W8A8 Δ-vs-FP16 is ≈0–1 ppl points;
     # here deltas are noise-level, so gate at 2%)

@@ -110,10 +110,12 @@ def test_cli_weight_only_pipeline(hf_ckpt, tmp_path):
     engine_dir = tmp_path / "engine_w4a16"
     cli.main(["pack", "--model_dir", str(work), "--output_dir", str(engine_dir),
               "--max_seq_len", "32", "--act_bits", "16", "--weight_bits", "4",
-              "--group_size", "16"])
+              "--group_size", "16", "--warm_cache"])
     import json
     meta = json.loads((engine_dir / "engine.json").read_text())
     assert meta["act_bits"] == 16 and meta["weight_bits"] == 4
+    # --warm_cache pre-compiled the decode chunk into the artifact's xla_cache
+    assert any((engine_dir / "xla_cache").iterdir())
 
     from mobilequant_tpu.export.tokenizer_bin import write_tokenizer_bin
     pieces = [b"<unk>", b"<s>", b"</s>"]
