@@ -244,3 +244,77 @@ def shard_tree(tree, specs, mesh: Mesh):
     """device_put a pytree with NamedShardings from a spec tree."""
     return jax.tree.map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), tree, specs)
+
+
+def wonly_pspecs(packed: dict, config: ModelConfig, mesh: Mesh) -> dict:
+    """Specs for the weight-only packed pytree (runtime/wonly.py): Megatron
+    column/row TP of the integer packs; the fp skeleton mostly replicates
+    (norm weights, biases, placeholder projection leaves) with the embedding
+    and head vocab-sharded as in param_pspecs. The XLA dequant path runs
+    under plain jit — GSPMD propagates these shardings through
+    unpack→dequant→matmul and inserts the o_proj/w2 all-reduces. (The
+    stacked Pallas kernel is single-chip: TP serving sets use_pallas=False.)"""
+    tp = mesh.shape["tp"]
+    attn_ok = _kv_heads_shardable(config, tp)
+    ep = None
+    if "ep" in mesh.shape and mesh.shape["ep"] > 1 and config.is_moe \
+            and config.num_local_experts % mesh.shape["ep"] == 0:
+        ep = "ep"
+
+    def scale_spec(v, axis):
+        # per-tensor (L,), per-channel (L,1,N), grouped (L,G,1,N)
+        if v.ndim == 1:
+            return P(None)
+        if v.ndim == 3:
+            return P(None, None, axis)
+        return P(None, None, None, axis)
+
+    def pack_spec(entry, kind):
+        out = {}
+        for k, v in entry.items():
+            if k == "wq" and kind == "col":
+                out[k] = P(None, None, "tp")
+            elif k == "wq" and kind == "row":
+                # W4 packs shard the PACKED row axis; unpack_nibbles' concat
+                # re-associates halves — GSPMD reshards as needed (correct by
+                # construction, the K-reduction all-reduce still fires once)
+                out[k] = P(None, "tp", None)
+            elif k in ("scale", "offset"):
+                out[k] = scale_spec(v, "tp" if kind == "col" else None)
+            elif k == "bias":
+                out[k] = P(None, "tp") if kind == "col" else P(None, None)
+            else:
+                out[k] = P(*([None] * v.ndim))
+        return out
+
+    attn_kind = ("col", "row") if attn_ok else ("rep", "rep")
+    kinds = {"q_proj": attn_kind[0], "k_proj": attn_kind[0],
+             "v_proj": attn_kind[0], "o_proj": attn_kind[1],
+             "w1": "col", "w3": "col", "w2": "row"}
+    packs = {}
+    for pkey, entry in packed["packs"].items():
+        if entry["wq"].ndim == 4:            # MoE expert stacks (L,E,...)
+            packs[pkey] = {
+                k: P(*[ep if i == 1 and v.ndim >= 2 else None
+                       for i in range(v.ndim)])
+                for k, v in entry.items()}
+        else:
+            packs[pkey] = pack_spec(entry, kinds.get(pkey, "rep"))
+
+    sk = packed["skeleton"]
+    skeleton = {
+        "embed": {"w": P("tp", None)},
+        "layers": jax.tree.map(lambda a: P(*([None] * a.ndim)), sk["layers"]),
+        "norm": jax.tree.map(lambda a: P(*([None] * a.ndim)), sk["norm"]),
+    }
+    if "lm_head" in sk:
+        skeleton["lm_head"] = {"w": P(None, "tp")}
+    return {"skeleton": skeleton, "packs": packs}
+
+
+def wonly_kv_cache_pspec(config: ModelConfig, mesh: Mesh):
+    """Weight-only (fp) cache in the FP model layout (L, B, S, Hkv, hd):
+    batch over dp, kv heads over tp (if divisible)."""
+    tp = mesh.shape["tp"]
+    head_axis = "tp" if _kv_heads_shardable(config, tp) else None
+    return P(None, "dp", None, head_axis, None)

@@ -66,21 +66,27 @@ class ContinuousBatcher:
         self.ecfg = ecfg or E.EngineConfig(model=config)
         # weight-only mode (act_bits=16): same batcher over the wonly engine
         # (fp activations + fp KV cache; slot axis is 1 in both cache layouts)
-        if getattr(self.ecfg, "act_bits", 8) == 16:
+        wonly_mode = getattr(self.ecfg, "act_bits", 8) == 16
+        if wonly_mode:
             from mobilequant_tpu.models.model import KVCache as _KVC
             from mobilequant_tpu.runtime import wonly as _mod
-            assert mesh is None, \
-                "weight-only serving is single-chip for now (the tp/dp pspecs " \
-                "describe the int engine's packs/cache layout)"
         else:
             _mod, _KVC = E, E.EngineKVCache
         self._mod, self._kvc = _mod, _KVC
         if mesh is not None:
             from jax.sharding import NamedSharding
             from mobilequant_tpu.parallel import sharding as S
-            specs = S.packed_pspecs(packed, config, mesh)
+            if wonly_mode:
+                # weight-only TP is the XLA dequant path (the stacked Pallas
+                # kernel is single-chip) — GSPMD inserts the o/w2 all-reduces
+                specs = S.wonly_pspecs(packed, config, mesh)
+                cache_spec = S.wonly_kv_cache_pspec(config, mesh)
+                self.ecfg = dataclasses.replace(self.ecfg, use_pallas=False)
+            else:
+                specs = S.packed_pspecs(packed, config, mesh)
+                cache_spec = S.kv_cache_pspec(config, mesh)
             packed = S.shard_tree(packed, specs, mesh)
-            self._cache_sharding = NamedSharding(mesh, S.kv_cache_pspec(config, mesh))
+            self._cache_sharding = NamedSharding(mesh, cache_spec)
         else:
             self._cache_sharding = None
         self.mesh = mesh

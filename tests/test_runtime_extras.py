@@ -383,3 +383,42 @@ def test_online_http_server_matches_generator():
     finally:
         httpd.shutdown()
         srv.close()
+
+
+def test_continuous_batching_wonly_sharded_mesh():
+    """Weight-only batcher over a (dp=2, tp=2) mesh: TP packs + dp-sharded fp
+    cache must reproduce the unsharded greedy outputs."""
+    from mobilequant_tpu.models import get_config
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant.quantizer import QuantConfig
+    from mobilequant_tpu.runtime import engine as E
+    from mobilequant_tpu.runtime import wonly as W
+    from mobilequant_tpu.runtime.serve import ContinuousBatcher
+    from mobilequant_tpu.runtime.sampling import SamplerConfig
+    from mobilequant_tpu.parallel import sharding as S
+
+    cfg = get_config("test-llama")
+    params = M.init_params(cfg, jax.random.PRNGKey(5))
+    wcfg = QuantConfig(bitwidth=4, is_per_channel=True, group_size=16,
+                       is_symmetric=False)
+    packed = W.pack_weight_only(params, cfg, wcfg)
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=64, act_bits=16)
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int32)
+               for n in (5, 9, 7)]
+
+    ref = ContinuousBatcher(packed, cfg, None, ecfg, batch_slots=2,
+                            prefill_buckets=(16, 32),
+                            sampler=SamplerConfig(greedy=True))
+    rids = [ref.submit(p, 5) for p in prompts]
+    want = ref.run()
+
+    mesh = S.make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+    with jax.set_mesh(mesh):
+        cb = ContinuousBatcher(packed, cfg, None, ecfg, batch_slots=2,
+                               prefill_buckets=(16, 32),
+                               sampler=SamplerConfig(greedy=True), mesh=mesh)
+        rids2 = [cb.submit(p, 5) for p in prompts]
+        got = cb.run()
+    for r1, r2 in zip(rids, rids2):
+        assert want[r1] == got[r2]

@@ -417,3 +417,34 @@ def test_engine_forward_cp_mesh_matches_unsharded():
                                    rtol=2e-4, atol=2e-4, err_msg=f"step {i}")
     np.testing.assert_array_equal(np.asarray(c_cp.k), np.asarray(c_ref.k))
     np.testing.assert_array_equal(np.asarray(c_cp.v), np.asarray(c_ref.v))
+
+
+def test_wonly_tp_forward_matches_unsharded():
+    """Weight-only packs (runtime/wonly.py) under Megatron col/row TP
+    (parallel/sharding.wonly_pspecs): GSPMD reshards the unpack→dequant→matmul
+    chain and inserts the o_proj/w2 all-reduces; logits must match the
+    single-device forward."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.models.registry import MODEL_CONFIGS
+    from mobilequant_tpu.quant.quantizer import QuantConfig
+    from mobilequant_tpu.runtime import wonly as W
+    from mobilequant_tpu.parallel import sharding as S
+    from jax.sharding import Mesh
+
+    cfg = MODEL_CONFIGS["test-llama"]
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 12)), jnp.int32)
+    for bits, gs in ((4, 16), (8, -1)):
+        wcfg = QuantConfig(bitwidth=bits, is_per_channel=True, group_size=gs,
+                           is_symmetric=False)
+        packed = W.pack_weight_only(params, cfg, wcfg)
+        ref, _ = W.forward(packed, toks, cfg)
+        mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("tp",))
+        sp = S.shard_tree(packed, S.wonly_pspecs(packed, cfg, mesh), mesh)
+        out = jax.jit(lambda p, t: W.forward(p, t, cfg)[0])(sp, toks)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=2e-4,
+                                   err_msg=f"bits={bits} gs={gs}")
