@@ -222,11 +222,15 @@ def main():
             return toks
         return chunk
 
-    w_tps = time_decode_loop(make_wonly_chunk, wpacked,
-                             lambda: WW.init_kv_cache(ecfg_w, 1), 1,
-                             cfg.vocab_size)
-    results["w4a16_decode_tok_s"] = w_tps
-    log(f"W4A16 weight-only decode: {w_tps:.1f} tok/s (bs=1, S=1024, marginal)")
+    try:
+        w_tps = time_decode_loop(make_wonly_chunk, wpacked,
+                                 lambda: WW.init_kv_cache(ecfg_w, 1), 1,
+                                 cfg.vocab_size)
+        results["w4a16_decode_tok_s"] = w_tps
+        log(f"W4A16 weight-only decode: {w_tps:.1f} tok/s (bs=1, S=1024, marginal)")
+    except Exception as e:   # first on-chip Mosaic compile of the grouped
+        log(f"W4A16 weight-only bench failed (kernel compile?): {e!r}")
+        # dequant kernel happens here — never let it kill the headline run
     del wpacked
 
     # --- prefill throughput (W8A8), marginal method with per-rep token fetch

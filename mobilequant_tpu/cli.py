@@ -200,6 +200,10 @@ def cmd_pack(args):
                                "weight_bits": wb, "group_size": args.group_size})
         print(f"packed weight-only (W{wb}A16 g{args.group_size}) engine "
               f"-> {args.output_dir}")
+        if args.export_hlo:
+            artifacts.export_decode_step_wonly(
+                packed, cfg, args.max_seq_len,
+                Path(args.output_dir) / "decode_step.stablehlo")
         if args.warm_cache:
             ecfg = E.EngineConfig(model=cfg, max_seq_len=args.max_seq_len,
                                   act_bits=16, weight_bits=wb)

@@ -118,3 +118,36 @@ def export_decode_step(packed: dict, config: ModelConfig, policy: QPolicy,
     if path is not None:
         Path(path).write_bytes(blob)
     return blob
+
+
+def export_decode_step_wonly(packed: dict, config: ModelConfig,
+                             max_seq_len: int, path: Optional[str | Path] = None,
+                             batch_size: int = 1, act_dtype=None) -> bytes:
+    """StableHLO decode step for a weight-only (W4A16/W8A16) pack —
+    the runtime/wonly.py twin of export_decode_step."""
+    import jax.numpy as jnp
+    from jax import export as jexport
+    from mobilequant_tpu.runtime import wonly as W
+    from mobilequant_tpu.models.model import KVCache
+
+    act_dtype = act_dtype or jnp.float32
+
+    def step(packed, token, k_cache, v_cache, pos):
+        logits, nc = W.forward(packed, token, config,
+                               positions=pos[:, None],
+                               kv_cache=KVCache(k=k_cache, v=v_cache),
+                               cache_position=pos, kv_valid_len=pos + 1)
+        return logits, nc.k, nc.v
+
+    c = config
+    kv = jax.ShapeDtypeStruct(
+        (c.num_layers, batch_size, max_seq_len, c.num_kv_heads, c.head_dim_),
+        act_dtype)
+    args = (jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), packed),
+            jax.ShapeDtypeStruct((batch_size, 1), jnp.int32), kv, kv,
+            jax.ShapeDtypeStruct((batch_size,), jnp.int32))
+    exported = jexport.export(jax.jit(step))(*args)
+    blob = exported.serialize()
+    if path is not None:
+        Path(path).write_bytes(blob)
+    return blob

@@ -161,3 +161,20 @@ def test_export_decode_step_stablehlo(tmp_path):
                                         path=tmp_path / "step.stablehlo")
     assert len(blob) > 1000
     assert (tmp_path / "step.stablehlo").stat().st_size == len(blob)
+
+
+def test_export_decode_step_wonly_stablehlo(tmp_path):
+    from mobilequant_tpu.export import artifacts
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant.quantizer import QuantConfig
+    from mobilequant_tpu.runtime import wonly as W
+
+    cfg = get_config("test-llama")
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    wcfg = QuantConfig(bitwidth=4, is_per_channel=True, group_size=16,
+                       is_symmetric=False)
+    packed = W.pack_weight_only(params, cfg, wcfg)
+    blob = artifacts.export_decode_step_wonly(packed, cfg, max_seq_len=32,
+                                              path=tmp_path / "wstep.stablehlo")
+    assert len(blob) > 1000
+    assert (tmp_path / "wstep.stablehlo").stat().st_size == len(blob)
