@@ -327,7 +327,8 @@ def cmd_serve(args):
     cb = ContinuousBatcher(
         packed, cfg, policy, ecfg, batch_slots=args.batch_slots,
         sampler=sampler, eos_token_id=args.eos if args.eos >= 0 else None,
-        chunk_prefill=args.chunk_prefill, seed=args.seed)
+        chunk_prefill=args.chunk_prefill, chunk_decode=args.chunk_decode,
+        seed=args.seed)
 
     if args.http is not None:
         from mobilequant_tpu.runtime.server import (InferenceServer,
@@ -561,6 +562,9 @@ def build_parser():
     q.add_argument("--max_new_tokens", type=int, default=128)
     q.add_argument("--batch_slots", type=int, default=8)
     q.add_argument("--chunk_prefill", type=int, default=None)
+    q.add_argument("--chunk_decode", type=int, default=1,
+                   help="advance active slots N tokens per in-graph tick "
+                        "(N x fewer host dispatches; greedy/temperature only)")
     q.add_argument("--temperature", type=float, default=0.0)
     q.add_argument("--seed", type=int, default=0)
     q.add_argument("--bos", type=int, default=1)

@@ -52,7 +52,8 @@ class ContinuousBatcher:
                  prefill_buckets: tuple = (32, 128, 512, 1024),
                  sampler: SamplerConfig = SamplerConfig(greedy=True),
                  eos_token_id: Optional[int] = None, seed: int = 0,
-                 mesh=None, chunk_prefill: Optional[int] = None):
+                 mesh=None, chunk_prefill: Optional[int] = None,
+                 chunk_decode: int = 1):
         """mesh: optional jax.sharding.Mesh — weights go tensor-parallel over
         "tp" and the slot axis of the KV cache shards over "dp"
         (parallel/sharding.packed_pspecs / kv_cache_pspec). batch_slots must be
@@ -62,7 +63,15 @@ class ContinuousBatcher:
         through a per-slot scratch cache (ONE compiled shape regardless of
         prompt length, prompts up to max_seq_len with no length buckets);
         the causal-block-skipping prefill kernel makes each chunk pay only
-        for the KV prefix it can see."""
+        for the KV prefix it can see.
+
+        chunk_decode: if >1, scheduler ticks advance every active slot by N
+        tokens in ONE in-graph lax.scan (engine.decode_loop) instead of one
+        jitted step per token — N× fewer host dispatches per generated token
+        (the decode twin of chunk_prefill; slots still retire/refill between
+        chunks, trading ≤N-1 tokens of wasted tail compute per retirement).
+        Greedy and plain-temperature sampling only; top-k/top-p fall back to
+        per-token ticks."""
         self.ecfg = ecfg or E.EngineConfig(model=config)
         # weight-only mode (act_bits=16): same batcher over the wonly engine
         # (fp activations + fp KV cache; slot axis is 1 in both cache layouts)
@@ -128,6 +137,20 @@ class ContinuousBatcher:
             return logits[:, 0], nc.k, nc.v
 
         self._decode = decode_step
+
+        self.chunk_decode = max(int(chunk_decode), 1)
+        self._chunk_ok = sampler.greedy or (sampler.top_k == 0
+                                            and sampler.top_p >= 1.0)
+        chunk_temp = 0.0 if sampler.greedy else float(sampler.temperature)
+
+        @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(2, 3))
+        def decode_chunk(packed, tokens, k_cache, v_cache, n, pos, key):
+            toks, nc, _ = _mod.decode_loop(
+                packed, tokens, _KVC(k=k_cache, v=v_cache), pos, n, cfg, pol,
+                use_pallas=up_decode, temperature=chunk_temp, key=key)
+            return toks, nc.k, nc.v
+
+        self._decode_chunk_fn = decode_chunk
 
         # fused prefill-attention kernel on TPU (23% less device time at
         # T=1024, BENCHMARKS.md); CPU backends fall back to the XLA path
@@ -252,11 +275,19 @@ class ContinuousBatcher:
         self.done[req.rid] = req
 
     def step(self) -> int:
-        """One scheduler tick: refill slots, one batched decode, sample, retire.
-        Returns number of active slots after the tick."""
+        """One scheduler tick: refill slots, one batched decode (1 or
+        chunk_decode tokens in-graph), sample, retire. Returns number of
+        active slots after the tick."""
         self._fill_free_slots()
         if not self.active:
             return 0
+
+        n = self.chunk_decode
+        if n > 1 and self._chunk_ok and all(
+                req.pos + n <= self.ecfg.max_seq_len - 1
+                and len(req.out) < req.max_new_tokens
+                for req in self.active.values()):
+            return self._step_chunked(n)
 
         pos = np.zeros((self.B,), np.int32)
         valid = np.ones((self.B,), np.int32)
@@ -282,6 +313,34 @@ class ContinuousBatcher:
             if hit_eos or len(req.out) >= req.max_new_tokens or \
                     req.pos >= self.ecfg.max_seq_len - 1:
                 self._retire(slot)
+        return len(self.active)
+
+    def _step_chunked(self, n: int) -> int:
+        """Advance every active slot by n tokens in ONE in-graph scan."""
+        pos = np.zeros((self.B,), np.int32)
+        for slot, req in self.active.items():
+            pos[slot] = req.pos
+        self.key, sk = jax.random.split(self.key)
+        toks, k, v = self._decode_chunk_fn(
+            self.packed, jnp.asarray(self._last_tokens[:, None]),
+            self.cache.k, self.cache.v, n, jnp.asarray(pos), sk)
+        self.cache = self._kvc(k=k, v=v)
+        toks = np.asarray(toks)                         # (B, n)
+
+        for slot in list(self.active):
+            req = self.active[slot]
+            piece = [int(t) for t in
+                     toks[slot][:req.max_new_tokens - len(req.out)]]
+            if self.eos is not None and self.eos in piece:
+                piece = piece[:piece.index(self.eos) + 1]
+            req.out.extend(piece)
+            req.pos += len(piece)
+            hit_eos = self.eos is not None and piece and piece[-1] == self.eos
+            if hit_eos or len(req.out) >= req.max_new_tokens or \
+                    req.pos >= self.ecfg.max_seq_len - 1:
+                self._retire(slot)       # tail rows past EOS are overwritten
+            else:                         # by the next prefill into this slot
+                self._last_tokens[slot] = piece[-1]
         return len(self.active)
 
     def run(self) -> dict[int, list[int]]:

@@ -422,3 +422,30 @@ def test_continuous_batching_wonly_sharded_mesh():
         got = cb.run()
     for r1, r2 in zip(rids, rids2):
         assert want[r1] == got[r2]
+
+
+def test_continuous_batching_chunked_decode_matches_single_step():
+    """chunk_decode=4 in-graph ticks must reproduce the per-token scheduler's
+    greedy outputs (retire/refill between chunks, EOS trimmed host-side)."""
+    from mobilequant_tpu.runtime.serve import ContinuousBatcher
+    from mobilequant_tpu.runtime.sampling import SamplerConfig
+
+    cfg, policy, ecfg, packed = _engine_setup()
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int32)
+               for n in (5, 9, 7, 4)]
+
+    ref = ContinuousBatcher(packed, cfg, policy, ecfg, batch_slots=2,
+                            prefill_buckets=(16,),
+                            sampler=SamplerConfig(greedy=True))
+    rids = [ref.submit(p, 7) for p in prompts]          # 7 % 4 != 0: ragged tail
+    want = ref.run()
+
+    cb = ContinuousBatcher(packed, cfg, policy, ecfg, batch_slots=2,
+                           prefill_buckets=(16,),
+                           sampler=SamplerConfig(greedy=True), chunk_decode=4)
+    rids2 = [cb.submit(p, 7) for p in prompts]
+    got = cb.run()
+    for r1, r2 in zip(rids, rids2):
+        assert want[r1] == got[r2]
+    assert cb.stats["ticks"] < ref.stats["ticks"]
