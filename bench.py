@@ -175,6 +175,51 @@ def main():
             "vs_baseline": None}))
         return
 
+    # --- end-to-end serving throughput (MQTPU_BENCH_SERVE=1): the continuous
+    # batcher with chunked prefill + chunked decode ticks, refills included.
+    # Marginal method (mnt=32 vs 96 after a warmup run) cancels compiles and
+    # the relay's fixed per-dispatch overhead ---
+    if os.environ.get("MQTPU_BENCH_SERVE") == "1" or smoke:
+        from mobilequant_tpu.runtime.serve import ContinuousBatcher
+        from mobilequant_tpu.runtime.sampling import SamplerConfig
+        packed, cfgS, policyS, ecfgS = _build_packed_tinyllama(w_bits=8)
+        policyS = relax_16bit(policyS)
+        rngS = np.random.default_rng(0)
+        lens = rngS.integers(seq // 8, seq // 2, 24)
+        prompts = [rngS.integers(0, cfgS.vocab_size, (int(l),)).astype(np.int32)
+                   for l in lens]
+        cd = 8 if smoke else 32
+
+        cb = ContinuousBatcher(
+            packed, cfgS, policyS, ecfgS, batch_slots=8,
+            chunk_prefill=max(seq // 8, 16), chunk_decode=cd,
+            sampler=SamplerConfig(greedy=True))
+
+        def run_serve(mnt, salt):
+            # ONE batcher instance across runs — its jitted closures compile
+            # once (a fresh instance per run would re-trace everything and the
+            # marginal difference would be compile noise)
+            for p in prompts:
+                cb.submit((p + salt) % cfgS.vocab_size, mnt)
+            t0 = time.perf_counter()
+            out = cb.run()
+            n = sum(len(v) for v in out.values())
+            cb.done.clear()
+            return n, time.perf_counter() - t0
+
+        run_serve(8 if smoke else 32, 0)                      # warmup/compile
+        n1, t1 = run_serve(8 if smoke else 32, 1)
+        n2, t2 = run_serve(16 if smoke else 96, 2)
+        if t2 - t1 > 0.05:
+            serve_tps = (n2 - n1) / (t2 - t1)
+            results["serve_tok_s"] = serve_tps
+            log(f"serving (batcher, 8 slots, chunked): {serve_tps:.1f} tok/s "
+                f"(marginal over {n2 - n1} extra tokens)")
+        else:
+            log(f"serving marginal too small to time ({t2 - t1:.3f}s) — "
+                "skipping the metric")
+        del packed
+
     # --- bf16 FP baseline (same in-graph loop shape) ---
     cfg = get_config(model_name)
     params = M.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)

@@ -21,8 +21,9 @@ run() {  # run <name> <timeout_s> [env ...] -- cmd...
   tail -5 "work/measure/${TS}_${name}.log"
 }
 
-# 1+3: the official bench (includes folded-head decode configs, gen-prefill)
-run bench_main 7200 -- python bench.py
+# 1+3: the official bench (includes folded-head decode configs, gen-prefill,
+# the W4A16 weight-only config, and the end-to-end serving metric)
+run bench_main 9000 MQTPU_BENCH_SERVE=1 -- python bench.py
 
 # 2: bs=8 whole-model-kernel attention-split sweep
 for s in 1 2 4; do
