@@ -188,13 +188,15 @@ def cmd_pack(args):
         # weight-only mode (W4A16/W8A16): fp activations, no calibration or
         # learned ranges needed — packs straight off a converted FP checkpoint
         # (the reference's auto_gptq path, ref qmodule.py:868-886)
-        from mobilequant_tpu.quant.policy import default_policy
-        from mobilequant_tpu.quant.quantizer import QuantConfig
+        from mobilequant_tpu.quant.policy import weight_only_policy
         from mobilequant_tpu.runtime import wonly
         wb = args.weight_bits or 4
         wcfg = wonly.default_weight_cfg(wb, args.group_size)
         packed = wonly.pack_weight_only(params, cfg, wcfg)
-        policy = policy or default_policy(cfg, wcfg, QuantConfig(bitwidth=8))
+        # the artifact's default_qcfg.json reflects the ACTUAL placement:
+        # weight quantizers on the projections, nothing else (policy.py owns
+        # quantizer placement — CLAUDE.md invariant)
+        policy = weight_only_policy(cfg, wcfg)
         artifacts.save_packed(args.output_dir, packed, cfg, policy,
                               {"max_seq_len": args.max_seq_len, "act_bits": 16,
                                "weight_bits": wb, "group_size": args.group_size})
@@ -221,7 +223,8 @@ def cmd_pack(args):
                           global_kv_encoding=args.global_kv)
     packed = E.pack(params, qstate["ranges"], cfg, policy, ecfg)
     artifacts.save_packed(args.output_dir, packed, cfg, policy,
-                          {"max_seq_len": args.max_seq_len})
+                          {"max_seq_len": args.max_seq_len, "act_bits": 8,
+                           "weight_bits": wb, "head_bits": args.head_bits})
     if args.export_hlo:
         artifacts.export_decode_step(packed, cfg, policy, args.max_seq_len,
                                      Path(args.output_dir) / "decode_step.stablehlo")

@@ -33,19 +33,39 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
     return n
 
 
+def make_logp_fn(forward_fn: Callable):
+    """Jit the forward+log_softmax once; the shape buckets then mean one XLA
+    executable per (n_choices, T) bucket instead of eager per-op dispatch
+    (decisive on the tunneled TPU, where every dispatch pays a fixed RTT)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(tok):
+        return jax.nn.log_softmax(
+            forward_fn(tok).astype(jnp.float32), axis=-1)
+    return f
+
+
 def score_continuations(forward_fn: Callable, ctx_ids: Sequence[int],
                         choices_ids: Sequence[Sequence[int]],
                         max_length: int = 2048,
-                        buckets: Sequence[int] = (64, 128, 256, 512, 1024, 2048)):
+                        buckets: Sequence[int] = (64, 128, 256, 512, 1024, 2048),
+                        logp_fn: Optional[Callable] = None):
     """Sum-logprob of each choice continuation given the context.
 
     One padded batched forward over all choices of the example (right-padded
     to a shared shape bucket so XLA compiles one executable per bucket, the
-    fixed-shape discipline of the whole build). Returns (lls, lls_per_byte_in
-    absence of byte info = per-token)."""
-    import jax
+    fixed-shape discipline of the whole build). Pass logp_fn=make_logp_fn(
+    forward_fn) to share the compiled executable across examples.
+
+    Continuation tokens whose predictor row fell off the [-max_length:]
+    window (empty context, or a continuation longer than the window) are
+    skipped rather than scored from wrapped/garbage positions."""
     import jax.numpy as jnp
 
+    if logp_fn is None:
+        logp_fn = make_logp_fn(forward_fn)
     n_ch = len(choices_ids)
     fulls, n_ctxs = [], []
     for cont in choices_ids:
@@ -56,14 +76,13 @@ def score_continuations(forward_fn: Callable, ctx_ids: Sequence[int],
     tok = np.zeros((n_ch, T), np.int32)
     for i, f in enumerate(fulls):
         tok[i, :len(f)] = f
-    logits = forward_fn(jnp.asarray(tok))
-    logp = np.asarray(jax.nn.log_softmax(
-        jnp.asarray(logits, jnp.float32), axis=-1))
+    logp = np.asarray(logp_fn(jnp.asarray(tok)))
     lls = []
     for i, cont in enumerate(choices_ids):
         ll = 0.0
-        for j, tid in enumerate(cont):
-            ll += float(logp[i, n_ctxs[i] + j - 1, tid])
+        start_j = max(1 - n_ctxs[i], 0)   # token j is predicted from row
+        for j in range(start_j, len(cont)):  # n_ctx+j-1, which needs >= 0
+            ll += float(logp[i, n_ctxs[i] + j - 1, cont[j]])
         lls.append(ll)
     return lls
 
@@ -73,9 +92,10 @@ def multiple_choice_accuracy(forward_fn: Callable, examples: Sequence[dict],
     """examples: [{"ctx": ids, "choices": [ids...], "label": int,
     "choice_bytes": optional [int...]}]. Returns {"acc", "acc_norm", "n"}."""
     n = correct = correct_norm = 0
+    logp_fn = make_logp_fn(forward_fn)
     for ex in examples:
         lls = score_continuations(forward_fn, ex["ctx"], ex["choices"],
-                                  max_length=max_length)
+                                  max_length=max_length, logp_fn=logp_fn)
         nbytes = ex.get("choice_bytes") or [max(len(c), 1)
                                             for c in ex["choices"]]
         pick = int(np.argmax(lls))

@@ -135,3 +135,24 @@ def static_range_sites(policy: QPolicy):
                 continue
             if cfg.enabled and not cfg.is_dynamic:
                 yield site, role, cfg
+
+
+# Projection param keys carrying weight-only quantizers (the reference's
+# create_weight_only_qmodel wraps exactly the decoder Linears and leaves
+# norms/lm_head fp, ref qmodule.py:868-886). Placement lives HERE so
+# runtime/wonly.py never encodes bitwidth decisions of its own.
+WEIGHT_ONLY_PROJ_KEYS = ("q_proj", "k_proj", "v_proj", "o_proj",
+                         "w1", "w2", "w3")
+
+_WEIGHT_ONLY_SITES = ("self_attn.q_proj", "self_attn.k_proj",
+                      "self_attn.v_proj", "self_attn.o_proj",
+                      "mlp.w1", "mlp.w2", "mlp.w3")
+
+
+def weight_only_policy(config: ModelConfig, wcfg: QuantConfig) -> QPolicy:
+    """W4A16/W8A16 placement: weight quantizers on every projection, no
+    activation quantizers anywhere — the artifact's default_qcfg.json for a
+    weight-only pack describes exactly this."""
+    sites = [s for s in _WEIGHT_ONLY_SITES
+             if config.num_linears_per_mlp == 3 or not s.endswith("w3")]
+    return {s: SiteQuant(weight=wcfg) for s in sites}

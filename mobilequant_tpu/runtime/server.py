@@ -32,13 +32,14 @@ import numpy as np
 
 
 class _Pending:
-    __slots__ = ("prompt", "max_new_tokens", "event", "result")
+    __slots__ = ("prompt", "max_new_tokens", "event", "result", "error")
 
     def __init__(self, prompt, max_new_tokens):
         self.prompt = prompt
         self.max_new_tokens = max_new_tokens
         self.event = threading.Event()
         self.result: Optional[list[int]] = None
+        self.error: Optional[str] = None
 
 
 class InferenceServer:
@@ -80,7 +81,16 @@ class InferenceServer:
         p = self.submit(prompt_ids, max_new_tokens)
         if not p.event.wait(timeout):
             raise TimeoutError("generation did not complete in time")
+        if p.error is not None:
+            raise ValueError(p.error)
         return p.result
+
+    def _max_prompt_len(self) -> int:
+        # longest prompt the batcher can prefill: its largest bucket, or
+        # max_seq_len - 1 under chunked prefill
+        if getattr(self.cb, "chunk", None) is not None:
+            return self.cb.ecfg.max_seq_len - 1
+        return max(self.cb.buckets) if self.cb.buckets else 0
 
     # ------------------------------------------------------------------
     def _loop(self):
@@ -94,9 +104,39 @@ class InferenceServer:
                     return
                 inbox, self._inbox = self._inbox, []
             for p in inbox:
+                # validate before entering the scheduler: a prompt the
+                # batcher cannot prefill must fail ITS request, not the loop
+                if len(p.prompt) > self._max_prompt_len():
+                    p.error = (f"prompt length {len(p.prompt)} exceeds the "
+                               f"serving limit {self._max_prompt_len()}")
+                    p.event.set()
+                    continue
                 rid = self.cb.submit(p.prompt, p.max_new_tokens)
                 self._by_rid[rid] = p
-            self.cb.step()
+            try:
+                self.cb.step()
+            except Exception as e:                       # noqa: BLE001
+                # never let one bad tick kill the serving loop: fail every
+                # in-flight request loudly and keep accepting new ones
+                # (re-init the cache — a failed donated call may have
+                # consumed the old buffers)
+                self.cb.cache = self.cb._mod.init_kv_cache(self.cb.ecfg,
+                                                           self.cb.B)
+                for slot in list(self.cb.active):
+                    self.cb._retire(slot)
+                for rid in list(self.cb.done):
+                    req = self.cb.done.pop(rid)
+                    p = self._by_rid.pop(rid, None)
+                    if p is not None and p.result is None:
+                        p.error = f"scheduler tick failed: {e!r}"
+                        p.event.set()
+                while self.cb.queue:
+                    req = self.cb.queue.popleft()
+                    p = self._by_rid.pop(req.rid, None)
+                    if p is not None:
+                        p.error = f"scheduler tick failed: {e!r}"
+                        p.event.set()
+                continue
             if self.cb.done:
                 for rid in list(self.cb.done):
                     req = self.cb.done.pop(rid)
@@ -144,21 +184,31 @@ def make_http_server(server: InferenceServer, tokenizer=None, host="127.0.0.1",
                 mnt = int(req.get("max_new_tokens", default_max_new_tokens))
                 if "prompt_ids" in req:
                     ids = [int(t) for t in req["prompt_ids"]]
-                    out = server.generate(ids, mnt)
-                    return self._send(200, {"completion_ids": out})
-                if tokenizer is None:
+                elif "prompt" not in req:
+                    return self._send(400, {"error": "need prompt or "
+                                                     "prompt_ids"})
+                elif tokenizer is None:
                     return self._send(400, {"error": "no tokenizer loaded; "
                                                      "send prompt_ids"})
-                text = req["prompt"]
-                if chat_family:
-                    from mobilequant_tpu.runtime.chat import apply_chat_template
-                    text = apply_chat_template(text, chat_family)
-                ids = tokenizer.encode(text,
-                                       prefix=[bos_id] if bos_id >= 0 else [])
+                else:
+                    text = req["prompt"]
+                    if chat_family:
+                        from mobilequant_tpu.runtime.chat import (
+                            apply_chat_template)
+                        text = apply_chat_template(text, chat_family)
+                    ids = tokenizer.encode(
+                        text, prefix=[bos_id] if bos_id >= 0 else [])
+            except (ValueError, TypeError, KeyError) as e:  # malformed input
+                return self._send(400, {"error": f"bad request: {e!r}"})
+            try:
                 out = server.generate(ids, mnt)
+                if "prompt_ids" in req:
+                    return self._send(200, {"completion_ids": out})
                 if eos_id >= 0 and eos_id in out:
                     out = out[:out.index(eos_id)]
                 return self._send(200, {"completion": tokenizer.decode(out)})
+            except ValueError as e:                      # rejected request
+                return self._send(400, {"error": str(e)})
             except Exception as e:                       # noqa: BLE001
                 return self._send(500, {"error": repr(e)})
 

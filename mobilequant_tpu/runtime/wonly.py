@@ -29,7 +29,6 @@ keeps fp16 activations and cache); the int8 KV cache belongs to the A8 engine.
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax
@@ -38,9 +37,8 @@ import jax.numpy as jnp
 from mobilequant_tpu.models.config import ModelConfig
 from mobilequant_tpu.models import model as M
 from mobilequant_tpu.ops import qops
+from mobilequant_tpu.quant.policy import WEIGHT_ONLY_PROJ_KEYS as _PROJ_KEYS
 from mobilequant_tpu.quant.quantizer import QuantConfig
-
-_PROJ_KEYS = ("q_proj", "k_proj", "v_proj", "o_proj", "w1", "w2", "w3")
 
 
 def default_weight_cfg(weight_bits: int = 4, group_size: int = 128) -> QuantConfig:

@@ -449,3 +449,30 @@ def test_continuous_batching_chunked_decode_matches_single_step():
     for r1, r2 in zip(rids, rids2):
         assert want[r1] == got[r2]
     assert cb.stats["ticks"] < ref.stats["ticks"]
+
+
+def test_online_server_rejects_oversized_prompt_and_survives():
+    """A prompt the batcher cannot prefill must fail ITS request (ValueError /
+    HTTP 400), not kill the worker loop — later requests still complete."""
+    from mobilequant_tpu.runtime.generate import Generator
+    from mobilequant_tpu.runtime.serve import ContinuousBatcher
+    from mobilequant_tpu.runtime.server import InferenceServer
+    import pytest as _pytest
+
+    cfg, policy, ecfg, packed = _engine_setup()
+    cb = ContinuousBatcher(packed, cfg, policy, ecfg, batch_slots=2,
+                           prefill_buckets=(16,))
+    srv = InferenceServer(cb).start()
+    try:
+        rng = np.random.default_rng(9)
+        too_long = rng.integers(0, cfg.vocab_size, (40,)).astype(np.int32)
+        with _pytest.raises(ValueError, match="exceeds the serving limit"):
+            srv.generate(too_long, 4, timeout=60)
+
+        ok = rng.integers(0, cfg.vocab_size, (6,)).astype(np.int32)
+        out = srv.generate(ok, 4, timeout=120)
+        gen = Generator(packed, cfg, policy, ecfg)
+        ref = gen.generate_fast(ok[None], 4)[0]
+        np.testing.assert_array_equal(np.asarray(out, np.int32), ref)
+    finally:
+        srv.close()
