@@ -108,11 +108,18 @@ def init_qstate(params, config: ModelConfig, policy: QPolicy, tc: TrainConfig,
 
 def e2equant(params, qstate, tokens: np.ndarray, config: ModelConfig,
              policy: QPolicy, tc: TrainConfig = TrainConfig(),
-             logger=None, checkpoint_cb: Optional[Callable[[int, dict], None]] = None):
+             logger=None, checkpoint_cb: Optional[Callable[[int, dict], None]] = None,
+             pp_mesh=None, pp_microbatches: int = 2):
     """Joint end-to-end optimization of LET+LWC+LRL against FP teacher hiddens
     (ref e2equant, algorithm.py:587-787). Returns (qstate, loss_history).
 
     tokens: (N, T) calibration sequences.
+
+    pp_mesh: optional Mesh with a "pp" axis — the student forward runs the
+    GPipe-pipelined backbone (parallel/pipeline.py), the TPU-native analogue
+    of the reference pipelining decoder layers across GPUs for this exact
+    loop (map_layers_to_multi_gpus, ref algorithm.py:592-593). The batch must
+    be divisible by pp_microbatches.
     """
     n = tokens.shape[0]
     steps_per_epoch = max(n // tc.batch_size, 1)
@@ -134,8 +141,16 @@ def e2equant(params, qstate, tokens: np.ndarray, config: ModelConfig,
     def train_step(trainable, opt_state, tok, fp_h):
         def loss_fn(tr):
             qs = {**static_state, **tr}
-            qh, _, _ = qmodel.qforward_hidden(params, qs, tok, config, policy,
-                                              apply_final_norm=False)
+            if pp_mesh is not None:
+                from mobilequant_tpu.parallel.pipeline import (
+                    pipeline_qforward_hidden)
+                qh = pipeline_qforward_hidden(
+                    params, qs, tok, config, policy, pp_mesh,
+                    n_micro=pp_microbatches, apply_final_norm=False)
+            else:
+                qh, _, _ = qmodel.qforward_hidden(params, qs, tok, config,
+                                                  policy,
+                                                  apply_final_norm=False)
             return jnp.mean(jnp.square(qh - fp_h))
 
         loss, grads = jax.value_and_grad(loss_fn)(trainable)

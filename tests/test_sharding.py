@@ -448,3 +448,36 @@ def test_wonly_tp_forward_matches_unsharded():
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=2e-4,
                                    err_msg=f"bits={bits} gs={gs}")
+
+
+def test_e2equant_trains_through_pipeline_mesh():
+    """e2equant(pp_mesh=...): the quant-training loop itself runs the GPipe
+    backbone — the role of the reference's map_layers_to_multi_gpus
+    (algorithm.py:592-593). One epoch must produce finite, decreasing-ish loss
+    matching the unpipelined loop's first-epoch loss."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from mobilequant_tpu.models import get_config
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant import calibrate, train
+    from mobilequant_tpu.quant.policy import default_policy
+    from mobilequant_tpu.quant.quantizer import QuantConfig
+
+    cfg = get_config("test-llama").replace(num_layers=2)
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    policy = default_policy(cfg, QuantConfig(bitwidth=8),
+                            QuantConfig(bitwidth=8))
+    tokens = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (4, 16)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, policy, batch_size=4)
+    ranges = calibrate.stats_to_ranges(stats, policy)
+    tc = train.TrainConfig(epochs=1, batch_size=4)
+    qstate = train.init_qstate(params, cfg, policy, tc, ranges)
+
+    qs_ref, hist0 = train.e2equant(params, qstate, tokens, cfg, policy, tc)
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("pp",))
+    qs_pp, hist_pp = train.e2equant(params, qstate, tokens, cfg, policy, tc,
+                                    pp_mesh=mesh, pp_microbatches=2)
+    assert np.isfinite(hist_pp[0])
+    np.testing.assert_allclose(hist_pp[0], hist0[0], rtol=2e-3, atol=1e-7)
