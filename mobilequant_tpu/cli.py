@@ -9,7 +9,11 @@ ptq/generate_qcfg.py, ptq/mobilequant.py, eval/*.py, device/export.py):
   python -m mobilequant_tpu.cli quantize   --model_dir ... --mode e2e --wbits 8 --abits 8 --epochs 60 [--lwc --let --lrl]
   python -m mobilequant_tpu.cli pack       --model_dir ... --output_dir ... [--w4] [--max_seq_len 1024]
   python -m mobilequant_tpu.cli eval-ppl   --model_dir ... [--engine_dir ...] --tokens file.npy
+  python -m mobilequant_tpu.cli eval-choice --task file.json [--model_dir ...] [--engine_dir ...]
   python -m mobilequant_tpu.cli demo       --engine_dir ... --tokenizer tokenizer.bin --prompt "..."
+  python -m mobilequant_tpu.cli serve      --engine_dir ... --tokenizer ... (--prompts f | --http PORT)
+
+Weight-only mode: pack --act_bits 16 (no quantize step; W4A16/W8A16 g128).
 
 Recipes under recipes/ pin the hyperparameters of the reference's experiments/
 shell scripts (60 epochs, 1024 pile samples, LET/LWC/LRL lrs).
