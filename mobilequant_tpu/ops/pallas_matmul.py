@@ -360,7 +360,7 @@ def _wonly_kernel_stacked(idx_ref, x_ref, wp_ref, scale_ref, offset_ref,
 
     Blocks: x (M,K) fp32; wp (1,K2|K,TN); scale/offset (1,G,TN) — G==1 is
     per-channel (or broadcast per-tensor), G>1 dequantizes per input-axis
-    group (rows expand in VMEM via broadcast, never in HBM); bias (1,TN)."""
+    group (rows expand in VMEM via broadcast, never in HBM); bias (1,1,TN)."""
     del idx_ref  # consumed by the index maps
     x = x_ref[:].astype(jnp.float32)                  # (M, K)
     wp = wp_ref[0]                                    # (K2|K, TN)
@@ -379,7 +379,8 @@ def _wonly_kernel_stacked(idx_ref, x_ref, wp_ref, scale_ref, offset_ref,
         # UNSIGNED block nibbles (qops.pack_nibbles): low nibbles = input rows
         # [0,K2), high nibbles = rows [K2,K). Grouped scales split the same
         # way: groups [0,G/2) dequantize lo, [G/2,G) dequantize hi.
-        lo = (wp & 0x0F).astype(jnp.float32)
+        # Mosaic has no direct uint8->f32 cast — widen through int32
+        lo = (wp & 0x0F).astype(jnp.int32).astype(jnp.float32)
         hi = ((wp.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.float32)
         if G == 1:
             slo = shi = sc
@@ -400,10 +401,10 @@ def _wonly_kernel_stacked(idx_ref, x_ref, wp_ref, scale_ref, offset_ref,
         s = sc if G == 1 else expand(sc)
         o = of if G == 1 else expand(of)
         acc = jax.lax.dot_general(
-            x, (wp.astype(jnp.float32) - o) * s,
+            x, (wp.astype(jnp.int32).astype(jnp.float32) - o) * s,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-    out_ref[:] = acc + bias_ref[:]
+    out_ref[:] = acc + bias_ref[0]
 
 
 @functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
@@ -439,7 +440,11 @@ def wonly_matmul_stacked(x, wq_L, scale_L, offset_L, bias_L, layer_idx, *,
     assert G == 1 or (wbits == 8) or (G % 2 == 0), \
         "grouped W4 needs an even group count (groups split at the nibble half)"
     assert G == 1 or Kr % max(G // (2 if wbits == 4 else 1), 1) == 0, (Kr, G)
-    bias_L = jnp.asarray(bias_L, jnp.float32)
+    # (L, 1, N): a (1, TN) block on a 2D (L, N) array violates Mosaic's
+    # block-shape rule (second-to-last block dim must be 8-divisible or the
+    # full dim); the singleton middle axis makes the trailing block dims
+    # (1, TN) match the array's (1, N) — same trick as the w4a8 stacked chan()
+    bias_L = jnp.asarray(bias_L, jnp.float32)[:, None, :]
 
     idx = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -454,7 +459,7 @@ def wonly_matmul_stacked(x, wq_L, scale_L, offset_L, bias_L, layer_idx, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G, TN), lambda j, idx: (idx[0], 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TN), lambda j, idx: (idx[0], j),
+            pl.BlockSpec((1, 1, TN), lambda j, idx: (idx[0], 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((M, TN), lambda j, idx: (0, j),
