@@ -40,3 +40,53 @@ def sample(logits: jax.Array, key: jax.Array, cfg: SamplerConfig) -> jax.Array:
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
 
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+@jax.jit
+def sample_batched(logits: jax.Array, key: jax.Array,
+                   temperature: jax.Array, top_p: jax.Array,
+                   top_k: jax.Array, greedy: jax.Array) -> jax.Array:
+    """Per-row sampler params: logits (B, V); temperature/top_p (B,) float,
+    top_k (B,) int (0 = disabled), greedy (B,) bool -> token ids (B,).
+
+    One compiled function serves every parameter combination (params are
+    runtime arrays, not trace constants) — the continuous batcher uses this
+    when live requests carry heterogeneous sampling settings, so mixing
+    temperatures never triggers a recompile mid-serve. Row-wise semantics
+    match `sample(logits[i:i+1], key, SamplerConfig(...))` (ties kept, the
+    top-p prefix is inclusive of the crossing token).
+    """
+    scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
+
+    # one descending sort serves both filters
+    sorted_logits = jnp.sort(scaled, axis=-1)[..., ::-1]
+    V = logits.shape[-1]
+
+    # top-k cutoff: value at rank k-1 (k=0 -> disabled)
+    k = jnp.clip(top_k, 0, V)
+    k_idx = jnp.clip(k - 1, 0, V - 1)[:, None]
+    kth = jnp.take_along_axis(sorted_logits, k_idx, axis=-1)
+    kth = jnp.where((k > 0)[:, None], kth, -jnp.inf)
+
+    # top-p cutoff: smallest prefix with cumulative mass > p (inclusive)
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_idx = jnp.sum((cum - probs) < top_p[:, None], axis=-1,
+                         keepdims=True) - 1
+    p_cut = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+    p_cut = jnp.where((top_p < 1.0)[:, None], p_cut, -jnp.inf)
+
+    filtered = jnp.where(scaled < jnp.maximum(kth, p_cut), -jnp.inf, scaled)
+    sampled = jax.random.categorical(key, filtered, axis=-1).astype(jnp.int32)
+    arg = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jnp.where(greedy | (temperature == 0.0), arg, sampled)
+
+
+def sampler_arrays(cfgs):
+    """Stack a list of SamplerConfig into the (B,)-array operands of
+    `sample_batched`."""
+    import numpy as np
+    return (np.asarray([c.temperature for c in cfgs], np.float32),
+            np.asarray([c.top_p for c in cfgs], np.float32),
+            np.asarray([c.top_k for c in cfgs], np.int32),
+            np.asarray([c.greedy for c in cfgs], bool))

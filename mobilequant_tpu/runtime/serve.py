@@ -33,7 +33,8 @@ import numpy as np
 from mobilequant_tpu.models.config import ModelConfig
 from mobilequant_tpu.quant.policy import QPolicy
 from mobilequant_tpu.runtime import engine as E
-from mobilequant_tpu.runtime.sampling import SamplerConfig, sample
+from mobilequant_tpu.runtime.sampling import (SamplerConfig, sample,
+                                              sample_batched, sampler_arrays)
 
 
 @dataclasses.dataclass
@@ -41,6 +42,7 @@ class Request:
     rid: int
     prompt: np.ndarray            # (T,) int32
     max_new_tokens: int
+    sampler: Optional[SamplerConfig] = None   # None -> batcher default
     out: list = dataclasses.field(default_factory=list)
     slot: int = -1
     pos: int = 0                  # next position to write
@@ -234,11 +236,21 @@ class ContinuousBatcher:
         return last[0, -1]       # logits_at already selected the last row
 
     # ------------------------------------------------------------------
-    def submit(self, prompt_tokens, max_new_tokens: int) -> int:
+    def submit(self, prompt_tokens, max_new_tokens: int,
+               sampler: Optional[SamplerConfig] = None) -> int:
+        """sampler: per-request override of the batcher-level SamplerConfig
+        (temperature/top_p/top_k/greedy). Mixed settings across live slots are
+        served by ONE compiled batched sampler (sampling.sample_batched —
+        params are runtime arrays), so heterogeneous requests never recompile;
+        chunked decode ticks require every active slot to be on the batcher
+        default and fall back to per-token ticks otherwise."""
         rid = next(self._rid)
         self.queue.append(Request(rid, np.asarray(prompt_tokens, np.int32),
-                                  max_new_tokens))
+                                  max_new_tokens, sampler=sampler))
         return rid
+
+    def _eff_sampler(self, req: Request) -> SamplerConfig:
+        return req.sampler if req.sampler is not None else self.sampler
 
     def _bucket_for(self, n: int) -> int:
         for b in self.buckets:
@@ -264,7 +276,14 @@ class ContinuousBatcher:
                     bucket, jnp.asarray([slot]), jnp.asarray(T))
                 self.cache = self._kvc(k=k, v=v)
             self.key, sk = jax.random.split(self.key)
-            first = int(jax.device_get(sample(last_logits[None], sk, self.sampler))[0])
+            eff = self._eff_sampler(req)
+            if eff == self.sampler:
+                first = int(jax.device_get(
+                    sample(last_logits[None], sk, eff))[0])
+            else:   # one shared jit regardless of the request's params
+                t, p, k_, g = sampler_arrays([eff])
+                first = int(jax.device_get(sample_batched(
+                    last_logits[None], sk, t, p, k_, g))[0])
             req.out.append(first)
             req.pos = T
             self._last_tokens[slot] = first
@@ -286,6 +305,7 @@ class ContinuousBatcher:
         if n > 1 and self._chunk_ok and all(
                 req.pos + n <= self.ecfg.max_seq_len - 1
                 and len(req.out) < req.max_new_tokens
+                and self._eff_sampler(req) == self.sampler
                 for req in self.active.values()):
             return self._step_chunked(n)
 
@@ -301,7 +321,16 @@ class ContinuousBatcher:
         self.cache = self._kvc(k=k, v=v)
 
         self.key, sk = jax.random.split(self.key)
-        nxt = np.asarray(jax.device_get(sample(logits, sk, self.sampler)))
+        effs = {s: self._eff_sampler(r) for s, r in self.active.items()}
+        if all(e == self.sampler for e in effs.values()):
+            nxt = np.asarray(jax.device_get(sample(logits, sk, self.sampler)))
+        else:
+            # per-slot params; free slots sample greedily (result discarded)
+            per_slot = [effs.get(s, SamplerConfig(greedy=True))
+                        for s in range(self.B)]
+            t, p, k_, g = sampler_arrays(per_slot)
+            nxt = np.asarray(jax.device_get(
+                sample_batched(logits, sk, t, p, k_, g)))
 
         for slot in list(self.active):
             req = self.active[slot]

@@ -17,6 +17,10 @@ condition variable; a submit wakes it.
 The HTTP front-end is stdlib-only (ThreadingHTTPServer):
   POST /generate  {"prompt": str, "max_new_tokens": int} -> {"completion": ...}
   POST /generate  {"prompt_ids": [int, ...]}             -> {"completion_ids": ...}
+  optional per-request sampling fields on /generate: "temperature", "top_p",
+  "top_k", "greedy" (temperature 0 implies greedy); requests with different
+  settings batch together — the scheduler samples all live slots in one
+  batched call (runtime/sampling.sample_batched).
   GET  /health                                           -> {"ok": true}
   GET  /stats                                            -> scheduler counters
 """
@@ -32,11 +36,13 @@ import numpy as np
 
 
 class _Pending:
-    __slots__ = ("prompt", "max_new_tokens", "event", "result", "error")
+    __slots__ = ("prompt", "max_new_tokens", "sampler", "event", "result",
+                 "error")
 
-    def __init__(self, prompt, max_new_tokens):
+    def __init__(self, prompt, max_new_tokens, sampler=None):
         self.prompt = prompt
         self.max_new_tokens = max_new_tokens
+        self.sampler = sampler       # Optional[SamplerConfig] per-request
         self.event = threading.Event()
         self.result: Optional[list[int]] = None
         self.error: Optional[str] = None
@@ -68,17 +74,22 @@ class InferenceServer:
         if self._started:
             self._worker.join(timeout=30)
 
-    def submit(self, prompt_ids, max_new_tokens: int = 128) -> _Pending:
-        """Thread-safe; returns a handle whose .event fires when .result is set."""
-        p = _Pending(np.asarray(prompt_ids, np.int32), max_new_tokens)
+    def submit(self, prompt_ids, max_new_tokens: int = 128,
+               sampler=None) -> _Pending:
+        """Thread-safe; returns a handle whose .event fires when .result is
+        set. sampler: optional per-request SamplerConfig override (mixed
+        settings across concurrent requests are fine — the batcher samples
+        them in one batched call)."""
+        p = _Pending(np.asarray(prompt_ids, np.int32), max_new_tokens,
+                     sampler)
         with self._wake:
             self._inbox.append(p)
             self._wake.notify()
         return p
 
     def generate(self, prompt_ids, max_new_tokens: int = 128,
-                 timeout: Optional[float] = None) -> list[int]:
-        p = self.submit(prompt_ids, max_new_tokens)
+                 timeout: Optional[float] = None, sampler=None) -> list[int]:
+        p = self.submit(prompt_ids, max_new_tokens, sampler=sampler)
         if not p.event.wait(timeout):
             raise TimeoutError("generation did not complete in time")
         if p.error is not None:
@@ -111,7 +122,8 @@ class InferenceServer:
                                f"serving limit {self._max_prompt_len()}")
                     p.event.set()
                     continue
-                rid = self.cb.submit(p.prompt, p.max_new_tokens)
+                rid = self.cb.submit(p.prompt, p.max_new_tokens,
+                                     sampler=p.sampler)
                 self._by_rid[rid] = p
             try:
                 self.cb.step()
@@ -182,6 +194,16 @@ def make_http_server(server: InferenceServer, tokenizer=None, host="127.0.0.1",
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
                 mnt = int(req.get("max_new_tokens", default_max_new_tokens))
+                sampler = None
+                if any(f in req for f in ("temperature", "top_p", "top_k",
+                                          "greedy")):
+                    from mobilequant_tpu.runtime.sampling import SamplerConfig
+                    temp = float(req.get("temperature", 1.0))
+                    sampler = SamplerConfig(
+                        temperature=temp,
+                        top_p=float(req.get("top_p", 1.0)),
+                        top_k=int(req.get("top_k", 0)),
+                        greedy=bool(req.get("greedy", temp == 0.0)))
                 if "prompt_ids" in req:
                     ids = [int(t) for t in req["prompt_ids"]]
                 elif "prompt" not in req:
@@ -201,7 +223,7 @@ def make_http_server(server: InferenceServer, tokenizer=None, host="127.0.0.1",
             except (ValueError, TypeError, KeyError) as e:  # malformed input
                 return self._send(400, {"error": f"bad request: {e!r}"})
             try:
-                out = server.generate(ids, mnt)
+                out = server.generate(ids, mnt, sampler=sampler)
                 if "prompt_ids" in req:
                     return self._send(200, {"completion_ids": out})
                 if eos_id >= 0 and eos_id in out:

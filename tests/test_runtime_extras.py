@@ -476,3 +476,110 @@ def test_online_server_rejects_oversized_prompt_and_survives():
         np.testing.assert_array_equal(np.asarray(out, np.int32), ref)
     finally:
         srv.close()
+
+
+def test_sample_batched_matches_per_config():
+    """sample_batched with homogeneous per-row params must reproduce
+    sample(cfg) bit-exactly (same key, same math); greedy rows in a mixed
+    batch must be the argmax regardless of neighbours."""
+    from mobilequant_tpu.runtime.sampling import (SamplerConfig, sample,
+                                                  sample_batched,
+                                                  sampler_arrays)
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(4, 50)).astype(np.float32))
+    key = jax.random.PRNGKey(42)
+
+    for cfg in (SamplerConfig(greedy=True),
+                SamplerConfig(temperature=0.0),
+                SamplerConfig(temperature=0.7),
+                SamplerConfig(temperature=1.3, top_k=5),
+                SamplerConfig(temperature=0.9, top_p=0.8),
+                SamplerConfig(temperature=1.0, top_k=7, top_p=0.95)):
+        want = np.asarray(sample(logits, key, cfg))
+        t, p, k, g = sampler_arrays([cfg] * 4)
+        got = np.asarray(sample_batched(logits, key, t, p, k, g))
+        np.testing.assert_array_equal(got, want, err_msg=repr(cfg))
+
+    # mixed batch: rows 0/2 greedy, rows 1/3 hot — greedy rows are argmax
+    mixed = [SamplerConfig(greedy=True), SamplerConfig(temperature=1.5),
+             SamplerConfig(temperature=0.0), SamplerConfig(top_p=0.5)]
+    t, p, k, g = sampler_arrays(mixed)
+    got = np.asarray(sample_batched(logits, key, t, p, k, g))
+    arg = np.asarray(jnp.argmax(logits, -1))
+    assert got[0] == arg[0] and got[2] == arg[2]
+    # top_p=0.5 row must land inside the nucleus of its own distribution
+    row = np.asarray(logits[3])
+    order = np.argsort(row)[::-1]
+    probs = np.exp(row[order] - row[order].max())
+    probs /= probs.sum()
+    nucleus = order[:int(np.searchsorted(np.cumsum(probs), 0.5)) + 1]
+    assert got[3] in nucleus
+
+
+def test_continuous_batching_per_request_samplers():
+    """Requests with per-request SamplerConfig overrides batch together:
+    greedy-override requests must match the sequential greedy ground truth
+    even while a hot-temperature neighbour shares the batch, and a mixed
+    batch under chunk_decode falls back to per-token ticks (still exact)."""
+    from mobilequant_tpu.runtime.serve import ContinuousBatcher
+    from mobilequant_tpu.runtime.generate import Generator
+    from mobilequant_tpu.runtime.sampling import SamplerConfig
+
+    cfg, policy, ecfg, packed = _engine_setup()
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int32)
+               for n in (5, 9, 7, 6)]
+
+    gen = Generator(packed, cfg, policy, ecfg)
+    seq_out = [gen.generate(p[None, :], max_new_tokens=6)[0].tolist()
+               for p in prompts]
+
+    greedy = SamplerConfig(greedy=True)
+    for chunk_decode in (1, 3):
+        # batcher default is HOT (temperature 1.5) — only the per-request
+        # override makes requests 0..2 greedy; request 3 rides the default
+        cb = ContinuousBatcher(packed, cfg, policy, ecfg, batch_slots=2,
+                               prefill_buckets=(16, 32),
+                               sampler=SamplerConfig(temperature=1.5),
+                               chunk_decode=chunk_decode, seed=5)
+        rids = [cb.submit(p, 6, sampler=greedy) for p in prompts[:3]]
+        rid_hot = cb.submit(prompts[3], 6)
+        outs = cb.run()
+        for rid, want in zip(rids, seq_out[:3]):
+            assert outs[rid] == want, (chunk_decode, rid, outs[rid], want)
+        assert len(outs[rid_hot]) == 6
+
+    # all-greedy overrides + chunk_decode: the chunked fast path only engages
+    # when every live slot matches the batcher default — overrides force the
+    # per-token path, so outputs still match exactly
+    cb = ContinuousBatcher(packed, cfg, policy, ecfg, batch_slots=2,
+                           prefill_buckets=(16, 32),
+                           sampler=SamplerConfig(temperature=1.5),
+                           chunk_decode=4)
+    rids = [cb.submit(p, 6, sampler=greedy) for p in prompts]
+    outs = cb.run()
+    for rid, want in zip(rids, seq_out):
+        assert outs[rid] == want
+
+
+def test_inference_server_per_request_sampler_passthrough():
+    from mobilequant_tpu.runtime.generate import Generator
+    from mobilequant_tpu.runtime.serve import ContinuousBatcher
+    from mobilequant_tpu.runtime.server import InferenceServer
+    from mobilequant_tpu.runtime.sampling import SamplerConfig
+
+    cfg, policy, ecfg, packed = _engine_setup()
+    cb = ContinuousBatcher(packed, cfg, policy, ecfg, batch_slots=2,
+                           prefill_buckets=(16,),
+                           sampler=SamplerConfig(temperature=1.5))
+    srv = InferenceServer(cb).start()
+    try:
+        rng = np.random.default_rng(13)
+        p = rng.integers(0, cfg.vocab_size, (6,)).astype(np.int32)
+        out = srv.generate(p, 4, timeout=120,
+                           sampler=SamplerConfig(greedy=True))
+        gen = Generator(packed, cfg, policy, ecfg)
+        ref = gen.generate(p[None], 4)[0]
+        np.testing.assert_array_equal(np.asarray(out, np.int32), ref)
+    finally:
+        srv.close()
