@@ -357,18 +357,38 @@ def cmd_serve(args):
         return
 
     assert args.prompts is not None, "offline mode needs --prompts (or use --http)"
+    # each line is either plain prompt text, or a JSON object
+    # {"prompt": str, "max_new_tokens"?, "temperature"?, "top_p"?, "top_k"?,
+    #  "greedy"?} — per-request sampling overrides ride the same batch
     prompts = [ln.rstrip("\n") for ln in open(args.prompts)
                if ln.strip()]
-    rids = []
+    rids, texts = [], []
     for p in prompts:
-        ids = tk.encode(p, prefix=[args.bos] if args.bos >= 0 else [])
-        rids.append(cb.submit(np.asarray(ids, np.int32), args.max_new_tokens))
+        text, mnt, samp = p, args.max_new_tokens, None
+        if p.lstrip().startswith("{"):
+            try:
+                obj = _json.loads(p)
+            except ValueError:
+                obj = None
+            if isinstance(obj, dict) and "prompt" in obj:
+                text = obj["prompt"]
+                mnt = int(obj.get("max_new_tokens", args.max_new_tokens))
+                if any(f in obj for f in ("temperature", "top_p", "top_k",
+                                          "greedy")):
+                    t = float(obj.get("temperature", 1.0))
+                    samp = SamplerConfig(
+                        temperature=t, top_p=float(obj.get("top_p", 1.0)),
+                        top_k=int(obj.get("top_k", 0)),
+                        greedy=bool(obj.get("greedy", t == 0.0)))
+        ids = tk.encode(text, prefix=[args.bos] if args.bos >= 0 else [])
+        rids.append(cb.submit(np.asarray(ids, np.int32), mnt, sampler=samp))
+        texts.append(text)
     t0 = time.perf_counter()
     outs = cb.run()
     dt = time.perf_counter() - t0
     n_tok = sum(len(outs[r]) for r in rids)
     sink = open(args.output, "w") if args.output else sys.stdout
-    for p, r in zip(prompts, rids):
+    for p, r in zip(texts, rids):
         sink.write(_json.dumps({"prompt": p,
                                 "completion": tk.decode(list(outs[r]))}) + "\n")
     if args.output:

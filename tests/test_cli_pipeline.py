@@ -79,16 +79,21 @@ def test_cli_full_pipeline(hf_ckpt, tmp_path):
               "--prompt", "hi", "--max_new_tokens", "3",
               "--native-session", "--eos", "-1"])
 
-    # serve command: batch inference through the continuous batcher
+    # serve command: batch inference through the continuous batcher; mixed
+    # plain-text and JSONL request lines (per-request sampling + budget)
     import json
-    (tmp_path / "prompts.txt").write_text("hi\nok there\n")
+    (tmp_path / "prompts.txt").write_text(
+        "hi\nok there\n" + json.dumps({
+            "prompt": "yo", "max_new_tokens": 2, "temperature": 0.8,
+            "top_k": 3}) + "\n")
     cli.main(["serve", "--engine_dir", str(engine_dir),
               "--tokenizer", str(tmp_path / "tokenizer.bin"),
               "--prompts", str(tmp_path / "prompts.txt"),
               "--output", str(tmp_path / "out.jsonl"),
               "--max_new_tokens", "4", "--batch_slots", "2", "--eos", "-1"])
     lines = [json.loads(ln) for ln in open(tmp_path / "out.jsonl")]
-    assert len(lines) == 2 and all("completion" in ln for ln in lines)
+    assert len(lines) == 3 and all("completion" in ln for ln in lines)
+    assert lines[2]["prompt"] == "yo"
 
     # speculative demo (greedy; prompt-lookup drafts)
     cli.main(["demo", "--engine_dir", str(engine_dir),
