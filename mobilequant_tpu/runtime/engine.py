@@ -1232,6 +1232,8 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
     (llm.cpp:545-648, qnn_context.cpp:818-920).
 
     first_token: (B,1). start_pos: (B,). Returns (tokens (B, n_steps), cache, last_logits).
+    temperature: static float (0 = greedy) or per-slot (B,) array — 0-rows
+    greedy, hot rows sample (sampling.loop_next_token).
     """
     B = first_token.shape[0]
     if key is None:
@@ -1244,11 +1246,8 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
                                 cache_position=pos, kv_valid_len=pos + 1,
                                 use_pallas=use_pallas, layer_unroll=layer_unroll)
         last = logits[:, -1]
-        if temperature > 0.0:
-            nxt = jax.random.categorical(k_step, last / temperature, axis=-1)
-        else:
-            nxt = jnp.argmax(last, axis=-1)
-        nxt = nxt.astype(jnp.int32)[:, None]
+        from mobilequant_tpu.runtime.sampling import loop_next_token
+        nxt = loop_next_token(last, k_step, temperature)[:, None]
         return (nxt, cache, pos + 1), (nxt[:, 0], last)
 
     keys = jax.random.split(key, n_steps)

@@ -82,6 +82,25 @@ def sample_batched(logits: jax.Array, key: jax.Array,
     return jnp.where(greedy | (temperature == 0.0), arg, sampled)
 
 
+def loop_next_token(last: jax.Array, k_step: jax.Array, temperature):
+    """Next-token select inside an in-graph decode loop (engine/wonly
+    decode_loop). temperature: static Python float (0.0 = pure greedy, no RNG
+    ops in the graph) or a per-slot (B,) array — rows with temperature 0 take
+    the argmax, hot rows sample, all in one traced graph so a continuous
+    batcher can serve mixed plain-temperature requests through chunked ticks
+    without recompiling per combination."""
+    if isinstance(temperature, (int, float)):
+        if temperature > 0.0:
+            return jax.random.categorical(
+                k_step, last / temperature, axis=-1).astype(jnp.int32)
+        return jnp.argmax(last, axis=-1).astype(jnp.int32)
+    t = jnp.asarray(temperature, jnp.float32)
+    sampled = jax.random.categorical(
+        k_step, last / jnp.maximum(t, 1e-6)[:, None], axis=-1)
+    return jnp.where(t > 0.0, sampled,
+                     jnp.argmax(last, axis=-1)).astype(jnp.int32)
+
+
 def sampler_arrays(cfgs):
     """Stack a list of SamplerConfig into the (B,)-array operands of
     `sample_batched`."""

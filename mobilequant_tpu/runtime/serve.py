@@ -154,6 +154,19 @@ class ContinuousBatcher:
 
         self._decode_chunk_fn = decode_chunk
 
+        # heterogeneous-plain variant: per-slot temperature ARRAY (0 = greedy)
+        # keeps chunked ticks engaged when live requests mix temperatures —
+        # one compiled graph for every combination
+        @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(2, 3))
+        def decode_chunk_temps(packed, tokens, k_cache, v_cache, n, pos, key,
+                               temps):
+            toks, nc, _ = _mod.decode_loop(
+                packed, tokens, _KVC(k=k_cache, v=v_cache), pos, n, cfg, pol,
+                use_pallas=up_decode, temperature=temps, key=key)
+            return toks, nc.k, nc.v
+
+        self._decode_chunk_temps_fn = decode_chunk_temps
+
         # fused prefill-attention kernel on TPU (23% less device time at
         # T=1024, BENCHMARKS.md); CPU backends fall back to the XLA path
         if _mod is not E:
@@ -242,8 +255,9 @@ class ContinuousBatcher:
         (temperature/top_p/top_k/greedy). Mixed settings across live slots are
         served by ONE compiled batched sampler (sampling.sample_batched —
         params are runtime arrays), so heterogeneous requests never recompile;
-        chunked decode ticks require every active slot to be on the batcher
-        default and fall back to per-token ticks otherwise."""
+        chunked decode ticks stay engaged for any mix of greedy and
+        plain-temperature requests (per-slot temperature array in-graph);
+        top-k/top-p requests fall back to per-token ticks."""
         rid = next(self._rid)
         self.queue.append(Request(rid, np.asarray(prompt_tokens, np.int32),
                                   max_new_tokens, sampler=sampler))
@@ -251,6 +265,12 @@ class ContinuousBatcher:
 
     def _eff_sampler(self, req: Request) -> SamplerConfig:
         return req.sampler if req.sampler is not None else self.sampler
+
+    @staticmethod
+    def _plain(e: SamplerConfig) -> bool:
+        """greedy or plain-temperature (no top-k/top-p) — servable by the
+        in-graph chunked decode loop."""
+        return e.greedy or (e.top_k == 0 and e.top_p >= 1.0)
 
     def _bucket_for(self, n: int) -> int:
         for b in self.buckets:
@@ -302,12 +322,14 @@ class ContinuousBatcher:
             return 0
 
         n = self.chunk_decode
-        if n > 1 and self._chunk_ok and all(
-                req.pos + n <= self.ecfg.max_seq_len - 1
-                and len(req.out) < req.max_new_tokens
-                and self._eff_sampler(req) == self.sampler
-                for req in self.active.values()):
-            return self._step_chunked(n)
+        if n > 1 and all(req.pos + n <= self.ecfg.max_seq_len - 1
+                         and len(req.out) < req.max_new_tokens
+                         for req in self.active.values()):
+            effs = [self._eff_sampler(r) for r in self.active.values()]
+            if self._chunk_ok and all(e == self.sampler for e in effs):
+                return self._step_chunked(n)            # homogeneous default
+            if all(self._plain(e) for e in effs):       # mixed temperatures
+                return self._step_chunked(n, per_slot_temps=True)
 
         pos = np.zeros((self.B,), np.int32)
         valid = np.ones((self.B,), np.int32)
@@ -344,15 +366,25 @@ class ContinuousBatcher:
                 self._retire(slot)
         return len(self.active)
 
-    def _step_chunked(self, n: int) -> int:
+    def _step_chunked(self, n: int, per_slot_temps: bool = False) -> int:
         """Advance every active slot by n tokens in ONE in-graph scan."""
         pos = np.zeros((self.B,), np.int32)
         for slot, req in self.active.items():
             pos[slot] = req.pos
         self.key, sk = jax.random.split(self.key)
-        toks, k, v = self._decode_chunk_fn(
-            self.packed, jnp.asarray(self._last_tokens[:, None]),
-            self.cache.k, self.cache.v, n, jnp.asarray(pos), sk)
+        if per_slot_temps:
+            temps = np.zeros((self.B,), np.float32)
+            for slot, req in self.active.items():
+                e = self._eff_sampler(req)
+                temps[slot] = 0.0 if e.greedy else e.temperature
+            toks, k, v = self._decode_chunk_temps_fn(
+                self.packed, jnp.asarray(self._last_tokens[:, None]),
+                self.cache.k, self.cache.v, n, jnp.asarray(pos), sk,
+                jnp.asarray(temps))
+        else:
+            toks, k, v = self._decode_chunk_fn(
+                self.packed, jnp.asarray(self._last_tokens[:, None]),
+                self.cache.k, self.cache.v, n, jnp.asarray(pos), sk)
         self.cache = self._kvc(k=k, v=v)
         toks = np.asarray(toks)                         # (B, n)
 

@@ -187,11 +187,8 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: M.KVCache,
                                 cache_position=pos, kv_valid_len=pos + 1,
                                 use_pallas=use_pallas)
         last = logits[:, -1]
-        if temperature > 0.0:
-            nxt = jax.random.categorical(k_step, last / temperature, axis=-1)
-        else:
-            nxt = jnp.argmax(last, axis=-1)
-        nxt = nxt.astype(jnp.int32)[:, None]
+        from mobilequant_tpu.runtime.sampling import loop_next_token
+        nxt = loop_next_token(last, k_step, temperature)[:, None]
         return (nxt, cache, pos + 1), (nxt[:, 0], last)
 
     keys = jax.random.split(key, n_steps)

@@ -535,6 +535,7 @@ def test_continuous_batching_per_request_samplers():
                for p in prompts]
 
     greedy = SamplerConfig(greedy=True)
+    ticks = {}
     for chunk_decode in (1, 3):
         # batcher default is HOT (temperature 1.5) — only the per-request
         # override makes requests 0..2 greedy; request 3 rides the default
@@ -548,10 +549,14 @@ def test_continuous_batching_per_request_samplers():
         for rid, want in zip(rids, seq_out[:3]):
             assert outs[rid] == want, (chunk_decode, rid, outs[rid], want)
         assert len(outs[rid_hot]) == 6
+        ticks[chunk_decode] = cb.stats["ticks"]
+    # the mixed greedy+hot batch must RIDE the chunked per-slot-temps path
+    # (fewer scheduler ticks), not silently fall back to per-token
+    assert ticks[3] < ticks[1], ticks
 
-    # all-greedy overrides + chunk_decode: the chunked fast path only engages
-    # when every live slot matches the batcher default — overrides force the
-    # per-token path, so outputs still match exactly
+    # greedy overrides under a hot default + chunk_decode: a mixed
+    # plain-temperature batch rides the chunked per-slot-temps path
+    # (greedy rows take the in-graph argmax) — outputs still match exactly
     cb = ContinuousBatcher(packed, cfg, policy, ecfg, batch_slots=2,
                            prefill_buckets=(16, 32),
                            sampler=SamplerConfig(temperature=1.5),
