@@ -252,9 +252,6 @@ def main():
     # dequant (runtime/wonly.py — the reference's auto_gptq mode) ---
     from mobilequant_tpu.runtime import wonly as WW
     w_gs = 16 if smoke else 128
-    wpacked = WW.pack_weight_only(params, cfg, WW.default_weight_cfg(4, w_gs),
-                                  act_dtype=jnp.bfloat16)
-    del params
     ecfg_w = E.EngineConfig(model=cfg, max_seq_len=seq, act_bits=16,
                             act_dtype=jnp.bfloat16)
     wonly_pallas = jax.default_backend() != "cpu"
@@ -267,16 +264,24 @@ def main():
             return toks
         return chunk
 
-    try:
-        w_tps = time_decode_loop(make_wonly_chunk, wpacked,
-                                 lambda: WW.init_kv_cache(ecfg_w, 1), 1,
-                                 cfg.vocab_size)
-        results["w4a16_decode_tok_s"] = w_tps
-        log(f"W4A16 weight-only decode: {w_tps:.1f} tok/s (bs=1, S=1024, marginal)")
-    except Exception as e:   # first on-chip Mosaic compile of the grouped
-        log(f"W4A16 weight-only bench failed (kernel compile?): {e!r}")
-        # dequant kernel happens here — never let it kill the headline run
-    del wpacked
+    for w_tag, w_hb in (("w4a16", 16), ("w4a16_h4", 4)):
+        if w_hb == 4 and jax.default_backend() == "cpu" and not smoke:
+            continue
+        wpacked = WW.pack_weight_only(params, cfg,
+                                      WW.default_weight_cfg(4, w_gs),
+                                      act_dtype=jnp.bfloat16, head_bits=w_hb)
+        try:
+            w_tps = time_decode_loop(make_wonly_chunk, wpacked,
+                                     lambda: WW.init_kv_cache(ecfg_w, 1), 1,
+                                     cfg.vocab_size)
+            results[f"{w_tag}_decode_tok_s"] = w_tps
+            log(f"{w_tag} weight-only decode: {w_tps:.1f} tok/s "
+                "(bs=1, S=1024, marginal)")
+        except Exception as e:   # first on-chip Mosaic compile of the grouped
+            log(f"{w_tag} weight-only bench failed (kernel compile?): {e!r}")
+            # dequant kernel happens here — never let it kill the headline run
+        del wpacked
+    del params
 
     # --- prefill throughput (W8A8), marginal method with per-rep token fetch
     # (block_until_ready alone is NOT enough: the relay lazily skips chained

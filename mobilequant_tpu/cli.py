@@ -196,16 +196,18 @@ def cmd_pack(args):
         from mobilequant_tpu.runtime import wonly
         wb = args.weight_bits or 4
         wcfg = wonly.default_weight_cfg(wb, args.group_size)
-        packed = wonly.pack_weight_only(params, cfg, wcfg)
+        packed = wonly.pack_weight_only(params, cfg, wcfg,
+                                        head_bits=args.head_bits)
         # the artifact's default_qcfg.json reflects the ACTUAL placement:
         # weight quantizers on the projections, nothing else (policy.py owns
         # quantizer placement — CLAUDE.md invariant)
         policy = weight_only_policy(cfg, wcfg)
         artifacts.save_packed(args.output_dir, packed, cfg, policy,
                               {"max_seq_len": args.max_seq_len, "act_bits": 16,
-                               "weight_bits": wb, "group_size": args.group_size})
-        print(f"packed weight-only (W{wb}A16 g{args.group_size}) engine "
-              f"-> {args.output_dir}")
+                               "weight_bits": wb, "group_size": args.group_size,
+                               "head_bits": args.head_bits})
+        print(f"packed weight-only (W{wb}A16 g{args.group_size} "
+              f"h{args.head_bits}) engine -> {args.output_dir}")
         if args.export_hlo:
             artifacts.export_decode_step_wonly(
                 packed, cfg, args.max_seq_len,

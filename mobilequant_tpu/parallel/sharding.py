@@ -308,8 +308,16 @@ def wonly_pspecs(packed: dict, config: ModelConfig, mesh: Mesh) -> dict:
         "norm": jax.tree.map(lambda a: P(*([None] * a.ndim)), sk["norm"]),
     }
     if "lm_head" in sk:
-        skeleton["lm_head"] = {"w": P(None, "tp")}
-    return {"skeleton": skeleton, "packs": packs}
+        # with a quantized head the fp lm_head is a (1,1) placeholder
+        skeleton["lm_head"] = {"w": P(None, None) if "head_q" in packed
+                               else P(None, "tp")}
+    out = {"skeleton": skeleton, "packs": packs}
+    if "head_q" in packed:
+        # quantized head: vocab (last) axis over tp — int_head_linear is
+        # column-separable (per-column scale/offset/colsum; rowsum replicates)
+        out["head_q"] = {k: P(*([None] * (v.ndim - 1) + ["tp"]))
+                         for k, v in packed["head_q"].items()}
+    return out
 
 
 def wonly_kv_cache_pspec(config: ModelConfig, mesh: Mesh):

@@ -1193,31 +1193,40 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
         y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + c.norm_eps)
     y = y * packed["norm"]["w"] + packed["norm"]["b"]
     if "head_q" in packed:
-        hq = packed["head_q"]
-        D = y.shape[-1]
-        w4_packed = hq["wq"].shape[0] * 2 == D
-        if w4_packed and mode_s != "none" and B * T == 1:
-            # W4 head through the fused-unpack kernel (XLA would materialize
-            # the unpacked int8 table in HBM every step); the per-token dynamic
-            # scale is a scalar at decode. Symmetric acts ⇒ shifted offset 128.
-            # The packed head is vocab-padded to a 4096 multiple (pack_head):
-            # wide blocks keep the grid short — Gemma's 256k vocab at 512-wide
-            # blocks is 501 grid steps, measured per-step-overhead-bound.
-            from mobilequant_tpu.ops.pallas_matmul import w4a8_matmul
-            x_q, sx = qops.dynamic_quantize_act(y.reshape(1, D))
-            Vp = hq["wq"].shape[1]
-            logits = w4a8_matmul(
-                x_q, hq["wq"], hq["scale"], hq["offset"], hq["colsum"],
-                jnp.zeros((Vp,), jnp.float32), sx.reshape(()),
-                jnp.float32(128.0), block_n=4096)
-            logits = logits[:, :c.vocab_size].reshape(B, T, c.vocab_size)
-        else:
-            logits = qops.int_head_linear(y, hq)[..., :c.vocab_size]
+        logits = quantized_head_logits(y, packed["head_q"], c.vocab_size,
+                                       use_kernel=(mode_s != "none"))
     else:
         head = packed["embed"].T if c.tie_word_embeddings else packed["lm_head"]["w"]
         logits = jnp.dot(y.astype(head.dtype), head,
                          preferred_element_type=jnp.float32)
     return logits, new_cache
+
+
+def quantized_head_logits(y: jax.Array, hq: dict, vocab_size: int,
+                          use_kernel: bool) -> jax.Array:
+    """Quantized lm_head dispatch: dynamic per-token A8 activations × the
+    per-channel symmetric W8/W4 head pack (pack_head) → fp32 logits
+    (B, T, vocab_size). Shared by the int engine and the weight-only mode.
+
+    use_kernel: at bs=1 decode, route a W4 head through the fused-unpack
+    Pallas kernel — XLA would otherwise materialize the unpacked int8 table
+    in HBM every step. The per-token dynamic scale is a scalar at decode;
+    symmetric acts ⇒ shifted offset 128. The packed head is vocab-padded to
+    a 4096 multiple (pack_head): wide blocks keep the grid short — Gemma's
+    256k vocab at 512-wide blocks is 501 grid steps, measured
+    per-step-overhead-bound."""
+    B, T, D = y.shape
+    w4_packed = hq["wq"].shape[0] * 2 == D
+    if w4_packed and use_kernel and B * T == 1:
+        from mobilequant_tpu.ops.pallas_matmul import w4a8_matmul
+        x_q, sx = qops.dynamic_quantize_act(y.reshape(1, D))
+        Vp = hq["wq"].shape[1]
+        logits = w4a8_matmul(
+            x_q, hq["wq"], hq["scale"], hq["offset"], hq["colsum"],
+            jnp.zeros((Vp,), jnp.float32), sx.reshape(()),
+            jnp.float32(128.0), block_n=4096)
+        return logits[:, :vocab_size].reshape(B, T, vocab_size)
+    return qops.int_head_linear(y, hq)[..., :vocab_size]
 
 
 def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,

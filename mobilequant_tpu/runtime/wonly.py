@@ -49,14 +49,21 @@ def default_weight_cfg(weight_bits: int = 4, group_size: int = 128) -> QuantConf
 
 
 def pack_weight_only(params: dict, config: ModelConfig, wcfg: QuantConfig,
-                     act_dtype=jnp.float32) -> dict:
+                     act_dtype=jnp.float32, head_bits: int = 16) -> dict:
     """FP params (models/model layout) → weight-only packed model.
 
     Returns {"skeleton": params-with-placeholder-projection-weights,
              "packs": {proj_key: stacked pack (+ stacked bias)}}.
     The skeleton keeps everything the packs don't cover (embeddings, norms,
     biases, router, lm_head) in `act_dtype`; projection weight leaves become
-    (L,1,1) placeholders so the layer scan slices nothing of substance."""
+    (L,1,1) placeholders so the layer scan slices nothing of substance.
+
+    head_bits 8/4 additionally packs the lm_head per-channel symmetric
+    (engine.pack_head) with dynamic per-token A8 activations at run time —
+    the same SLinear-analogue head as the int engine's EngineConfig.head_bits
+    (the head is the single largest weight read per decode step: TinyLlama
+    131 MB bf16, Gemma 1.05 GB). The embed table keeps fp storage for the
+    lookup path."""
     gs = wcfg.group_size
     if gs != -1:
         d_ins = {"q_proj": config.hidden_size, "k_proj": config.hidden_size,
@@ -93,7 +100,18 @@ def pack_weight_only(params: dict, config: ModelConfig, wcfg: QuantConfig,
 
     skeleton = {k: (skeleton_layers if k == "layers" else jax.tree.map(cast, v))
                 for k, v in params.items()}
-    return {"skeleton": skeleton, "packs": packs}
+    packed = {"skeleton": skeleton, "packs": packs}
+    if head_bits in (4, 8):
+        from mobilequant_tpu.runtime.engine import pack_head
+        head_w = params["embed"]["w"].T if config.tie_word_embeddings \
+            else params["lm_head"]["w"]
+        hcfg = QuantConfig(bitwidth=head_bits, is_symmetric=True,
+                           is_per_channel=True)
+        packed["head_q"] = pack_head(jnp.asarray(head_w, jnp.float32), hcfg)
+        if not config.tie_word_embeddings:
+            # the fp head is never read again — placeholder keeps the tree shape
+            skeleton["lm_head"] = {"w": jnp.zeros((1, 1), act_dtype)}
+    return packed
 
 
 class WeightOnlyOps(M.Ops):
@@ -164,10 +182,17 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy=None,
         sk, tokens, c, ops, positions=positions, kv_cache=kv_cache,
         cache_position=cache_position, kv_valid_len=kv_valid_len,
         layer_extras=extras)
-    head_w = sk["embed"]["w"].T if c.tie_word_embeddings else sk["lm_head"]["w"]
     if logits_at is not None:
         x = x[jnp.arange(B)[:, None], logits_at[:, None]]        # (B,1,D)
-    logits = x.astype(jnp.float32) @ head_w.astype(jnp.float32)
+    if "head_q" in packed:
+        from mobilequant_tpu.runtime.engine import quantized_head_logits
+        logits = quantized_head_logits(x.astype(jnp.float32), packed["head_q"],
+                                       c.vocab_size,
+                                       use_kernel=bool(use_pallas))
+    else:
+        head_w = sk["embed"]["w"].T if c.tie_word_embeddings \
+            else sk["lm_head"]["w"]
+        logits = x.astype(jnp.float32) @ head_w.astype(jnp.float32)
     return logits, new_cache
 
 

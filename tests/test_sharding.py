@@ -437,17 +437,17 @@ def test_wonly_tp_forward_matches_unsharded():
     params = M.init_params(cfg, jax.random.PRNGKey(0))
     toks = jnp.asarray(np.random.default_rng(0).integers(
         0, cfg.vocab_size, (2, 12)), jnp.int32)
-    for bits, gs in ((4, 16), (8, -1)):
+    for bits, gs, hb in ((4, 16, 16), (8, -1, 8)):
         wcfg = QuantConfig(bitwidth=bits, is_per_channel=True, group_size=gs,
                            is_symmetric=False)
-        packed = W.pack_weight_only(params, cfg, wcfg)
+        packed = W.pack_weight_only(params, cfg, wcfg, head_bits=hb)
         ref, _ = W.forward(packed, toks, cfg)
         mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("tp",))
         sp = S.shard_tree(packed, S.wonly_pspecs(packed, cfg, mesh), mesh)
         out = jax.jit(lambda p, t: W.forward(p, t, cfg)[0])(sp, toks)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=2e-4,
-                                   err_msg=f"bits={bits} gs={gs}")
+                                   err_msg=f"bits={bits} gs={gs} hb={hb}")
 
 
 def test_e2equant_trains_through_pipeline_mesh():

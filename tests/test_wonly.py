@@ -115,6 +115,46 @@ def test_wonly_decode_chain_matches_prefill_and_pallas_path():
     jax.clear_caches()
 
 
+@pytest.mark.parametrize("name,hb", [
+    ("test-llama", 8),
+    ("test-llama", 4),
+    ("test-gemma", 8),     # tied embeddings: head packed off embed.T
+])
+def test_wonly_quantized_head(name, hb):
+    """pack_weight_only(head_bits=8/4): the wonly forward's head must be the
+    exact int_head_linear re-expression (dynamic-A8 × per-channel sym W) of
+    the same post-norm hidden, and semantically close to the fp head."""
+    cfg = MODEL_CONFIGS[name]
+    params = M.init_params(cfg, jax.random.PRNGKey(3))
+    wcfg = _wcfg(8, -1)
+    toks = jnp.asarray(np.random.default_rng(3).integers(
+        0, cfg.vocab_size, (2, 8)), jnp.int32)
+
+    packed = W.pack_weight_only(params, cfg, wcfg, head_bits=hb)
+    assert "head_q" in packed
+    if not cfg.tie_word_embeddings:   # fp head never read again
+        assert packed["skeleton"]["lm_head"]["w"].size == 1
+    logits, _ = W.forward(packed, toks, cfg)
+
+    # exact: recompute the post-norm hidden through the same ops and apply
+    # int_head_linear directly
+    ops = W.WeightOnlyOps(packed["packs"])
+    extras = {"packs": packed["packs"],
+              "li": jnp.arange(cfg.num_layers, dtype=jnp.int32)}
+    y, _, _ = M.forward_hidden(packed["skeleton"], toks, cfg, ops,
+                               layer_extras=extras)
+    want = qops.int_head_linear(y.astype(jnp.float32),
+                                packed["head_q"])[..., :cfg.vocab_size]
+    np.testing.assert_array_equal(np.asarray(logits), np.asarray(want))
+
+    # semantic: close to the fp-head logits (relative RMSE — a random tiny
+    # head has no outlier structure for absolute tolerances to key on)
+    fp_logits, _ = W.forward(W.pack_weight_only(params, cfg, wcfg), toks, cfg)
+    fp, qh = np.asarray(fp_logits), np.asarray(logits)
+    rel = np.sqrt(np.mean((qh - fp) ** 2)) / np.sqrt(np.mean(fp ** 2))
+    assert rel < (0.12 if hb == 4 else 0.02), rel
+
+
 def test_wonly_generator_and_batcher_agree():
     from mobilequant_tpu.runtime.generate import Generator
     from mobilequant_tpu.runtime.serve import ContinuousBatcher
