@@ -155,6 +155,23 @@ def test_wonly_quantized_head(name, hb):
     assert rel < (0.12 if hb == 4 else 0.02), rel
 
 
+def test_wonly_speculative_matches_greedy():
+    """generate_speculative dispatches through the wonly module too (the
+    Generator swaps engines on ecfg.act_bits): same greedy chain, fewer
+    verify calls — including with a quantized head."""
+    from mobilequant_tpu.runtime.generate import Generator
+    cfg = MODEL_CONFIGS["test-llama"]
+    params = M.init_params(cfg, jax.random.PRNGKey(4))
+    packed = W.pack_weight_only(params, cfg, _wcfg(4, 16), head_bits=8)
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=32, act_bits=16)
+    gen = Generator(packed, cfg, None, ecfg)
+    prompt = np.asarray([[7, 3, 9, 4, 7, 3, 9, 4, 7, 3]], np.int32)
+    want = np.asarray(gen.generate(prompt, 10))[0].tolist()
+    got, stats = gen.generate_speculative(prompt, 10, k=4, return_stats=True)
+    assert np.asarray(got)[0].tolist() == want
+    assert stats["verify_calls"] <= 10
+
+
 def test_wonly_generator_and_batcher_agree():
     from mobilequant_tpu.runtime.generate import Generator
     from mobilequant_tpu.runtime.serve import ContinuousBatcher
