@@ -395,8 +395,8 @@ def main():
     # model (BENCHMARKS.md), so the headline follows the best of the two; the
     # metric name carries the winning config.
     candidates = [(tag, results[f"{tag}_decode_tok_s"])
-                  for tag in ("w4a8_pallas_h4", "w8a8_fast_h8", "w8a8_fast",
-                              "w8a8")
+                  for tag in ("w4a8_pallas_h4", "w4a8_pallas", "w8a8_kernel_h8",
+                              "w8a8_fast_h8", "w8a8_fast", "w8a8")
                   if f"{tag}_decode_tok_s" in results]
     tag, headline = max(candidates, key=lambda kv: kv[1])
     short = "w4a8" if "w4a8" in tag else "w8a8"
