@@ -30,11 +30,11 @@ from jax.experimental.pallas import tpu as pltpu
 _META_LEN = 13
 
 
-def _fq16_inline(x, scale, offset, enabled):
+def _fq16_inline(x, scale, offset, qmax):
     q = jnp.round(x / scale) + offset
-    q = jnp.clip(q, 0.0, 65535.0)
+    q = jnp.clip(q, 0.0, qmax)
     y = (q - offset) * scale
-    return jnp.where(enabled > 0.5, y, x)
+    return jnp.where(qmax > 0.5, y, x)
 
 
 def _decode_attn_kernel(meta_ref, valid_ref, q_ref, k_ref, v_ref, out_ref):

@@ -38,22 +38,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mobilequant_tpu.ops.pallas_mlp import (
-    BLOCK_META_LEN, _fq16b, _quant_u8s, _pick_block_fh, _w4_mlp_phase,
+    BLOCK_META_LEN, _fq, _quant_u8s, _pick_block_fh, _w4_mlp_phase,
     w4_mlp_block_supported,
 )
 
 # meta vector layout (fp32 SMEM), head section; the MLP section
 # (pallas_mlp.BLOCK_META_LEN entries, _mlp_block_meta order) follows at
-# ATTN_META_LEN.
-#  0 ln1_in_scale   1 ln1_in_offset  2 ln1_in_enabled  3 norm_eps
+# ATTN_META_LEN. Fake-quant entries are qmax-encoded (pallas_mlp._fq:
+# 0 = disabled, 255/65535 = 8/16-bit clip bound).
+#  0 ln1_in_scale   1 ln1_in_offset  2 ln1_in_qmax  3 norm_eps
 #  4 h_scale        5 h_offset       (input_layernorm output quantize)
 #  6 sq  7 oq  8 sk  9 ok  10 sv  11 ov     (qk_bmm in/in2, pv_bmm in2)
-# 12 qk_out_scale  13 qk_out_offset 14 qk_out_enabled
-# 15 pv_in_scale   16 pv_in_offset  17 pv_in_enabled
+# 12 qk_out_scale  13 qk_out_offset 14 qk_out_qmax
+# 15 pv_in_scale   16 pv_in_offset  17 pv_in_qmax
 # 18 neg_inf
 # 19 a_scale       20 a_offset      (pv_bmm output quantize)
-# 21 oo_scale      22 oo_offset     23 oo_enabled     (o_proj output fq)
-ATTN_META_LEN = 24
+# 21 oo_scale      22 oo_offset     23 oo_qmax     (o_proj output fq)
+# 24 r1in_s 25 r1in_o 26 r1in_qmax     (resid_add_1 input fq16)
+# 27 r1in2_s 28 r1in2_o 29 r1in2_qmax  (resid_add_1 input2 fq16)
+# 30 r1out_s 31 r1out_o 32 r1out_qmax  (resid_add_1 output fq16)
+ATTN_META_LEN = 33
 LAYER_META_LEN = ATTN_META_LEN + BLOCK_META_LEN
 
 
@@ -101,7 +105,7 @@ def _layer_phase(j, m, pos_ref, cs_ref, x_get, ofq_ref,
     # ---- phases [0, nq): norm1 (once) + qkv W4 matmul column blocks --------
     @pl.when(j == 0)
     def _():
-        xx = _fq16b(x_get(), m(0), m(1), m(2))
+        xx = _fq(x_get(), m(0), m(1), m(2))
         if norm_kind == "layernorm":
             mu = jnp.mean(xx, axis=1, keepdims=True)
             var = jnp.mean(jnp.square(xx - mu), axis=1, keepdims=True)
@@ -210,11 +214,11 @@ def _layer_phase(j, m, pos_ref, cs_ref, x_get, ofq_ref,
                              keepdims=True).astype(jnp.float32)
                 scores = (acc - okv * qs - oqv * ks.reshape(1, -1)
                           + hd * oqv * okv) * (sq * sk)
-                scores = _fq16b(scores, m(12), m(13), m(14))
+                scores = _fq(scores, m(12), m(13), m(14))
                 kn = q8_scr[bb * R8 + Hq + hkv:bb * R8 + Hq + hkv + 1, :]
                 s_self = jnp.sum((qf - oqv) * (kn - okv), axis=1,
                                  keepdims=True) * (sq * sk)      # (G,1)
-                s_self = _fq16b(s_self, m(12), m(13), m(14))
+                s_self = _fq(s_self, m(12), m(13), m(14))
                 col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
                 scores = scores * inv + jnp.where(col < pos, 0.0, neg_inf)
                 s_self = s_self * inv
@@ -224,8 +228,8 @@ def _layer_phase(j, m, pos_ref, cs_ref, x_get, ofq_ref,
                 es = jnp.exp(s_self - mx)
                 den = jnp.sum(e, axis=1, keepdims=True) + es
                 a0 = bb * Hq + hkv * G
-                p_scr[a0:a0 + G, :] = _fq16b(e / den, m(15), m(16), m(17))
-                ps_scr[a0:a0 + G, :] = _fq16b(es / den, m(15), m(16), m(17))
+                p_scr[a0:a0 + G, :] = _fq(e / den, m(15), m(16), m(17))
+                ps_scr[a0:a0 + G, :] = _fq(es / den, m(15), m(16), m(17))
 
     def _pv_part(b_lo, b_hi):
         sv, ovv = m(10), m(11) - 128.0
@@ -294,8 +298,11 @@ def _layer_phase(j, m, pos_ref, cs_ref, x_get, ofq_ref,
         bo = oaux_ref[0, 3:4, :]
         oxa = m(20) - 128.0
         y = (oacc - oxa * co - oo * rs + Ko * oxa * oo) * (m(19) * so) + bo
-        y = _fq16b(y, m(21), m(22), m(23))
-        resid_scr[:] = x_get() + y
+        y = _fq(y, m(21), m(22), m(23))
+        # resid_add_1: strict policy quantizes both inputs + the output
+        xr = _fq(x_get(), m(24), m(25), m(26))
+        y = _fq(y, m(27), m(28), m(29))
+        resid_scr[:] = _fq(xr + y, m(30), m(31), m(32))
 
     if attn_splits == 0:                 # fused: everything in phase nq
         nqa = nq

@@ -15,12 +15,14 @@ quant/qmodel.QuantOps) — asserted in tests/test_kernels.py in interpret mode.
 The caller applies the final W2 affine correction/scale/bias (per-channel) from
 the returned int32 accumulator and g8 row-sums.
 
-meta vector (fp32, SMEM):
+meta vector (fp32, SMEM) — every fake-quant entry is a (scale, offset, qmax)
+triple where qmax is the clip bound (255 = 8-bit, 65535 = 16-bit) and 0
+disables the site (engine._qmax):
   [0] h_scale [1] h_offset                 (MLP-input encoding)
-  [2] w1out_s [3] w1out_o [4] w1out_en     (mlp.w1 output fq8)
-  [5] sig_s   [6] sig_o   [7] sig_en       (mlp.act_fn input2 fq8, silu only)
-  [8] actout_s [9] actout_o [10] actout_en (mlp.act_fn output fq8)
-  [11] w3out_s [12] w3out_o [13] w3out_en  (mlp.w3 output fq8)
+  [2] w1out_s [3] w1out_o [4] w1out_qmax   (mlp.w1 output fq)
+  [5] sig_s   [6] sig_o   [7] sig_qmax     (mlp.act_fn input2 fq, silu only)
+  [8] actout_s [9] actout_o [10] actout_qmax (mlp.act_fn output fq)
+  [11] w3out_s [12] w3out_o [13] w3out_qmax  (mlp.w3 output fq)
   [14] w2in_s [15] w2in_o                  (mlp.w2 input encoding)
 """
 
@@ -36,10 +38,12 @@ from jax.experimental.pallas import tpu as pltpu
 META_LEN = 16
 
 
-def _fq8(x, s, o, en):
+def _fq(x, s, o, qmax):
+    """Asymmetric fake-quant with a runtime clip bound; qmax == 0 disables
+    (matches quantizer.fake_quant for asymmetric activation configs)."""
     q = jnp.round(x / s) + o
-    q = jnp.clip(q, 0.0, 255.0)
-    return jnp.where(en > 0.5, (q - o) * s, x)
+    q = jnp.clip(q, 0.0, qmax)
+    return jnp.where(qmax > 0.5, (q - o) * s, x)
 
 
 def _quant_u8s(x, s, o):
@@ -70,20 +74,20 @@ def _mlp_kernel(meta_ref, h_ref,
         return acc * (meta_ref[0] * s_ref[:]) + b_ref[:]
 
     g1 = int_mm(w1_ref, s1_ref, o1_ref, c1_ref, b1_ref)      # (M, TF)
-    g1 = _fq8(g1, meta_ref[2], meta_ref[3], meta_ref[4])
+    g1 = _fq(g1, meta_ref[2], meta_ref[3], meta_ref[4])
 
     if act_kind == "silu":
         sig = 1.0 / (1.0 + jnp.exp(-g1))
-        sig = _fq8(sig, meta_ref[5], meta_ref[6], meta_ref[7])
+        sig = _fq(sig, meta_ref[5], meta_ref[6], meta_ref[7])
         act = g1 * sig
     else:  # tanh-approx gelu: 0.5x(1+tanh(√(2/π)(x+0.044715x³)))
         t = 0.7978845608028654 * (g1 + 0.044715 * g1 * g1 * g1)
         act = 0.5 * g1 * (1.0 + jnp.tanh(t))
-    act = _fq8(act, meta_ref[8], meta_ref[9], meta_ref[10])
+    act = _fq(act, meta_ref[8], meta_ref[9], meta_ref[10])
 
     if has_w3:
         g3 = int_mm(w3_ref, s3_ref, o3_ref, c3_ref, b3_ref)
-        g3 = _fq8(g3, meta_ref[11], meta_ref[12], meta_ref[13])
+        g3 = _fq(g3, meta_ref[11], meta_ref[12], meta_ref[13])
         act = act * g3
 
     g8 = _quant_u8s(act, meta_ref[14], meta_ref[15])          # (M, TF) int8
@@ -189,17 +193,15 @@ def fused_mlp(h8: jax.Array, w13: dict, w2: dict, meta: jax.Array,
 # ---------------------------------------------------------------------------
 # Whole-MLP-block kernel: norm + input quantize + MLP + W2 requant + residual
 # ---------------------------------------------------------------------------
-# extra meta (fp32, SMEM), appended after the base META_LEN entries:
-#   [16] ln_in_s [17] ln_in_o [18] ln_in_en    (norm input fq16)
+# extra meta (fp32, SMEM), appended after the base META_LEN entries
+# (qmax-encoded fq entries, see module header):
+#   [16] ln_in_s [17] ln_in_o [18] ln_in_qmax  (norm input fq16)
 #   [19] norm_eps
-#   [20] w2out_s [21] w2out_o [22] w2out_en    (mlp.w2 output fq16)
-BLOCK_META_LEN = 23
-
-
-def _fq16b(x, s, o, en):
-    q = jnp.round(x / s) + o
-    q = jnp.clip(q, 0.0, 65535.0)
-    return jnp.where(en > 0.5, (q - o) * s, x)
+#   [20] w2out_s [21] w2out_o [22] w2out_qmax  (mlp.w2 output fq16)
+#   [23] r2in_s [24] r2in_o [25] r2in_qmax     (resid_add_2 input fq16)
+#   [26] r2in2_s [27] r2in2_o [28] r2in2_qmax  (resid_add_2 input2 fq16)
+#   [29] r2out_s [30] r2out_o [31] r2out_qmax  (resid_add_2 output fq16)
+BLOCK_META_LEN = 32
 
 
 def _mlp_block_kernel(meta_ref, x_ref, nw_ref, nb_ref,
@@ -217,7 +219,7 @@ def _mlp_block_kernel(meta_ref, x_ref, nw_ref, nb_ref,
     # norm + input quantization once, at the first grid step (VMEM-resident h)
     @pl.when(j == 0)
     def _():
-        x = _fq16b(x_ref[:], meta_ref[16], meta_ref[17], meta_ref[18])
+        x = _fq(x_ref[:], meta_ref[16], meta_ref[17], meta_ref[18])
         if norm_kind == "layernorm":
             mu = jnp.mean(x, axis=1, keepdims=True)
             var = jnp.mean(jnp.square(x - mu), axis=1, keepdims=True)
@@ -253,17 +255,17 @@ def _mlp_block_kernel(meta_ref, x_ref, nw_ref, nb_ref,
         return acc * (meta_ref[0] * s_ref[:]) + b_ref[:]
 
     g1 = int_mm(w1_ref, s1_ref, o1_ref, c1_ref, b1_ref)
-    g1 = _fq8(g1, meta_ref[2], meta_ref[3], meta_ref[4])
+    g1 = _fq(g1, meta_ref[2], meta_ref[3], meta_ref[4])
     if act_kind == "silu":
         sig = 1.0 / (1.0 + jnp.exp(-g1))
-        sig = _fq8(sig, meta_ref[5], meta_ref[6], meta_ref[7])
+        sig = _fq(sig, meta_ref[5], meta_ref[6], meta_ref[7])
         act = g1 * sig
     else:
         t = 0.7978845608028654 * (g1 + 0.044715 * g1 * g1 * g1)
         act = 0.5 * g1 * (1.0 + jnp.tanh(t))
-    act = _fq8(act, meta_ref[8], meta_ref[9], meta_ref[10])
+    act = _fq(act, meta_ref[8], meta_ref[9], meta_ref[10])
     g3 = int_mm(w3_ref, s3_ref, o3_ref, c3_ref, b3_ref)
-    g3 = _fq8(g3, meta_ref[11], meta_ref[12], meta_ref[13])
+    g3 = _fq(g3, meta_ref[11], meta_ref[12], meta_ref[13])
     act = act * g3
 
     g8 = _quant_u8s(act, meta_ref[14], meta_ref[15])
@@ -287,8 +289,11 @@ def _mlp_block_kernel(meta_ref, x_ref, nw_ref, nb_ref,
         y = acc_ref[:].astype(jnp.float32)
         y = (y - ox2 * c2_ref[:] - o2_ref[:] * rsum_ref[:].astype(jnp.float32)
              + F_total * ox2 * o2_ref[:]) * (meta_ref[14] * s2_ref[:]) + b2_ref[:]
-        y = _fq16b(y, meta_ref[20], meta_ref[21], meta_ref[22])
-        out_ref[:] = x_ref[:] + y
+        y = _fq(y, meta_ref[20], meta_ref[21], meta_ref[22])
+        # resid_add_2: strict policy quantizes both inputs + the output
+        xr = _fq(x_ref[:], meta_ref[23], meta_ref[24], meta_ref[25])
+        y = _fq(y, meta_ref[26], meta_ref[27], meta_ref[28])
+        out_ref[:] = _fq(xr + y, meta_ref[29], meta_ref[30], meta_ref[31])
 
 
 @functools.partial(jax.jit, static_argnames=("act_kind", "norm_kind", "block_f",
@@ -413,7 +418,7 @@ def _w4_mlp_phase(j, nj, m, x_get, out_set, nw_ref, nb_ref,
 
     @pl.when(j == 0)
     def _():
-        x = _fq16b(x_get(), m(16), m(17), m(18))
+        x = _fq(x_get(), m(16), m(17), m(18))
         if norm_kind == "layernorm":
             mu = jnp.mean(x, axis=1, keepdims=True)
             var = jnp.mean(jnp.square(x - mu), axis=1, keepdims=True)
@@ -457,16 +462,16 @@ def _w4_mlp_phase(j, nj, m, x_get, out_set, nw_ref, nb_ref,
         return acc * (m(0) * s) + b
 
     def gate(g1, g3):
-        g1 = _fq8(g1, m(2), m(3), m(4))
+        g1 = _fq(g1, m(2), m(3), m(4))
         if act_kind == "silu":
             sig = 1.0 / (1.0 + jnp.exp(-g1))
-            sig = _fq8(sig, m(5), m(6), m(7))
+            sig = _fq(sig, m(5), m(6), m(7))
             act = g1 * sig
         else:
             t = 0.7978845608028654 * (g1 + 0.044715 * g1 * g1 * g1)
             act = 0.5 * g1 * (1.0 + jnp.tanh(t))
-        act = _fq8(act, m(8), m(9), m(10))
-        g3 = _fq8(g3, m(11), m(12), m(13))
+        act = _fq(act, m(8), m(9), m(10))
+        g3 = _fq(g3, m(11), m(12), m(13))
         return act * g3
 
     c_lo = j * TFh                      # w1 seg_lo columns
@@ -519,8 +524,11 @@ def _w4_mlp_phase(j, nj, m, x_get, out_set, nw_ref, nb_ref,
         y = acc_ref[:].astype(jnp.float32)
         y = (y - ox2 * c2 - o2 * rsum_ref[:].astype(jnp.float32)
              + F_total * ox2 * o2) * (m(14) * s2) + b2
-        y = _fq16b(y, m(20), m(21), m(22))
-        out_set(x_get() + y)
+        y = _fq(y, m(20), m(21), m(22))
+        # resid_add_2: strict policy quantizes both inputs + the output
+        xr = _fq(x_get(), m(23), m(24), m(25))
+        y = _fq(y, m(26), m(27), m(28))
+        out_set(_fq(xr + y, m(29), m(30), m(31)))
 
 
 def _w4_mlp_block_kernel(idx_ref, meta_ref, x_ref, nw_ref, nb_ref,

@@ -47,9 +47,9 @@ _META_LEN = 13
 _NEG_BIG = -1e30
 
 
-def _fq16(x, scale, offset):
+def _fq16(x, scale, offset, qmax):
     q = jnp.round(x / scale) + offset
-    q = jnp.clip(q, 0.0, 65535.0)
+    q = jnp.clip(q, 0.0, qmax)
     return (q - offset) * scale
 
 
@@ -91,7 +91,7 @@ def _prefill_attn_kernel(meta_ref, valid_ref, q_ref, k_ref, v_ref, pos_ref,
         ksum = jnp.sum(k.astype(jnp.int32), axis=1).astype(jnp.float32)[None, :]
         sc = (acc - ok * qsum - oq * ksum + hd * oq * ok) * (sq * sk)
         if qk_fq:
-            sc = _fq16(sc, meta_ref[6], meta_ref[7])
+            sc = _fq16(sc, meta_ref[6], meta_ref[7], meta_ref[8])
         sc = sc * inv_sqrt
         col = s0 + jax.lax.broadcasted_iota(jnp.int32, (BQ, bs), 1)
         ok_mask = (col <= pos) & (col < valid_b)
@@ -117,7 +117,7 @@ def _prefill_attn_kernel(meta_ref, valid_ref, q_ref, k_ref, v_ref, pos_ref,
         s0 = i * bs
         p = scores_ref[:, pl.ds(s0, bs)] * linv
         if pv_fq:
-            p = _fq16(p, meta_ref[9], meta_ref[10])
+            p = _fq16(p, meta_ref[9], meta_ref[10], meta_ref[11])
         v = v_ref[0, 0, pl.ds(s0, bs), :].astype(jnp.float32)  # (bs, hd)
         acc = acc + jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)

@@ -85,6 +85,42 @@ def allgather_matmul(x: jax.Array, w: jax.Array, mesh: Mesh, axis: str = "tp",
     return fn(x, w)
 
 
+def int_linear_reduce_scatter(x_q: jax.Array, x_scale, x_offset, pack: dict,
+                              bias, mesh: Mesh, axis: str = "tp") -> jax.Array:
+    """Row-parallel int8 linear (the engine's o_proj / w2 TP sites) through
+    the ring matmul-reduce-scatter — an exact re-expression of
+    qops.int_linear: the raw int32 accumulator reduce-scatters around the
+    ring (partials overlap the chunk matmuls), then the affine corrections,
+    per-channel scale, and bias apply ONCE on the scattered column blocks
+    (colsum/rowsum are K-global, so they commute with the K-split).
+
+    W8 packs only (a nibble-packed W4 row block interleaves two K-halves —
+    its K-split is not contiguous); the engine gates on wq.shape[0] == K.
+    Output is logically (…, N), device-sharded on the last axis; downstream
+    GSPMD re-gathers as consumers require."""
+    wq = pack["wq"]
+    K, N = wq.shape
+    assert x_q.shape[-1] == K, (x_q.shape, wq.shape)
+
+    def int_dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((a.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    acc = matmul_reduce_scatter(x_q, wq.astype(jnp.int8), mesh, axis,
+                                dot=int_dot).astype(jnp.float32)
+    ox = x_offset - 128.0
+    ow = jnp.reshape(pack["offset"], (-1,))
+    sw = jnp.reshape(pack["scale"], (-1,))
+    rowsum = jnp.sum(x_q.astype(jnp.int32), axis=-1,
+                     keepdims=True).astype(jnp.float32)
+    acc = acc - ox * pack["colsum"] - ow * rowsum + K * ox * ow
+    out = acc * (x_scale * sw)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 def matmul_reduce_scatter(x: jax.Array, w: jax.Array, mesh: Mesh,
                           axis: str = "tp",
                           dot: Optional[Callable] = None) -> jax.Array:

@@ -25,7 +25,15 @@ Key placement facts reproduced here:
   * qk_bmm.input2 / pv_bmm.input2 are the int8 KV-cache quantizers
     (ref calibrate.py:246-281 derives the global K/V encodings from them);
   * act_fn (SiLU): sigmoid output quantized as input2, product as output
-    (ref qmodule.py:691-753); GELU: output only.
+    (ref qmodule.py:691-753); GELU: output only;
+  * resid_add_1/resid_add_2: the device graph forces 16-bit quantizers on
+    both inputs AND the output of every skip-connection add
+    (ref device/utils.py:68-77, `module_add` ind % 5 in [2,3,4]) — these
+    sites exist only in the exported graph, not the reference's training-time
+    sim, so they live in the STRICT policy and are exactly what relax_16bit
+    removes for TPU serving;
+  * use_16bit_output_for_mlp: Gemma recipes run w1/w3 outputs at 16 bits
+    (ref ptq/generate_qcfg.py:34,93-94).
 """
 
 from __future__ import annotations
@@ -57,7 +65,8 @@ def default_policy(config: ModelConfig,
                    weight_qcfg: QuantConfig = QuantConfig(bitwidth=8),
                    act_qcfg: QuantConfig = QuantConfig(bitwidth=8),
                    use_8bit_softmax_input: bool = False,
-                   use_8bit_softmax_output: bool = False) -> QPolicy:
+                   use_8bit_softmax_output: bool = False,
+                   use_16bit_output_for_mlp: bool = False) -> QPolicy:
     """The reference's default mixed-precision W8A8/W4A8 policy as one table."""
     a8 = act_qcfg
     # ">16 bits" disables a quantizer; keep the 16-bit exception slots disabled too
@@ -72,6 +81,7 @@ def default_policy(config: ModelConfig,
 
     qk_out = a8 if use_8bit_softmax_input else a16
     pv_in = a8 if use_8bit_softmax_output else a16
+    mlp_out = a16 if use_16bit_output_for_mlp else a8
 
     policy = {
         "input_layernorm": SiteQuant(input=a16, weight=norm_w16, output=a8),
@@ -81,13 +91,18 @@ def default_policy(config: ModelConfig,
         "self_attn.qk_bmm": SiteQuant(input=a8, input2=a8, output=qk_out),
         "self_attn.pv_bmm": SiteQuant(input=pv_in, input2=a8, output=a8),
         "self_attn.o_proj": SiteQuant(weight=w, output=a16),
-        "mlp.w1": SiteQuant(weight=w, output=a8),
+        # the NPU datapath quantizes the residual stream at 16 bits on both
+        # inputs and the output of each skip-connection add
+        # (ref device/utils.py:68-77); relax_16bit disables these for serving
+        "resid_add_1": SiteQuant(input=a16, input2=a16, output=a16),
+        "resid_add_2": SiteQuant(input=a16, input2=a16, output=a16),
+        "mlp.w1": SiteQuant(weight=w, output=mlp_out),
         "mlp.w2": SiteQuant(input=a8, weight=w_pc, output=a16),
     }
     if not config.shared_attention_norm:
         policy["post_attention_layernorm"] = SiteQuant(input=a16, weight=norm_w16, output=a8)
     if config.num_linears_per_mlp == 3:
-        policy["mlp.w3"] = SiteQuant(weight=w, output=a8)
+        policy["mlp.w3"] = SiteQuant(weight=w, output=mlp_out)
     if config.hidden_act == "silu":
         policy["mlp.act_fn"] = SiteQuant(input2=a8, output=a8)
     else:  # gelu variants: output-only (ref QGELU, qmodule.py:756-799)
@@ -149,10 +164,20 @@ _WEIGHT_ONLY_SITES = ("self_attn.q_proj", "self_attn.k_proj",
                       "mlp.w1", "mlp.w2", "mlp.w3")
 
 
-def weight_only_policy(config: ModelConfig, wcfg: QuantConfig) -> QPolicy:
+def weight_only_policy(config: ModelConfig, wcfg: QuantConfig,
+                       head_bits: int = 16) -> QPolicy:
     """W4A16/W8A16 placement: weight quantizers on every projection, no
     activation quantizers anywhere — the artifact's default_qcfg.json for a
-    weight-only pack describes exactly this."""
+    weight-only pack describes exactly this. head_bits 8/4 records the
+    quantized lm_head (per-channel symmetric weights × dynamic per-token A8,
+    engine.pack_head) so the artifact's placement record covers every
+    quantizer the pack actually carries."""
     sites = [s for s in _WEIGHT_ONLY_SITES
              if config.num_linears_per_mlp == 3 or not s.endswith("w3")]
-    return {s: SiteQuant(weight=wcfg) for s in sites}
+    policy = {s: SiteQuant(weight=wcfg) for s in sites}
+    if head_bits in (4, 8):
+        policy["lm_head"] = SiteQuant(
+            weight=QuantConfig(bitwidth=head_bits, is_symmetric=True,
+                               is_per_channel=True),
+            input=QuantConfig(bitwidth=8, is_symmetric=True, is_dynamic=True))
+    return policy

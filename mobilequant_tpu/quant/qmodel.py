@@ -206,6 +206,15 @@ class QuantOps(M.Ops):
         y = super().pv_matmul(site, p, v)
         return self._fq_act(site, "output", y)
 
+    def add(self, site, a, b):
+        """Residual-stream adds (resid_add_1/2): the device graph quantizes
+        both inputs and the output at 16 bits (ref device/utils.py:68-77);
+        the strict policy carries these sites, relax_16bit drops them."""
+        a = self._fq_act(site, "input", a)
+        b = self._fq_act(site, "input2", b)
+        y = a + b
+        return self._fq_act(site, "output", y)
+
     def act_fn(self, site, x, kind):
         if kind == "silu":
             sig = jax.nn.sigmoid(x)

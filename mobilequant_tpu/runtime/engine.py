@@ -37,6 +37,7 @@ from mobilequant_tpu.models import model as M
 from mobilequant_tpu.ops import qops
 from mobilequant_tpu.quant.policy import QPolicy
 from mobilequant_tpu.quant.quantizer import QuantConfig, fake_quant
+from mobilequant_tpu.runtime.kernel_config import KernelConfig
 
 
 class EngineKVCache(NamedTuple):
@@ -314,11 +315,31 @@ def _fq16(x, r, cfg: QuantConfig):
     return fake_quant(x, r["scale"], r["offset"], cfg)
 
 
-def _int_linear(x_q, s, o, pack, bias, use_pallas, spack=None, li=None):
-    """use_pallas: False/"none" | True/"w4" (fused-unpack kernel for packed 4-bit)
-    | "all" (also route decode-sized 8-bit matmuls through the Pallas kernel —
-    XLA lowers M≲8 int8 dots as broadcast·multiply·reduce on the VPU instead of
-    the MXU, which is several× slower than the bandwidth bound).
+def _fq_site(x, lr, policy, site, role):
+    """Policy-gated fake-quant for optional sites (resid adds): no-op when the
+    site/role is absent from the policy or disabled (relaxed serving)."""
+    sq = policy.get(site)
+    cfg = getattr(sq, role, None) if sq is not None else None
+    if cfg is None or not cfg.enabled:
+        return x
+    return fake_quant(x, lr[site][role]["scale"], lr[site][role]["offset"], cfg)
+
+
+def _resid_add(a, b, lr, policy, site):
+    """Skip-connection add with the strict policy's 16-bit quantizers on both
+    inputs and the output (ref device/utils.py:68-77, module_add ind%5 in
+    [2,3,4]); an unquantized a+b when the site is relaxed/absent."""
+    a = _fq_site(a, lr, policy, site, "input")
+    b = _fq_site(b, lr, policy, site, "input2")
+    return _fq_site(a + b, lr, policy, site, "output")
+
+
+def _int_linear(x_q, s, o, pack, bias, kc: KernelConfig, spack=None, li=None):
+    """Integer matmul dispatch. kc.w4_matmul routes nibble-packed W4 through
+    the fused-unpack Pallas kernels; kc.w8_matmul routes decode-sized 8-bit
+    matmuls through the Pallas w8a8 kernel (XLA lowers M≲8 int8 dots as
+    broadcast·multiply·reduce on the VPU instead of the MXU, several× slower
+    than the bandwidth bound); kc.pad8 instead pads the rows to 8.
 
     spack/li: the layer-STACKED pack + traced layer index. Inside the layer
     scan the Pallas kernel must take the stacked array directly (layer selected
@@ -326,26 +347,25 @@ def _int_linear(x_q, s, o, pack, bias, use_pallas, spack=None, li=None):
     dynamic-slice before a custom call, a full HBM→HBM weight copy per layer
     per step that costs more than the matmul itself (BENCHMARKS.md, Gemma W4
     trace: 102.6 µs/layer of slice copies vs 49.5 µs of kernel)."""
-    mode = {False: "none", True: "w4"}.get(use_pallas, use_pallas)
     K = x_q.shape[-1]
     lead = x_q.shape[:-1]
     m_flat = 1
     for d in lead:
         m_flat *= d
-    if mode != "none" and pack["wq"].shape[0] * 2 == K:
+    if kc.w4_matmul and pack["wq"].shape[0] * 2 == K:
         from mobilequant_tpu.ops.pallas_matmul import (int_linear_pallas,
                                                        int_linear_pallas_stacked)
         if spack is not None and li is not None:
             return int_linear_pallas_stacked(x_q, s, o, spack, li)
         return int_linear_pallas(x_q, s, o, pack, bias)
-    if "all" in str(mode) and pack["wq"].shape[0] == K and m_flat <= 32:
+    if kc.w8_matmul and pack["wq"].shape[0] == K and m_flat <= 32:
         from mobilequant_tpu.ops.pallas_matmul import w8a8_matmul
         N = pack["wq"].shape[1]
         out = w8a8_matmul(x_q.reshape(-1, K), pack["wq"], pack["scale"],
                           pack["offset"], pack["colsum"],
                           bias if bias is not None else jnp.zeros((N,)), s, o)
         return out.reshape(*lead, N)
-    if "pad8" in str(mode) and m_flat < 8:
+    if kc.pad8 and m_flat < 8:
         # XLA lowers M<8 int8 dots to a VPU broadcast·multiply·reduce; padding
         # the activation rows to 8 flips it onto the MXU path (wasted rows are
         # free — the op is weight-bandwidth-bound)
@@ -357,37 +377,46 @@ def _int_linear(x_q, s, o, pack, bias, use_pallas, spack=None, li=None):
     return qops.int_linear(x_q, s, o, pack, bias)
 
 
+def _qmax(cfg) -> float:
+    """Kernel-meta encoding of a fake-quant site: the clip bound (qcfg.qmax)
+    when enabled, 0.0 = disabled. One scalar carries both the enable flag and
+    the bitwidth, so the kernels clip 8- and 16-bit sites correctly."""
+    return float(cfg.qmax) if (cfg is not None and cfg.enabled) else 0.0
+
+
 def _attn_meta(lr, policy, c):
     """(13,) fp32 meta vector shared by the fused attention kernels
     (ops/pallas_attention.py and ops/pallas_prefill_attention.py)."""
     qk = lr["self_attn.qk_bmm"]
     pv = lr["self_attn.pv_bmm"]
 
-    def flag(cfg):
-        return 1.0 if (cfg is not None and cfg.enabled) else 0.0
-
     qk_out_cfg = policy["self_attn.qk_bmm"].output
     pv_in_cfg = policy["self_attn.pv_bmm"].input
+    qk_q = _qmax(qk_out_cfg)
+    pv_q = _qmax(pv_in_cfg)
     return jnp.stack([
         qk["input"]["scale"], qk["input"]["offset"],
         qk["input2"]["scale"], qk["input2"]["offset"],
         pv["input2"]["scale"], pv["input2"]["offset"],
-        jnp.where(flag(qk_out_cfg) > 0, qk["output"]["scale"], 1.0),
-        jnp.where(flag(qk_out_cfg) > 0, qk["output"]["offset"], 0.0),
-        jnp.float32(flag(qk_out_cfg)),
-        jnp.where(flag(pv_in_cfg) > 0, pv["input"]["scale"], 1.0),
-        jnp.where(flag(pv_in_cfg) > 0, pv["input"]["offset"], 0.0),
-        jnp.float32(flag(pv_in_cfg)),
+        jnp.where(qk_q > 0, qk["output"]["scale"], 1.0),
+        jnp.where(qk_q > 0, qk["output"]["offset"], 0.0),
+        jnp.float32(qk_q),
+        jnp.where(pv_q > 0, pv["input"]["scale"], 1.0),
+        jnp.where(pv_q > 0, pv["input"]["offset"], 0.0),
+        jnp.float32(pv_q),
         jnp.float32(c.neg_inf),
     ]).astype(jnp.float32)
 
 
 def _mlp_block_meta(lr, policy, c):
     """(BLOCK_META_LEN,) fp32 meta for the whole-MLP-block kernels
-    (ops/pallas_mlp.py header documents the layout)."""
-    def flag8b(site, role):
-        cfg_ = getattr(policy[site], role, None)
-        return 1.0 if (cfg_ is not None and cfg_.enabled) else 0.0
+    (ops/pallas_mlp.py header documents the layout). Fake-quant entries are
+    (scale, offset, qmax) triples — qmax 0 disables, 255/65535 pick the
+    8/16-bit clip (so the Gemma use_16bit_output_for_mlp policy and the
+    strict resid_add_2 site run bit-exactly in-kernel)."""
+    def qm(site, role):
+        return jnp.float32(_qmax(getattr(policy[site], role, None))
+                           if site in policy else 0.0)
 
     def rngb(site, role, default=(1.0, 0.0)):
         entry = lr.get(site, {})
@@ -402,25 +431,32 @@ def _mlp_block_meta(lr, policy, c):
     w3s, w3o = rngb("mlp.w3", "output")
     lis, lio = rngb(nsite, "input")
     w2os, w2oo = rngb("mlp.w2", "output")
+    r2is, r2io = rngb("resid_add_2", "input")
+    r2js, r2jo = rngb("resid_add_2", "input2")
+    r2os, r2oo = rngb("resid_add_2", "output")
     return jnp.stack([
         lr[nsite]["output"]["scale"], lr[nsite]["output"]["offset"],
-        w1s, w1o, jnp.float32(flag8b("mlp.w1", "output")),
-        sgs, sgo, jnp.float32(flag8b("mlp.act_fn", "input2")),
-        aos, aoo, jnp.float32(flag8b("mlp.act_fn", "output")),
-        w3s, w3o, jnp.float32(flag8b("mlp.w3", "output")),
+        w1s, w1o, qm("mlp.w1", "output"),
+        sgs, sgo, qm("mlp.act_fn", "input2"),
+        aos, aoo, qm("mlp.act_fn", "output"),
+        w3s, w3o, qm("mlp.w3", "output"),
         lr["mlp.w2"]["input"]["scale"], lr["mlp.w2"]["input"]["offset"],
-        lis, lio, jnp.float32(flag8b(nsite, "input")),
+        lis, lio, qm(nsite, "input"),
         jnp.float32(c.norm_eps),
-        w2os, w2oo, jnp.float32(flag8b("mlp.w2", "output")),
+        w2os, w2oo, qm("mlp.w2", "output"),
+        r2is, r2io, qm("resid_add_2", "input"),
+        r2js, r2jo, qm("resid_add_2", "input2"),
+        r2os, r2oo, qm("resid_add_2", "output"),
     ]).astype(jnp.float32)
 
 
 def _layer_meta(lr, policy, c):
     """(pallas_layer.LAYER_META_LEN,) fp32 meta for the whole-layer kernel:
     ATTN head section (ops/pallas_layer.py header) + the MLP section
-    (_mlp_block_meta order)."""
-    def flag(cfg):
-        return 1.0 if (cfg is not None and cfg.enabled) else 0.0
+    (_mlp_block_meta order). Fake-quant entries carry qmax (0 = disabled)."""
+    def qm(site, role):
+        return jnp.float32(_qmax(getattr(policy[site], role, None))
+                           if site in policy else 0.0)
 
     def rng(site, role, default=(1.0, 0.0)):
         entry = lr.get(site, {})
@@ -434,20 +470,26 @@ def _layer_meta(lr, policy, c):
     qos, qoo = rng("self_attn.qk_bmm", "output")
     pis, pio = rng("self_attn.pv_bmm", "input")
     oos, ooo = rng("self_attn.o_proj", "output")
+    r1is, r1io = rng("resid_add_1", "input")
+    r1js, r1jo = rng("resid_add_1", "input2")
+    r1os, r1oo = rng("resid_add_1", "output")
     head = jnp.stack([
-        lis, lio, jnp.float32(flag(policy["input_layernorm"].input)),
+        lis, lio, qm("input_layernorm", "input"),
         jnp.float32(c.norm_eps),
         lr["input_layernorm"]["output"]["scale"],
         lr["input_layernorm"]["output"]["offset"],
         qk["input"]["scale"], qk["input"]["offset"],
         qk["input2"]["scale"], qk["input2"]["offset"],
         pv["input2"]["scale"], pv["input2"]["offset"],
-        qos, qoo, jnp.float32(flag(policy["self_attn.qk_bmm"].output)),
-        pis, pio, jnp.float32(flag(policy["self_attn.pv_bmm"].input)),
+        qos, qoo, qm("self_attn.qk_bmm", "output"),
+        pis, pio, qm("self_attn.pv_bmm", "input"),
         jnp.float32(c.neg_inf),
         lr["self_attn.pv_bmm"]["output"]["scale"],
         lr["self_attn.pv_bmm"]["output"]["offset"],
-        oos, ooo, jnp.float32(flag(policy["self_attn.o_proj"].output)),
+        oos, ooo, qm("self_attn.o_proj", "output"),
+        r1is, r1io, qm("resid_add_1", "input"),
+        r1js, r1jo, qm("resid_add_1", "input2"),
+        r1os, r1oo, qm("resid_add_1", "output"),
     ]).astype(jnp.float32)
     return jnp.concatenate([head, _mlp_block_meta(lr, policy, c)])
 
@@ -525,9 +567,10 @@ def _rope_cs_vec(cos, sin, hd: int, rot: int):
 
 
 def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
-                   config: ModelConfig, policy: QPolicy, use_pallas=False,
+                   config: ModelConfig, policy: QPolicy,
+                   kc: KernelConfig = KernelConfig(),
                    kv_valid_len=None, positions=None, sp=None, li=None,
-                   cp_mesh=None, cp_axis="cp"):
+                   cp_mesh=None, cp_axis="cp", tp_mesh=None, tp_axis="tp"):
     """One decoder layer on packed ints. lp/lr = this layer's packed params/ranges.
     sp/li: the full layer-stacked packed dict + this layer's traced index —
     lets the W4 Pallas path read weights straight from the stack (see
@@ -542,11 +585,24 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         return sp[key] if (sp is not None and li is not None
                            and key in sp) else None
 
-    mode0 = str({False: "none", True: "w4"}.get(use_pallas, use_pallas))
+    def _row_parallel_linear(x8, s, o, pack_, bias_, spk):
+        """Row-parallel (K-sharded) site: with a tp_mesh, route through the
+        ring matmul-reduce-scatter (collective matmul — the partial-sum
+        transfer overlaps the chunk matmuls, vs GSPMD's matmul→all-reduce);
+        W8 unfused packs only (nibble rows interleave K-halves)."""
+        if (tp_mesh is not None and pack_["wq"].shape[0] == x8.shape[-1]
+                and x8.shape[-1] % tp_mesh.shape[tp_axis] == 0
+                and pack_["wq"].shape[1] % tp_mesh.shape[tp_axis] == 0):
+            from mobilequant_tpu.parallel.collective_matmul import (
+                int_linear_reduce_scatter)
+            return int_linear_reduce_scatter(x8, s, o, pack_, bias_,
+                                             tp_mesh, tp_axis)
+        return _int_linear(x8, s, o, pack_, bias_, kc, spk, li)
+
     if (sp is not None and li is not None and T == 1 and B == 1
             and cache_position is not None and "qkvp" in sp and "op" in sp
             and "kcache" in sp and "w13_proj" in sp and "mlp_norm" in lp
-            and "nolayerk" not in mode0 and not c.parallel_residual
+            and kc.layer_kernel and not c.parallel_residual
             and not c.is_moe and c.hidden_act in ("silu", "gelu_tanh")):
         # whole-layer W4 megakernel: norm->qkv->rope->decode-light attention->
         # o-proj->residual->MLP block in ONE stacked-layer dispatch
@@ -588,12 +644,12 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
 
     def proj(pkey, site):
         y = _int_linear(h8, hr["scale"], hr["offset"], lp[pkey], lp[pkey]["bias"],
-                        use_pallas, _sp(pkey), li)
+                        kc, _sp(pkey), li)
         return _fq16(y, lr[site]["output"], policy[site].output)
 
     if "qkv_proj" in lp:
         qkv = _int_linear(h8, hr["scale"], hr["offset"], lp["qkv_proj"],
-                          lp["qkv_proj"]["bias"], use_pallas, _sp("qkv_proj"), li)
+                          lp["qkv_proj"]["bias"], kc, _sp("qkv_proj"), li)
         qd, kvd = Hq * hd, Hkv * hd
         qcfg8 = policy["self_attn.q_proj"].output
         if "out_scale" in lp["qkv_proj"] and qcfg8 is not None and qcfg8.enabled:
@@ -634,11 +690,10 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
     k8_new = jnp.transpose(k8_new, (0, 2, 1, 3))
     v8_new = jnp.transpose(v8_new, (0, 2, 1, 3))
 
-    mode = {False: "none", True: "w4"}.get(use_pallas, use_pallas)
     k_cache, v_cache = kv
     decode_light = (cache_position is not None and T == 1
-                    and "attn" not in str(mode))
-    assert cp_mesh is None or "attn" not in str(mode), \
+                    and not kc.attn_kernel)
+    assert cp_mesh is None or not kc.attn_kernel, \
         "cp_mesh shards the KV sequence axis — the single-chip attention " \
         "kernels cannot read a sharded cache; use the XLA attention paths"
     if decode_light and cp_mesh is not None:
@@ -706,7 +761,7 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         S = k_all.shape[2]
     if decode_light:
         pass
-    elif T == 1 and "attn" in str(mode) and kv_valid_len is not None:
+    elif T == 1 and kc.attn_kernel and kv_valid_len is not None:
         # fused decode-attention kernel: one dispatch per layer
         from mobilequant_tpu.ops.pallas_attention import decode_attention
 
@@ -716,7 +771,7 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         attn = decode_attention(qg, k_all, v_all, meta, kv_valid_len)
         attn = attn.reshape(B, Hkv, G, 1, hd)
         attn = jnp.transpose(attn, (0, 3, 1, 2, 4)).reshape(B, 1, Hq * hd)
-    elif T > 1 and "attn" in str(mode) and positions is not None:
+    elif T > 1 and kc.attn_kernel and positions is not None:
         # fused prefill-attention kernel: no HBM (T,S) score/prob tensors
         from mobilequant_tpu.ops.pallas_prefill_attention import prefill_attention
 
@@ -767,16 +822,16 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         attn = attn.reshape(B, Hkv, G, T, hd)
         attn = jnp.transpose(attn, (0, 3, 1, 2, 4)).reshape(B, T, Hq * hd)
     a8, ar = out_q8(attn, "self_attn.pv_bmm")
-    o = _int_linear(a8, ar["scale"], ar["offset"], lp["o_proj"], lp["o_proj"]["bias"],
-                    use_pallas, _sp("o_proj"), li)
+    o = _row_parallel_linear(a8, ar["scale"], ar["offset"], lp["o_proj"],
+                             lp["o_proj"]["bias"], _sp("o_proj"))
     o = _fq16(o, lr["self_attn.o_proj"]["output"], policy["self_attn.o_proj"].output)
 
-    resid = x + o
+    resid = _resid_add(x, o, lr, policy, "resid_add_1")
     hidden = h if c.parallel_residual else resid
 
     # --- mlp ---
     if (sp is not None and li is not None and "w13_proj" in sp
-            and "mlp_norm" in lp and "nomlpk" not in str(mode)
+            and "mlp_norm" in lp and kc.stacked_mlp_kernel
             and sp["w13_proj"]["wq"].shape[1] * 2 == resid.shape[-1]
             and c.hidden_act in ("silu", "gelu_tanh")
             and not c.parallel_residual and B * T <= 32):
@@ -797,7 +852,7 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
                 "layernorm" if c.norm_class == "layernorm" else "rmsnorm")
             return out.reshape(B, T, Dm).astype(x.dtype), (k_all, v_all)
 
-    if ("mlpblock" in str(mode) and "w13_proj" in lp and "mlp_norm" in lp
+    if (kc.mlp_block_kernel and "w13_proj" in lp and "mlp_norm" in lp
             and lp["w13_proj"]["wq"].shape[0] == resid.shape[-1]
             and c.hidden_act in ("silu", "gelu_tanh") and not c.parallel_residual):
         # whole MLP block (norm→quant→MLP→requant→residual) in ONE dispatch
@@ -805,7 +860,7 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
 
         meta = _mlp_block_meta(lr, policy, c)
         Dm = resid.shape[-1]
-        mm_kind = "vpu" if ("vpu" in str(mode) and B * T == 1) else "mxu"
+        mm_kind = "vpu" if (kc.vpu_matvec and B * T == 1) else "mxu"
         out = fused_mlp_block(
             resid.reshape(-1, Dm).astype(jnp.float32),
             lp["mlp_norm"]["w"], lp["mlp_norm"]["b"],
@@ -901,21 +956,21 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
                 w3p = pick(lp["w3"]) if "w3" in lp else None
                 y1 = expert_chain(
                     lambda: _int_linear(x1, h2r["scale"], h2r["offset"], w1p,
-                                        w1p["bias"], use_pallas,
+                                        w1p["bias"], kc,
                                         spack=sp1, li=fi),
                     (lambda: _int_linear(x1, h2r["scale"], h2r["offset"], w3p,
-                                         w3p["bias"], use_pallas,
+                                         w3p["bias"], kc,
                                          spack=sp3, li=fi))
                     if w3p is not None else None,
                     lambda a8, w2r: _int_linear(a8, w2r["scale"],
                                                 w2r["offset"], w2p,
-                                                w2p["bias"], use_pallas,
+                                                w2p["bias"], kc,
                                                 spack=sp2, li=fi))
                 return y1 * top_vals[b, 0, e]
 
             y = jnp.stack([sum(one(b, e) for e in range(kk))
                            for b in range(B)], axis=0)            # (B, 1, D)
-            return resid + y, (k_all, v_all)
+            return _resid_add(resid, y, lr, policy, "resid_add_2"), (k_all, v_all)
 
         combine = jnp.sum(
             jax.nn.one_hot(top_idx, c.num_local_experts, dtype=top_vals.dtype)
@@ -931,9 +986,9 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
                 a8, w2r["scale"], w2r["offset"], lp["w2"], lp["w2"]["bias"],
                 x_has_expert_axis=True))                          # (B,T,E,D)
         y = jnp.einsum("bted,bte->btd", y, combine.astype(jnp.float32))
-        return resid + y, (k_all, v_all)
+        return _resid_add(resid, y, lr, policy, "resid_add_2"), (k_all, v_all)
 
-    mlp_mode = ("mlp" in str(mode) and "w13_proj" in lp
+    mlp_mode = (kc.mlp_kernel and "w13_proj" in lp
                 and lp["w13_proj"]["wq"].shape[0] == h28.shape[-1]
                 and c.hidden_act in ("silu", "gelu_tanh"))
     if mlp_mode:
@@ -941,8 +996,7 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         from mobilequant_tpu.ops.pallas_mlp import fused_mlp
 
         def flag8(site, role):
-            cfg_ = getattr(policy[site], role, None)
-            return 1.0 if (cfg_ is not None and cfg_.enabled) else 0.0
+            return _qmax(getattr(policy[site], role, None))
 
         def rng(site, role, default=(1.0, 0.0)):
             entry = lr.get(site, {})
@@ -975,13 +1029,13 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
             * (w2s_in * sw2) + w2p["bias"]
         y = y.reshape(B, T, -1)
         y = _fq16(y, lr["mlp.w2"]["output"], policy["mlp.w2"].output)
-        return resid + y, (k_all, v_all)
+        return _resid_add(resid, y, lr, policy, "resid_add_2"), (k_all, v_all)
 
     g3 = None
     if "w13_proj" in lp:
         F = lp["w13_proj"]["wq"].shape[-1] // 2
         g13 = _int_linear(h28, h2r["scale"], h2r["offset"], lp["w13_proj"],
-                          lp["w13_proj"]["bias"], use_pallas, _sp("w13_proj"), li)
+                          lp["w13_proj"]["bias"], kc, _sp("w13_proj"), li)
         w1cfg8 = policy["mlp.w1"].output
         if "out_scale" in lp["w13_proj"] and w1cfg8 is not None and w1cfg8.enabled:
             g13 = fake_quant(g13, lp["w13_proj"]["out_scale"][0],
@@ -992,7 +1046,7 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
             g3 = _fq16(g13[..., F:], lr["mlp.w3"]["output"], policy["mlp.w3"].output)
     else:
         g1 = _int_linear(h28, h2r["scale"], h2r["offset"], lp["w1"], lp["w1"]["bias"],
-                         use_pallas, _sp("w1"), li)
+                         kc, _sp("w1"), li)
         g1 = _fq16(g1, lr["mlp.w1"]["output"], policy["mlp.w1"].output)
     if c.hidden_act == "silu":
         sig = jax.nn.sigmoid(g1)
@@ -1008,26 +1062,30 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
 
     if g3 is None and "w3" in lp:
         g3 = _int_linear(h28, h2r["scale"], h2r["offset"], lp["w3"], lp["w3"]["bias"],
-                         use_pallas, _sp("w3"), li)
+                         kc, _sp("w3"), li)
         g3 = _fq16(g3, lr["mlp.w3"]["output"], policy["mlp.w3"].output)
     if g3 is not None:
         act = act * g3
 
     w2r = lr["mlp.w2"]["input"]
     act8 = qops.quantize_act(act, w2r["scale"], w2r["offset"])
-    y = _int_linear(act8, w2r["scale"], w2r["offset"], lp["w2"], lp["w2"]["bias"],
-                    use_pallas, _sp("w2"), li)
+    y = _row_parallel_linear(act8, w2r["scale"], w2r["offset"], lp["w2"],
+                             lp["w2"]["bias"], _sp("w2"))
     y = _fq16(y, lr["mlp.w2"]["output"], policy["mlp.w2"].output)
 
-    return resid + y, (k_all, v_all)
+    return _resid_add(resid, y, lr, policy, "resid_add_2"), (k_all, v_all)
 
 
 def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolicy,
             positions=None, kv_cache: Optional[EngineKVCache] = None,
-            cache_position=None, kv_valid_len=None, use_pallas: bool = False,
+            cache_position=None, kv_valid_len=None, use_pallas=False,
             layer_unroll: int = 1, logits_at=None, cp_mesh=None,
-            cp_axis: str = "cp"):
+            cp_axis: str = "cp", tp_mesh=None, tp_axis: str = "tp"):
     """Packed-int forward -> (logits, new_kv_cache).
+
+    use_pallas: a runtime.kernel_config.KernelConfig, or any legacy value
+    (bool / mode string) — coerced ONCE here; everything below dispatches on
+    the typed config only.
 
     logits_at: optional (B,) per-sequence row index — compute the final norm +
     lm_head on that single position only and return (B, 1, vocab) logits.
@@ -1042,6 +1100,12 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
     are single-chip); shard the cache with
     NamedSharding(cp_mesh, P(None, None, None, cp_axis, None))."""
     c = config
+    kc = KernelConfig.coerce(use_pallas)
+    if tp_mesh is not None:
+        # ring-TP serving runs the XLA engine body (the Pallas megakernels
+        # are single-chip); the ring kernels replace GSPMD's matmul→all-reduce
+        # at the row-parallel sites
+        kc = KernelConfig.none()
     B, T = tokens.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
@@ -1063,10 +1127,11 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
         if kv is None:
             kv = (None, None)
         h, kv_new = _layer_forward(lp, lr, h, cos, sin, mask, kv,
-                                   cache_position, c, policy, use_pallas,
+                                   cache_position, c, policy, kc,
                                    kv_valid_len, positions,
                                    sp=sp, li=xs.get("li"),
-                                   cp_mesh=cp_mesh, cp_axis=cp_axis)
+                                   cp_mesh=cp_mesh, cp_axis=cp_axis,
+                                   tp_mesh=tp_mesh, tp_axis=tp_axis)
         return h, kv_new
 
     # W4 Pallas path: hand the kernels the layer-STACKED weights (closure, a
@@ -1074,12 +1139,10 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
     # sliced lp weights those sites no longer touch are DCE'd away, and with
     # them the per-layer HBM->HBM copies a custom call otherwise forces
     # (see _int_linear)
-    w4_mode = str({False: "none", True: "w4"}.get(use_pallas, use_pallas))
-    mode_s = w4_mode
-    sp = packed["layers"] if w4_mode != "none" else None
+    sp = packed["layers"] if kc.use_stacked else None
     if (sp is not None and kv_cache is not None and T == 1 and B <= 8
             and cache_position is not None and cp_mesh is None
-            and "qkvp" in sp and "nolayerk" not in w4_mode):
+            and "qkvp" in sp and (kc.layer_kernel or kc.model_kernel)):
         # whole-layer kernel extras: the FULL stacked cache (read by layer
         # index inside the kernel — the per-layer xs slices are DCE'd) and
         # the step's RoPE cos/sin vectors
@@ -1106,7 +1169,7 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
         cache_position = jnp.zeros((B,), jnp.int32)
 
     if (sp is not None and "kcache" in sp and "rvec" in packed
-            and "nomodelk" not in w4_mode and not c.is_moe
+            and kc.model_kernel and not c.is_moe
             and not c.parallel_residual and c.hidden_act in ("silu", "gelu_tanh")
             and "mlp_norm" in packed["layers"]):
         # whole-MODEL kernel: the entire decode layer stack in ONE dispatch
@@ -1147,7 +1210,7 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
     else:
         h, kv_out = jax.lax.scan(body, x, xs, unroll=layer_unroll)
         logits = None
-    if kv_cache is not None and T == 1 and "attn" not in mode_s:
+    if kv_cache is not None and T == 1 and not kc.attn_kernel:
         # decode-light: the scan emitted only the new K/V rows; scatter them
         # into the cache with ONE batched update after the scan. This DUS
         # rewrites the whole cache (18.9 µs × 2/step at TinyLlama shapes — the
@@ -1194,7 +1257,7 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
     y = y * packed["norm"]["w"] + packed["norm"]["b"]
     if "head_q" in packed:
         logits = quantized_head_logits(y, packed["head_q"], c.vocab_size,
-                                       use_kernel=(mode_s != "none"))
+                                       use_kernel=kc.any_kernel)
     else:
         head = packed["embed"].T if c.tie_word_embeddings else packed["lm_head"]["w"]
         logits = jnp.dot(y.astype(head.dtype), head,
@@ -1203,7 +1266,7 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
 
 
 def quantized_head_logits(y: jax.Array, hq: dict, vocab_size: int,
-                          use_kernel: bool) -> jax.Array:
+                          use_kernel: bool, interpret: bool = False) -> jax.Array:
     """Quantized lm_head dispatch: dynamic per-token A8 activations × the
     per-channel symmetric W8/W4 head pack (pack_head) → fp32 logits
     (B, T, vocab_size). Shared by the int engine and the weight-only mode.
@@ -1224,14 +1287,14 @@ def quantized_head_logits(y: jax.Array, hq: dict, vocab_size: int,
         logits = w4a8_matmul(
             x_q, hq["wq"], hq["scale"], hq["offset"], hq["colsum"],
             jnp.zeros((Vp,), jnp.float32), sx.reshape(()),
-            jnp.float32(128.0), block_n=4096)
+            jnp.float32(128.0), block_n=4096, interpret=interpret)
         return logits[:, :vocab_size].reshape(B, T, vocab_size)
     return qops.int_head_linear(y, hq)[..., :vocab_size]
 
 
 def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
                 start_pos: jax.Array, n_steps: int, config: ModelConfig,
-                policy: QPolicy, use_pallas: bool = False,
+                policy: QPolicy, use_pallas=False,
                 temperature: float = 0.0, key: Optional[jax.Array] = None,
                 layer_unroll: int = 1):
     """n_steps of autoregressive greedy/temperature decode inside ONE jitted graph

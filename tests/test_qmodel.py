@@ -103,3 +103,59 @@ def test_lwc_and_lrl_gradients_flow_through_sim():
     assert any(v > 0 for v in jax.tree.leaves(gmax["let"]))
     assert any(v > 0 for v in jax.tree.leaves(gmax["lwc"]))
     assert any(v > 0 for v in jax.tree.leaves(gmax["ranges"]))
+
+
+def test_resid_add_sites_strict_vs_relaxed():
+    """The strict policy carries 16-bit quantizers on both inputs and the
+    output of the skip-connection adds (ref device/utils.py:68-77); relax_16bit
+    removes exactly them. The sites must (a) exist, (b) be calibrated, and
+    (c) actually bite (strict output != relaxed output)."""
+    from mobilequant_tpu.quant.policy import relax_16bit
+
+    cfg, params, policy, tokens = _setup()
+    for site in ("resid_add_1", "resid_add_2"):
+        sq = policy[site]
+        assert sq.input.bitwidth == 16 and sq.input2.bitwidth == 16 \
+            and sq.output.bitwidth == 16
+        relaxed = relax_16bit(policy)[site]
+        assert not relaxed.input.enabled and not relaxed.output.enabled
+
+    stats = calibrate.run_calibration(params, tokens, cfg, policy, batch_size=4)
+    assert "input2" in stats["resid_add_1"] and "output" in stats["resid_add_2"]
+    ranges = calibrate.stats_to_ranges(stats, policy)
+    assert "resid_add_2" in ranges
+
+    t = jnp.asarray(tokens[:2])
+    fp, _ = M.forward(params, t, cfg)
+    strict, _, _ = qmodel.qforward(params, {"ranges": ranges}, t, cfg, policy)
+    rel_pol = relax_16bit(policy)
+    relaxed, _, _ = qmodel.qforward(params, {"ranges": ranges}, t, cfg, rel_pol)
+    # the 16-bit sites are near-lossless but not identity
+    assert not np.allclose(np.asarray(strict), np.asarray(relaxed))
+    scale = np.abs(np.asarray(fp)).max()
+    assert np.abs(np.asarray(strict) - np.asarray(fp)).max() / scale < 0.15
+
+
+def test_use_16bit_output_for_mlp_policy():
+    """Gemma recipe option (ref generate_qcfg.py:34,93-94): w1/w3 outputs at
+    16 bits instead of 8."""
+    cfg, params, policy, tokens = _setup("test-gemma",
+                                         use_16bit_output_for_mlp=True)
+    assert policy["mlp.w1"].output.bitwidth == 16
+    if "mlp.w3" in policy:
+        assert policy["mlp.w3"].output.bitwidth == 16
+    base = default_policy(cfg, QuantConfig(bitwidth=8), QuantConfig(bitwidth=8))
+    assert base["mlp.w1"].output.bitwidth == 8
+
+    # runs through calibration + sim + engine pack unchanged
+    stats = calibrate.run_calibration(params, tokens, cfg, policy, batch_size=4)
+    ranges = calibrate.stats_to_ranges(stats, policy)
+    t = jnp.asarray(tokens[:2])
+    sim, _, _ = qmodel.qforward(params, {"ranges": ranges}, t, cfg, policy)
+    from mobilequant_tpu.runtime import engine as E
+    packed = E.pack(params, ranges, cfg, policy,
+                    E.EngineConfig(model=cfg, max_seq_len=32))
+    eng, _ = E.forward(packed, t, cfg, policy)
+    rel = np.abs(np.asarray(eng) - np.asarray(sim)).max() / \
+        (np.abs(np.asarray(sim)).max() + 1e-9)
+    assert rel < 2e-3, rel
