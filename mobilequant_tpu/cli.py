@@ -114,7 +114,8 @@ def cmd_quantize(args):
                     is_symmetric=args.wbits == 4),
         QuantConfig(bitwidth=args.abits),
         use_8bit_softmax_input=args.use_8bit_softmax_input,
-        use_8bit_softmax_output=args.use_8bit_softmax_output)
+        use_8bit_softmax_output=args.use_8bit_softmax_output,
+        use_16bit_output_for_mlp=args.use_16bit_output_for_mlp)
     tokens = _calib_tokens(args, cfg)
 
     tc = train.TrainConfig(
@@ -199,9 +200,10 @@ def cmd_pack(args):
         packed = wonly.pack_weight_only(params, cfg, wcfg,
                                         head_bits=args.head_bits)
         # the artifact's default_qcfg.json reflects the ACTUAL placement:
-        # weight quantizers on the projections, nothing else (policy.py owns
-        # quantizer placement — CLAUDE.md invariant)
-        policy = weight_only_policy(cfg, wcfg)
+        # weight quantizers on the projections, plus the quantized head when
+        # --head_bits packs one (policy.py owns quantizer placement —
+        # CLAUDE.md invariant)
+        policy = weight_only_policy(cfg, wcfg, head_bits=args.head_bits)
         artifacts.save_packed(args.output_dir, packed, cfg, policy,
                               {"max_seq_len": args.max_seq_len, "act_bits": 16,
                                "weight_bits": wb, "group_size": args.group_size,
@@ -311,6 +313,91 @@ def cmd_eval_choice(args):
     for name, r in results.items():
         print(f"{name}: acc {r['acc']:.4f}  acc_norm {r['acc_norm']:.4f}  "
               f"(n={r['n']})")
+    if args.output:
+        Path(args.output).write_text(_json.dumps(results, indent=2))
+
+
+def cmd_export_tokenizer(args):
+    """tokenizer.bin exporter (ref capp/scripts/tokenizer.py): from a
+    sentencepiece .model or an HF tokenizer dir, with special tokens patched
+    from tokenizer_config.json when present/given."""
+    from mobilequant_tpu.export import tokenizer_bin as TB
+
+    src = Path(args.source)
+    cfg_path = args.tokenizer_config
+    if src.is_dir():
+        import transformers
+        tok = transformers.AutoTokenizer.from_pretrained(str(src),
+                                                         use_fast=False)
+        if cfg_path is None and (src / "tokenizer_config.json").exists():
+            cfg_path = src / "tokenizer_config.json"
+        TB.export_hf_tokenizer(tok, args.output, version=args.version,
+                               tokenizer_config=cfg_path)
+    else:
+        import sentencepiece as spm
+        sp = spm.SentencePieceProcessor(model_file=str(src))
+        pieces, scores = TB.pieces_from_sentencepiece(sp)
+        if cfg_path is not None:
+            import json as _json
+            cfg = _json.loads(Path(cfg_path).read_text())
+            TB.patch_special_tokens(
+                pieces, scores,
+                TB.special_tokens_from_config(cfg, sp.bos_id(), sp.eos_id()))
+        TB.write_tokenizer_bin(args.output, pieces, scores,
+                               version=args.version)
+    print(f"exported tokenizer -> {args.output}")
+
+
+def cmd_eval_lambada(args):
+    """LAMBADA-style last-word accuracy with per-call latency — the CLI rung
+    of ref eval/simple_eval.py:18,71-89 (which drives utils/bench.Evaluator:
+    31-81: tokenize each example, predict the final token from the position
+    before it, report accuracy + average latency)."""
+    import json as _json
+    from mobilequant_tpu.eval.evaluator import last_word_accuracy
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant import qmodel
+
+    tk = None
+    if args.tokenizer:
+        from mobilequant_tpu.runtime.native import NativeTokenizer
+        tk = NativeTokenizer(args.tokenizer)
+    raw = _json.loads(Path(args.task).read_text())
+    examples = []
+    for ex in raw[:args.limit] if args.limit else raw:
+        if "ids" in ex:
+            ids = [int(i) for i in ex["ids"]]
+        else:
+            assert tk is not None, "text task files need --tokenizer"
+            ids = tk.encode(ex["text"],
+                            prefix=[args.bos] if args.bos >= 0 else [])
+        if len(ids) >= 2:
+            examples.append((ids[:-1], ids[-1]))   # ref bench.py:56-76
+
+    results = {}
+    if args.model_dir:
+        params, qstate, cfg, policy, _ = _load_model_dir(args.model_dir)
+        fwd_fp = lambda tok: M.forward(params, tok, cfg)[0]
+        results["fp"] = last_word_accuracy(fwd_fp, examples, pad_to=args.pad_to)
+        if qstate is not None:
+            fwd_q = lambda tok: qmodel.qforward(params, qstate, tok, cfg,
+                                                policy)[0]
+            results["quant_sim"] = last_word_accuracy(fwd_q, examples,
+                                                      pad_to=args.pad_to)
+    if args.engine_dir:
+        from mobilequant_tpu.export import artifacts
+        packed, ecfg_cfg, epolicy, meta = artifacts.load_packed(args.engine_dir)
+        if meta.get("act_bits", 8) == 16:
+            from mobilequant_tpu.runtime import wonly as _emod
+        else:
+            from mobilequant_tpu.runtime import engine as _emod
+        fwd_e = lambda tok: _emod.forward(packed, tok, ecfg_cfg, epolicy)[0]
+        results["engine"] = last_word_accuracy(fwd_e, examples,
+                                               pad_to=args.pad_to)
+    for name, r in results.items():
+        print(f"{name}: acc {r['accuracy']:.4f}  "
+              f"avg latency {r['avg_latency_s']*1e3:.2f} ms  "
+              f"(n={len(examples)})")
     if args.output:
         Path(args.output).write_text(_json.dumps(results, indent=2))
 
@@ -530,6 +617,9 @@ def build_parser():
     q.add_argument("--lrl_min_lr", type=float, default=1e-7)
     q.add_argument("--use_8bit_softmax_input", action="store_true")
     q.add_argument("--use_8bit_softmax_output", action="store_true")
+    q.add_argument("--use_16bit_output_for_mlp", action="store_true",
+                   help="run mlp.w1/w3 outputs at 16 bits (the reference's "
+                        "Gemma recipe option, ref generate_qcfg.py:93-94)")
     q.set_defaults(fn=cmd_quantize)
 
     q = sub.add_parser("pack")
@@ -573,6 +663,33 @@ def build_parser():
     q.add_argument("--max_length", type=int, default=2048)
     q.add_argument("--output", default=None, help="write results JSON here")
     q.set_defaults(fn=cmd_eval_choice)
+
+    q = sub.add_parser("export-tokenizer")
+    q.add_argument("--source", required=True,
+                   help="sentencepiece .model file or HF tokenizer dir")
+    q.add_argument("--output", required=True, help="tokenizer.bin path")
+    q.add_argument("--tokenizer_config", default=None,
+                   help="tokenizer_config.json to patch special tokens from "
+                        "(auto-detected inside an HF dir)")
+    q.add_argument("--version", type=int, choices=(1, 2), default=2,
+                   help="1 = reference-compatible layout, 2 = self-describing")
+    q.set_defaults(fn=cmd_export_tokenizer)
+
+    q = sub.add_parser("eval-lambada")
+    q.add_argument("--task", required=True,
+                   help="local JSON task file: [{'text': str} | {'ids': "
+                        "[int...]}, ...] — predict each example's final token")
+    q.add_argument("--model_dir", default=None)
+    q.add_argument("--engine_dir", default=None)
+    q.add_argument("--tokenizer", default=None,
+                   help="tokenizer.bin for text task files")
+    q.add_argument("--bos", type=int, default=-1)
+    q.add_argument("--pad_to", type=int, default=128,
+                   help="fixed forward length (one executable; ref Evaluator "
+                        "pads to max_length)")
+    q.add_argument("--limit", type=int, default=None)
+    q.add_argument("--output", default=None, help="write results JSON here")
+    q.set_defaults(fn=cmd_eval_lambada)
 
     q = sub.add_parser("serve")
     q.add_argument("--engine_dir", required=True)

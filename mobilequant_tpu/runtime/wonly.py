@@ -188,7 +188,8 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy=None,
         from mobilequant_tpu.runtime.engine import quantized_head_logits
         logits = quantized_head_logits(x.astype(jnp.float32), packed["head_q"],
                                        c.vocab_size,
-                                       use_kernel=bool(use_pallas))
+                                       use_kernel=bool(use_pallas),
+                                       interpret=interpret)
     else:
         head_w = sk["embed"]["w"].T if c.tie_word_embeddings \
             else sk["lm_head"]["w"]
@@ -199,7 +200,8 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy=None,
 def decode_loop(packed: dict, first_token: jax.Array, kv_cache: M.KVCache,
                 start_pos: jax.Array, n_steps: int, config: ModelConfig,
                 policy=None, use_pallas: bool = False, temperature: float = 0.0,
-                key: Optional[jax.Array] = None, **_unused):
+                key: Optional[jax.Array] = None, interpret: bool = False,
+                **_unused):
     """In-graph decode loop (lax.scan over steps) on the weight-only forward —
     same contract as engine.decode_loop."""
     if key is None:
@@ -210,7 +212,7 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: M.KVCache,
         logits, cache = forward(packed, token, config, policy,
                                 positions=pos[:, None], kv_cache=cache,
                                 cache_position=pos, kv_valid_len=pos + 1,
-                                use_pallas=use_pallas)
+                                use_pallas=use_pallas, interpret=interpret)
         last = logits[:, -1]
         from mobilequant_tpu.runtime.sampling import loop_next_token
         nxt = loop_next_token(last, k_step, temperature)[:, None]

@@ -81,6 +81,12 @@ def train_tiny(params, cfg, stream, steps=300, seqlen=64, batch=16, lr=3e-3, see
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--w4", action="store_true")
+    ap.add_argument("--arch", choices=("llama", "gemma", "stablelm"),
+                    default="llama",
+                    help="tiny-model architecture shape: llama (rmsnorm/silu/"
+                         "GQA), gemma (gelu_tanh + skiprms + normalize_embed "
+                         "+ tied large-vocab head), stablelm (layernorm + "
+                         "partial rotary + qkv bias)")
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--epochs", type=int, default=20)
     args = ap.parse_args()
@@ -95,9 +101,22 @@ def main():
     from mobilequant_tpu.runtime import engine as E
     from mobilequant_tpu.eval.ppl import perplexity
 
-    cfg = get_config("test-llama").replace(num_layers=4, hidden_size=128,
-                                           intermediate_size=256, num_heads=8,
-                                           num_kv_heads=4, head_dim=16)
+    # three architecture shapes — the gate covers exactly the knobs where W4
+    # and head quantization are most fragile (VERDICT r1: gelu + skiprms +
+    # normalize_embed + large tied vocab for gemma; layernorm + partial
+    # rotary + qkv bias for stablelm)
+    shape = {
+        "llama": get_config("test-llama").replace(
+            num_layers=4, hidden_size=128, intermediate_size=256,
+            num_heads=8, num_kv_heads=4, head_dim=16),
+        "gemma": get_config("test-gemma").replace(
+            vocab_size=2048, num_layers=4, hidden_size=128,
+            intermediate_size=256, num_heads=8, num_kv_heads=4, head_dim=16),
+        "stablelm": get_config("test-stablelm").replace(
+            num_layers=4, hidden_size=128, intermediate_size=256,
+            num_heads=8, num_kv_heads=8, head_dim=16),
+    }
+    cfg = shape[args.arch]
     stream = make_markov_data()
     params = M.init_params(cfg, jax.random.PRNGKey(0))
     params, final_loss = train_tiny(params, cfg, stream, steps=args.steps)

@@ -59,7 +59,13 @@ def capture(mode: str = "", w_bits: int = 8, n_steps: int = 32, batch: int = 1,
     analyze(TRACE_DIR, n_steps)
 
 
-def analyze(trace_dir: str, n_steps: int = 32, top: int = 25):
+def analyze(trace_dir: str, n_steps: int = 32, top: int = 25,
+            csv_out: str = None):
+    """Aggregate the device trace into a per-op table; also write it as CSV —
+    the qnn_profiling.csv analogue (ref device/export.py:419-424,
+    device/utils.py:583-635) so per-op perf regressions diff between rounds.
+    csv_out default: PROFILE_decode.csv next to the trace's caller cwd
+    (bench/driver copies it beside BENCH_rN.json)."""
     f = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))[-1]
     with gzip.open(f) as fh:
         data = json.load(fh)
@@ -71,14 +77,27 @@ def analyze(trace_dir: str, n_steps: int = 32, top: int = 25):
         if e.get("ph") == "X" and e["pid"] in tpu_pids:
             agg[e["name"]][0] += e.get("dur", 0)
             agg[e["name"]][1] += 1
+    rows = sorted(agg.items(), key=lambda kv: -kv[1][0])
     print(f"top device ops ({f}):")
-    for n, (d, c) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:top]:
+    for n, (d, c) in rows[:top]:
         per = f" ({d/c:.1f} us/call)" if c > 1 else ""
         print(f"  {d/1e3:9.2f} ms x{c:5d}{per}  {n[:80]}")
     layer_ops = [(n, d, c) for n, (d, c) in agg.items() if c % (n_steps * 2) == 0
                  and c >= n_steps]
     tail = sum(d for _, d, _ in layer_ops)
     print(f"\nsum of per-layer ops: {tail/n_steps/1e3:.2f} ms/step")
+
+    csv_out = csv_out or os.environ.get("MQTPU_PROFILE_CSV",
+                                        "PROFILE_decode.csv")
+    total = sum(d for d, _ in agg.values())
+    with open(csv_out, "w") as fh:
+        fh.write("op,total_ms,calls,us_per_call,us_per_step,pct\n")
+        for n, (d, c) in rows:
+            fh.write(f"\"{n.replace(chr(34), '')[:120]}\",{d/1e3:.3f},{c},"
+                     f"{d/max(c,1):.2f},{d/n_steps:.2f},"
+                     f"{100.0*d/max(total,1e-9):.2f}\n")
+    print(f"per-op profile -> {csv_out} ({len(rows)} ops, "
+          f"{total/n_steps/1e3:.2f} ms/step device total)")
 
 
 if __name__ == "__main__":

@@ -67,6 +67,22 @@ def test_cli_full_pipeline(hf_ckpt, tmp_path):
               "--tokens", str(tmp_path / "toks.npy"), "--seqlen", "32",
               "--max_windows", "2"])
 
+    # eval-lambada: last-word accuracy + latency over a local task file
+    # (ref eval/simple_eval.py:18,71-89) across fp / sim / engine rungs
+    import json
+    rng_l = np.random.default_rng(1)
+    task = [{"ids": rng_l.integers(2, cfg2.vocab_size, (12,)).tolist()}
+            for _ in range(4)]
+    (tmp_path / "lambada.json").write_text(json.dumps(task))
+    cli.main(["eval-lambada", "--task", str(tmp_path / "lambada.json"),
+              "--model_dir", str(work), "--engine_dir", str(engine_dir),
+              "--pad_to", "16",
+              "--output", str(tmp_path / "lambada_out.json")])
+    res = json.loads((tmp_path / "lambada_out.json").read_text())
+    for rung in ("fp", "quant_sim", "engine"):
+        assert 0.0 <= res[rung]["accuracy"] <= 1.0
+        assert res[rung]["avg_latency_s"] > 0
+
     # demo command through the native C++ session (libllmod-style loop);
     # ASCII prompts only touch byte-fallback ids < vocab_size
     from mobilequant_tpu.export.tokenizer_bin import write_tokenizer_bin

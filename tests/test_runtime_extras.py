@@ -588,3 +588,42 @@ def test_inference_server_per_request_sampler_passthrough():
         np.testing.assert_array_equal(np.asarray(out, np.int32), ref)
     finally:
         srv.close()
+
+
+def test_tokenizer_bin_special_token_patching(tmp_path):
+    """Special tokens (bos/eos + added_tokens_decoder chat markers) are
+    patched into the exported vocab from tokenizer_config.json (ref
+    capp/scripts/tokenizer.py:58-103), and a chat-templated prompt
+    round-trips encode->decode intact through the native tokenizer."""
+    from mobilequant_tpu.export.tokenizer_bin import (
+        patch_special_tokens, special_tokens_from_config, write_tokenizer_bin)
+    from mobilequant_tpu.runtime.chat import apply_chat_template
+    from mobilequant_tpu.runtime.native import NativeTokenizer
+
+    pieces, scores = _toy_vocab()
+    # raw sp-proto export leaves placeholder pieces in the special slots and
+    # appends added chat-marker tokens with unknown content
+    pieces += [b"<placeholder>", b"<placeholder2>"]
+    scores += [-1000.0, -1000.0]
+    uid, aid = len(pieces) - 2, len(pieces) - 1
+    cfg = {"bos_token": "<s>", "eos_token": "</s>",
+           "added_tokens_decoder": {
+               str(uid): {"content": "<|user|>"},
+               str(aid): {"content": "<|assistant|>"}}}
+    special = special_tokens_from_config(cfg, bos_id=1, eos_id=2)
+    assert special == {1: "<s>", 2: "</s>", uid: "<|user|>",
+                       aid: "<|assistant|>"}
+    patch_special_tokens(pieces, scores, special)
+    assert pieces[uid] == b"<|user|>" and scores[uid] == 0.0
+
+    path = tmp_path / "tok_special.bin"
+    write_tokenizer_bin(path, pieces, scores, version=2)
+    tk = NativeTokenizer(path)
+    # the patched specials decode to their chat-marker content
+    assert tk.decode([uid]) == "<|user|>"
+    assert tk.decode([aid]) == "<|assistant|>"
+    # full chat-templated prompt round-trips byte-exactly
+    for family in ("llama", "gemma", "stablelm"):
+        text = apply_chat_template("hello world", family)
+        ids = tk.encode(text)
+        assert tk.decode(ids) == text, family

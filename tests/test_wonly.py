@@ -193,3 +193,45 @@ def test_wonly_generator_and_batcher_agree():
     outs = cb.run()
     for rid, ref in zip(rids, refs):
         np.testing.assert_array_equal(np.asarray(outs[rid]), np.asarray(ref))
+
+
+def test_wonly_w4_head_kernel_decode_interpret():
+    """bs=1 decode with use_pallas + head_bits=4 routes the head through the
+    fused-unpack Pallas kernel; interpret=True must thread all the way into
+    quantized_head_logits (ADVICE r1: previously the real Mosaic kernel was
+    dispatched on CPU)."""
+    cfg = MODEL_CONFIGS["test-llama"]
+    params = M.init_params(cfg, jax.random.PRNGKey(5))
+    packed = W.pack_weight_only(params, cfg, _wcfg(4, 16), head_bits=4)
+    toks = jnp.asarray(np.random.default_rng(5).integers(
+        0, cfg.vocab_size, (1, 6)), jnp.int32)
+
+    from mobilequant_tpu.runtime import engine as E
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=16, act_bits=16)
+    cache = W.init_kv_cache(ecfg, 1)
+    lg_ref, cache_ref = W.forward(packed, toks[:, :5], cfg, kv_cache=cache,
+                                  cache_position=jnp.zeros((1,), jnp.int32),
+                                  kv_valid_len=jnp.full((1,), 5, jnp.int32))
+    pos = jnp.full((1,), 5, jnp.int32)
+    # B*T == 1 + use_pallas → w4a8_matmul head path, interpret-mode on CPU
+    lg, _ = W.forward(packed, toks[:, 5:6], cfg, positions=pos[:, None],
+                      kv_cache=cache_ref, cache_position=pos,
+                      kv_valid_len=pos + 1, use_pallas=True, interpret=True)
+    lg_x, _ = W.forward(packed, toks[:, 5:6], cfg, positions=pos[:, None],
+                        kv_cache=cache_ref, cache_position=pos,
+                        kv_valid_len=pos + 1, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(lg), np.asarray(lg_x),
+                               rtol=1e-4, atol=5e-4)
+    jax.clear_caches()
+
+
+def test_weight_only_policy_records_head_site():
+    """weight_only_policy(head_bits=4/8) must record the quantized head the
+    pack actually carries (ADVICE r1: placement lives in policy.py only)."""
+    from mobilequant_tpu.quant.policy import weight_only_policy
+    cfg = MODEL_CONFIGS["test-llama"]
+    pol = weight_only_policy(cfg, _wcfg(4, 128), head_bits=4)
+    assert pol["lm_head"].weight.bitwidth == 4
+    assert pol["lm_head"].weight.is_symmetric and pol["lm_head"].weight.is_per_channel
+    assert pol["lm_head"].input.is_dynamic
+    assert "lm_head" not in weight_only_policy(cfg, _wcfg(4, 128))
