@@ -346,12 +346,16 @@ def forward_hidden(params: Params, tokens: jax.Array, config: ModelConfig,
                    kv_valid_len: Optional[jax.Array] = None,
                    collect_stats: bool = False,
                    layer_extras: Optional[PyTree] = None,
-                   apply_final_norm: bool = True):
+                   apply_final_norm: bool = True,
+                   remat: bool = False):
     """Backbone forward.
 
     tokens: (B,T) int32. `layer_extras` is an optional pytree whose leaves are
     stacked over layers (e.g. quant ranges / LWC / LET state); scan slices it per
     layer and hands it to `ops.begin_layer` before the layer body runs.
+    remat: rematerialize each scanned layer on the backward pass
+    (jax.checkpoint) — activation memory drops from O(L·ops) to O(L) layer
+    boundaries, the standard TPU trade for recipe-scale PTQ batches.
     Returns (hidden (B,T,D), new KVCache or per-segment K/V stacks
     (L,B,T,Hkv,hd), stats or None).
     """
@@ -384,6 +388,8 @@ def forward_hidden(params: Params, tokens: jax.Array, config: ModelConfig,
         xs["kv"] = (kv_cache.k, kv_cache.v)
     if layer_extras is not None:
         xs["extras"] = layer_extras
+    if remat:
+        body = jax.checkpoint(body)
     x, (kv_out, stats) = jax.lax.scan(body, x, xs)
     new_cache = KVCache(k=kv_out[0], v=kv_out[1])
 

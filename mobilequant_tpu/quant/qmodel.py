@@ -231,7 +231,8 @@ class QuantOps(M.Ops):
 
 def qforward_hidden(params, qstate, tokens, config: ModelConfig, policy: QPolicy,
                     mode: str = "sim", positions=None, kv_cache=None,
-                    cache_position=None, kv_valid_len=None, apply_final_norm=True):
+                    cache_position=None, kv_valid_len=None, apply_final_norm=True,
+                    remat: bool = False):
     """Backbone with quantization. qstate = {"ranges","lwc","let"} (any may be None).
     Returns (hidden, kv, stats-or-None)."""
     ops = QuantOps(policy, config, mode)
@@ -240,7 +241,7 @@ def qforward_hidden(params, qstate, tokens, config: ModelConfig, policy: QPolicy
                             cache_position, kv_valid_len,
                             collect_stats=(mode == "collect"),
                             layer_extras=extras or None,
-                            apply_final_norm=apply_final_norm)
+                            apply_final_norm=apply_final_norm, remat=remat)
 
 
 def qforward(params, qstate, tokens, config: ModelConfig, policy: QPolicy,

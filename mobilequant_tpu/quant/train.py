@@ -57,6 +57,17 @@ class TrainConfig:
     use_lrl: bool = True
     grad_clip: Optional[float] = None
     log_every: int = 50
+    remat: bool = False            # rematerialize layers on backward — lets
+                                   # recipe-scale batches (B·T ≫ 1k tokens)
+                                   # train within one chip's HBM
+    infer_batch: Optional[int] = None  # batch size for the non-training
+                                   # passes (teacher / activation propagation);
+                                   # default max(batch_size, 16) — the recipe's
+                                   # optimizer batch (B=1 upstream) must not
+                                   # force per-sample device dispatches
+    teacher_cache_bytes: int = 4 << 30  # keep teacher hiddens device-resident
+                                   # up to this many bytes (no host↔device
+                                   # round-trip per step); larger spills to np
 
 
 def _cosine_lr(max_lr, min_lr, warmup_iters, max_iters):
@@ -150,7 +161,8 @@ def e2equant(params, qstate, tokens: np.ndarray, config: ModelConfig,
             else:
                 qh, _, _ = qmodel.qforward_hidden(params, qs, tok, config,
                                                   policy,
-                                                  apply_final_norm=False)
+                                                  apply_final_norm=False,
+                                                  remat=tc.remat)
             return jnp.mean(jnp.square(qh - fp_h))
 
         loss, grads = jax.value_and_grad(loss_fn)(trainable)
@@ -159,19 +171,26 @@ def e2equant(params, qstate, tokens: np.ndarray, config: ModelConfig,
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, loss, gnorm
 
-    # teacher activations cached once (ref fp_inps, algorithm.py:673-688)
+    # token batches transferred ONCE (not per epoch); teacher activations
+    # cached once (ref fp_inps, algorithm.py:673-688) and kept DEVICE-resident
+    # when they fit (teacher_cache_bytes) — 60 epochs of per-step host↔device
+    # hidden-state round-trips was the r1 scaling bottleneck
+    tok_batches = [jnp.asarray(tokens[i:i + tc.batch_size], jnp.int32)
+                   for i in range(0, n, tc.batch_size)]
+    cache_on_device = (n * tokens.shape[1] * config.hidden_size * 4
+                       <= tc.teacher_cache_bytes)
     fp_hidden = []
-    for i in range(0, n, tc.batch_size):
-        tok = jnp.asarray(tokens[i:i + tc.batch_size], jnp.int32)
-        fp_hidden.append(jax.device_get(teacher(tok)))
+    for tok in tok_batches:
+        h = teacher(tok)
+        fp_hidden.append(h if cache_on_device else jax.device_get(h))
 
     history = []
     for epoch in range(tc.epochs):
         epoch_losses = []
         last_gnorm = 0.0
-        for bi, i in enumerate(range(0, n, tc.batch_size)):
-            tok = jnp.asarray(tokens[i:i + tc.batch_size], jnp.int32)
-            fp_h = jnp.asarray(fp_hidden[bi])
+        for bi, tok in enumerate(tok_batches):
+            fp_h = fp_hidden[bi] if cache_on_device \
+                else jnp.asarray(fp_hidden[bi])
             trainable, opt_state, loss, gnorm = train_step(trainable, opt_state,
                                                            tok, fp_h)
             loss = float(loss)
@@ -262,8 +281,21 @@ def omniquant(params, qstate, tokens: np.ndarray, config: ModelConfig,
     fp_apply = jax.jit(lambda lp, x: layer_apply(lp, None, x, False))
     q_apply = jax.jit(lambda lp, extras, x: layer_apply(lp, extras, x, True))
 
-    fp_inps = np.stack([np.asarray(embed(tok_all[i])) for i in range(n)])  # (n,T,D)
-    quant_inps = fp_inps.copy()
+    # inference passes (teacher outputs / activation propagation) run at
+    # infer_batch regardless of the recipe's optimizer batch — the reference
+    # dispatches these per-sample (algorithm.py:569-573), which is the r1
+    # scaling bottleneck at nsamples=1024. Buffers stay device-resident when
+    # the three (n,T,D) arrays fit in teacher_cache_bytes.
+    ib = tc.infer_batch or max(tc.batch_size, 16)
+    cache_dev = 3 * n * T * c.hidden_size * 4 <= tc.teacher_cache_bytes
+    xp = jnp if cache_dev else np
+
+    def batched(fn, x):
+        return xp.concatenate([fn(jnp.asarray(x[i:i + ib]))
+                               for i in range(0, n, ib)], axis=0)
+
+    fp_inps = batched(embed, tok_all)                               # (n,T,D)
+    quant_inps = fp_inps if cache_dev else fp_inps.copy()
 
     trainable_keys = [k for k in ("let", "lwc", "ranges") if k in qstate
                       and (k != "ranges" or tc.use_lrl)]
@@ -287,9 +319,8 @@ def omniquant(params, qstate, tokens: np.ndarray, config: ModelConfig,
         trainable = {k: layer_state[k] for k in trainable_keys}
         static_state = {k: v for k, v in layer_state.items() if k not in trainable_keys}
 
-        # FP teacher outputs for this layer
-        fp_out = np.stack([np.asarray(fp_apply(lp, jnp.asarray(fp_inps[i:i + 1])))[0]
-                           for i in range(n)])
+        # FP teacher outputs for this layer (batched)
+        fp_out = batched(lambda x: fp_apply(lp, x), fp_inps)
 
         opt_state = opt.init(trainable)
         last = None
@@ -311,11 +342,9 @@ def omniquant(params, qstate, tokens: np.ndarray, config: ModelConfig,
             final_state[k] = jax.tree.map(
                 lambda full, one: full.at[li].set(one), final_state[k], merged[k])
 
-        # propagate quantized activations (ref algorithm.py:569-573)
+        # propagate quantized activations (ref algorithm.py:569-573, batched)
         extras = merged
-        quant_inps = np.stack([
-            np.asarray(q_apply(lp, extras, jnp.asarray(quant_inps[i:i + 1])))[0]
-            for i in range(n)])
+        quant_inps = batched(lambda x: q_apply(lp, extras, x), quant_inps)
         fp_inps = fp_out
 
     return final_state, None

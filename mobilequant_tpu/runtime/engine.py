@@ -1284,10 +1284,13 @@ def quantized_head_logits(y: jax.Array, hq: dict, vocab_size: int,
         from mobilequant_tpu.ops.pallas_matmul import w4a8_matmul
         x_q, sx = qops.dynamic_quantize_act(y.reshape(1, D))
         Vp = hq["wq"].shape[1]
+        # forward interpret only when set: an explicit interpret=False would
+        # override the interpret-mode partial CPU tests patch onto w4a8_matmul
+        kw = {"interpret": True} if interpret else {}
         logits = w4a8_matmul(
             x_q, hq["wq"], hq["scale"], hq["offset"], hq["colsum"],
             jnp.zeros((Vp,), jnp.float32), sx.reshape(()),
-            jnp.float32(128.0), block_n=4096, interpret=interpret)
+            jnp.float32(128.0), block_n=4096, **kw)
         return logits[:, :vocab_size].reshape(B, T, vocab_size)
     return qops.int_head_linear(y, hq)[..., :vocab_size]
 

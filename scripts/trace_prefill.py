@@ -4,7 +4,7 @@ Companion of trace_decode.py for the prompt path: locates where the prefill
 gap-to-MXU-peak goes (matmul vs fake-quant elementwise traffic vs attention).
 
 Usage (on the TPU):
-  PYTHONPATH=. python scripts/trace_prefill.py [use_pallas_mode] [T]
+  PYTHONPATH=. python scripts/trace_prefill.py [use_pallas_mode] [T] [w_bits] [B]
   PYTHONPATH=. python scripts/trace_prefill.py --analyze /tmp/jax-trace-prefill
 """
 
@@ -17,7 +17,8 @@ from scripts.trace_decode import analyze  # noqa: E402
 TRACE_DIR = "/tmp/jax-trace-prefill"
 
 
-def capture(mode: str = "", T: int = 1024):
+def capture(mode: str = "", T: int = 1024, w_bits: int = 8, B: int = 1,
+            head_bits: int = 16):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -25,7 +26,9 @@ def capture(mode: str = "", T: int = 1024):
     from mobilequant_tpu.runtime import engine as E
     from mobilequant_tpu.quant.policy import relax_16bit
 
-    packed, cfg, policy, ecfg = _build_packed_tinyllama(max_seq_len=T)
+    packed, cfg, policy, ecfg = _build_packed_tinyllama(max_seq_len=T,
+                                                        w_bits=w_bits,
+                                                        head_bits=head_bits)
     policy = relax_16bit(policy)
 
     @jax.jit
@@ -37,7 +40,7 @@ def capture(mode: str = "", T: int = 1024):
     rng = np.random.default_rng(0)
 
     def run(salt):
-        t = jnp.asarray((rng.integers(0, cfg.vocab_size, (1, T)) + salt)
+        t = jnp.asarray((rng.integers(0, cfg.vocab_size, (B, T)) + salt)
                         % cfg.vocab_size, jnp.int32)
         np.asarray(step(packed, t))
 
@@ -55,4 +58,6 @@ if __name__ == "__main__":
         analyze(sys.argv[2], n_steps=1, top=30)
     else:
         capture(sys.argv[1] if len(sys.argv) > 1 else "",
-                int(sys.argv[2]) if len(sys.argv) > 2 else 1024)
+                int(sys.argv[2]) if len(sys.argv) > 2 else 1024,
+                w_bits=int(sys.argv[3]) if len(sys.argv) > 3 else 8,
+                B=int(sys.argv[4]) if len(sys.argv) > 4 else 1)
