@@ -406,19 +406,30 @@ def _w4_mlp_phase(j, nj, m, x_get, out_set, nw_ref, nb_ref,
                   w2p_refs, aux2_ref,
                   acc_ref, rsum_ref, h_ref,
                   *, act_kind: str, norm_kind: str, half_f: int,
-                  wbits: int = 4):
+                  wbits: int = 4, site_on: tuple = (True,) * 9):
     """Phase body of the stacked W4 whole-MLP-block kernel, parameterised so it
     can ALSO run as the tail phases of the whole-layer kernel
     (ops/pallas_layer.py): j/nj are the phase index/count within the MLP stage,
     m(i) reads meta scalar i (caller applies its own meta offset), x_get()
-    returns the (M,K) fp32 residual, out_set(y) writes the final output."""
+    returns the (M,K) fp32 residual, out_set(y) writes the final output.
+
+    site_on: STATIC enable flags for the 9 optional fake-quant sites, in order
+    (x16, w1out, sig, actout, w3out, w2out, resid_in, resid_in2, resid_out).
+    The runtime meta qmax=0 convention also disables a site, but the kernel
+    still pays the full fq math for it on the VPU — under the relaxed serving
+    policy that is 5 dead full-width elementwise chains per layer. Specializing
+    at trace time skips them (same trick as pallas_prefill_attention)."""
     M, K = h_ref.shape
     K2 = K // 2
     TFh = w2p_refs[0].shape[1]
+    s_x16, s_w1, s_sig, s_act, s_w3, s_w2o, s_r1, s_r2, s_ro = site_on
+
+    def fq_on(x, i0, on):
+        return _fq(x, m(i0), m(i0 + 1), m(i0 + 2)) if on else x
 
     @pl.when(j == 0)
     def _():
-        x = _fq(x_get(), m(16), m(17), m(18))
+        x = fq_on(x_get(), 16, s_x16)
         if norm_kind == "layernorm":
             mu = jnp.mean(x, axis=1, keepdims=True)
             var = jnp.mean(jnp.square(x - mu), axis=1, keepdims=True)
@@ -462,16 +473,16 @@ def _w4_mlp_phase(j, nj, m, x_get, out_set, nw_ref, nb_ref,
         return acc * (m(0) * s) + b
 
     def gate(g1, g3):
-        g1 = _fq(g1, m(2), m(3), m(4))
+        g1 = fq_on(g1, 2, s_w1)
         if act_kind == "silu":
             sig = 1.0 / (1.0 + jnp.exp(-g1))
-            sig = _fq(sig, m(5), m(6), m(7))
+            sig = fq_on(sig, 5, s_sig)
             act = g1 * sig
         else:
             t = 0.7978845608028654 * (g1 + 0.044715 * g1 * g1 * g1)
             act = 0.5 * g1 * (1.0 + jnp.tanh(t))
-        act = _fq(act, m(8), m(9), m(10))
-        g3 = _fq(g3, m(11), m(12), m(13))
+        act = fq_on(act, 8, s_act)
+        g3 = fq_on(g3, 11, s_w3)
         return act * g3
 
     c_lo = j * TFh                      # w1 seg_lo columns
@@ -524,18 +535,19 @@ def _w4_mlp_phase(j, nj, m, x_get, out_set, nw_ref, nb_ref,
         y = acc_ref[:].astype(jnp.float32)
         y = (y - ox2 * c2 - o2 * rsum_ref[:].astype(jnp.float32)
              + F_total * ox2 * o2) * (m(14) * s2) + b2
-        y = _fq(y, m(20), m(21), m(22))
+        y = fq_on(y, 20, s_w2o)
         # resid_add_2: strict policy quantizes both inputs + the output
-        xr = _fq(x_get(), m(23), m(24), m(25))
-        y = _fq(y, m(26), m(27), m(28))
-        out_set(_fq(xr + y, m(29), m(30), m(31)))
+        xr = fq_on(x_get(), 23, s_r1)
+        y = fq_on(y, 26, s_r2)
+        out_set(fq_on(xr + y, 29, s_ro))
 
 
 def _w4_mlp_block_kernel(idx_ref, meta_ref, x_ref, nw_ref, nb_ref,
                          w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
                          w2p_ref, aux2_ref, out_ref,
                          acc_ref, rsum_ref, h_ref,
-                         *, act_kind: str, norm_kind: str, half_f: int):
+                         *, act_kind: str, norm_kind: str, half_f: int,
+                         site_on: tuple = (True,) * 9):
     del idx_ref
     j = pl.program_id(0)
     nj = pl.num_programs(0)
@@ -546,7 +558,8 @@ def _w4_mlp_block_kernel(idx_ref, meta_ref, x_ref, nw_ref, nb_ref,
     _w4_mlp_phase(j, nj, lambda i: meta_ref[i], lambda: x_ref[:], out_set,
                   nw_ref, nb_ref, w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref,
                   aux13_ref, (w2p_ref,), aux2_ref, acc_ref, rsum_ref, h_ref,
-                  act_kind=act_kind, norm_kind=norm_kind, half_f=half_f)
+                  act_kind=act_kind, norm_kind=norm_kind, half_f=half_f,
+                  site_on=site_on)
 
 
 def _pick_block_fh(K: int, half_f: int) -> int:
@@ -565,12 +578,25 @@ def w4_mlp_block_supported(K: int, F: int) -> bool:
             and _pick_block_fh(K, F // 2) != 0)
 
 
+# NOTE on prefill-sized M (two negative results, 2026-08-19):
+# 1. Lifting the stacked-block gate to M=1024 measured WORSE than the split
+#    path (523 vs 344 us/layer, TinyLlama W4 T=1024, even with static site_on
+#    flags): the narrow TFh dots and the gate VPU work serialize with the MXU
+#    inside one program, while the split path runs the wide stacked matmuls at
+#    88% of int8 peak. The block kernel stays decode-sized (engine B*T<=64).
+# 2. A dedicated one-pass "gate_quant" kernel for the split path's
+#    inter-matmul elementwise chain measured 163 us/layer vs XLA's 129 us
+#    two-fusion split — the chain is VPU-floor-bound, not HBM-bound.
+# Details + the arithmetic: BENCHMARKS.md "Prefill, round 2".
+
+
 @functools.partial(jax.jit, static_argnames=("act_kind", "norm_kind",
-                                             "interpret"))
+                                             "site_on", "interpret"))
 def fused_mlp_block_w4_stacked(x: jax.Array, nw_L, nb_L, w13sp: dict,
                                w2sp: dict, meta: jax.Array, layer_idx,
                                act_kind: str = "silu",
                                norm_kind: str = "rmsnorm", *,
+                               site_on: tuple = (True,) * 9,
                                interpret: bool = False):
     """Residual x (M,K) fp32 → x + MLP(norm(x)) for layer `layer_idx` of the
     stacked W4 packs, in ONE dispatch. w13sp: {wq (L,K/2,2F), scale/offset
@@ -602,7 +628,8 @@ def fused_mlp_block_w4_stacked(x: jax.Array, nw_L, nb_L, w13sp: dict,
     idx = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
 
     kernel = functools.partial(_w4_mlp_block_kernel, act_kind=act_kind,
-                               norm_kind=norm_kind, half_f=half_f)
+                               norm_kind=norm_kind, half_f=half_f,
+                               site_on=site_on)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nh,),

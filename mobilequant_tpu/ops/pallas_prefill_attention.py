@@ -129,6 +129,74 @@ def _prefill_attn_kernel(meta_ref, valid_ref, q_ref, k_ref, v_ref, pos_ref,
     out_ref[0, 0] = ((pv - ov * psum) * sv).reshape(G, BQ, hd)
 
 
+def _prefill_attn_online_kernel(meta_ref, valid_ref, q_ref, k_ref, v_ref,
+                                pos_ref, out_ref, *, bs: int, qk_fq: bool):
+    """Single-pass online-softmax variant for pv_fq=False (the relaxed/serving
+    policy): without the post-softmax prob fake-quant there is no whole-row
+    nonlinearity, so the classic running-max/rescale formulation is exact up
+    to fp32 accumulation order. One pass over the causal blocks instead of
+    three (score+store / exp / PV) — the 3-phase kernel is VPU-bound on
+    repeated traversals of the (G·BQ, S) score matrix, measured 209 µs/layer
+    at T=S=1024 vs 1?? for this kernel (BENCHMARKS.md "Prefill").
+
+    Σp bookkeeping for the v zero-point: p = e/l, so Σ_s p = l·linv and
+    out = (Σ e·v − ov·l)·linv·sv — no separate psum accumulator needed."""
+    sq, oq = meta_ref[0], meta_ref[1] - 128.0
+    sk, ok = meta_ref[2], meta_ref[3] - 128.0
+    sv, ov = meta_ref[4], meta_ref[5] - 128.0
+    neg_inf = meta_ref[12]
+
+    b = pl.program_id(0)
+    q = q_ref[0, 0]                                   # (G, BQ, hd) int8
+    G, BQ, hd = q.shape
+    S = k_ref.shape[2]
+    R = G * BQ
+    q2 = q.reshape(R, hd)
+    inv_sqrt = 1.0 / math.sqrt(hd)
+
+    pos = pos_ref[0]                                  # (BQ, 1) int32
+    valid_b = valid_ref[b]
+    pmax = jnp.max(pos)
+    ncols = jnp.clip(jnp.minimum(pmax + 1, valid_b), 0, S)
+    nblk = (ncols + bs - 1) // bs
+
+    qsum = jnp.sum(q2.astype(jnp.int32), axis=1,
+                   keepdims=True).astype(jnp.float32)
+
+    def blk(i, carry):
+        acc, l, m = carry
+        s0 = i * bs
+        k = k_ref[0, 0, pl.ds(s0, bs), :]             # (bs, hd) int8
+        raw = jax.lax.dot_general(q2, k, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32
+                                  ).astype(jnp.float32)
+        ksum = jnp.sum(k.astype(jnp.int32),
+                       axis=1).astype(jnp.float32)[None, :]
+        sc = (raw - ok * qsum - oq * ksum + hd * oq * ok) * (sq * sk)
+        if qk_fq:
+            sc = _fq16(sc, meta_ref[6], meta_ref[7], meta_ref[8])
+        sc = sc * inv_sqrt
+        col = s0 + jax.lax.broadcasted_iota(jnp.int32, (BQ, bs), 1)
+        ok_mask = (col <= pos) & (col < valid_b)
+        mask2d = jnp.where(ok_mask, 0.0, neg_inf)     # (BQ, bs)
+        sc = (sc.reshape(G, BQ, bs) + mask2d[None]).reshape(R, bs)
+        m_new = jnp.maximum(m, jnp.max(sc, axis=1, keepdims=True))
+        r = jnp.exp(m - m_new)
+        e = jnp.exp(sc - m_new)
+        v = v_ref[0, 0, pl.ds(s0, bs), :].astype(jnp.float32)  # (bs, hd)
+        acc = acc * r + jax.lax.dot_general(e, v, (((1,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.float32)
+        l = l * r + jnp.sum(e, axis=1, keepdims=True)
+        return acc, l, m_new
+
+    acc, l, _ = jax.lax.fori_loop(
+        0, nblk, blk,
+        (jnp.zeros((R, hd), jnp.float32), jnp.zeros((R, 1), jnp.float32),
+         jnp.full((R, 1), _NEG_BIG, jnp.float32)))
+    linv = 1.0 / jnp.maximum(l, 1e-30)
+    out_ref[0, 0] = ((acc - ov * l) * linv * sv).reshape(G, BQ, hd)
+
+
 @functools.partial(jax.jit, static_argnames=("qk_fq", "pv_fq", "interpret"))
 def prefill_attention(q8: jax.Array, k8: jax.Array, v8: jax.Array,
                       meta: jax.Array, positions: jax.Array,
@@ -171,8 +239,16 @@ def prefill_attention(q8: jax.Array, k8: jax.Array, v8: jax.Array,
     assert S % BS == 0, (S, BS)
 
     grid = (B, Hkv, Tp // BQ)
-    kernel = functools.partial(_prefill_attn_kernel, bs=BS,
-                               qk_fq=qk_fq, pv_fq=pv_fq)
+    if pv_fq:
+        # post-softmax prob fake-quant is nonlinear in the normalized
+        # probability — needs the whole-row-exact 3-phase kernel
+        kernel = functools.partial(_prefill_attn_kernel, bs=BS,
+                                   qk_fq=qk_fq, pv_fq=pv_fq)
+        scratch = [pltpu.VMEM((G * BQ, S), jnp.float32)]
+    else:
+        kernel = functools.partial(_prefill_attn_online_kernel, bs=BS,
+                                   qk_fq=qk_fq)
+        scratch = []
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -191,9 +267,7 @@ def prefill_attention(q8: jax.Array, k8: jax.Array, v8: jax.Array,
         out_specs=pl.BlockSpec((1, 1, G, BQ, hd), lambda b, h, t: (b, h, 0, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, Tp, hd), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((G * BQ, S), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(

@@ -450,6 +450,27 @@ def _mlp_block_meta(lr, policy, c):
     ]).astype(jnp.float32)
 
 
+def _mlp_block_site_on(policy) -> tuple:
+    """STATIC enable flags for the MLP-block kernel's optional fake-quant
+    sites (ops/pallas_mlp._w4_mlp_phase site_on order). Mirrors the meta
+    qmax-0-disables convention, but at trace time — the kernel skips the dead
+    VPU chains instead of computing them and discarding (the relaxed serving
+    policy disables 5 full-width sites per layer)."""
+    def on(site, role):
+        cfg = getattr(policy[site], role, None) if site in policy else None
+        return bool(cfg is not None and cfg.enabled)
+
+    return (on("post_attention_layernorm", "input"),
+            on("mlp.w1", "output"),
+            on("mlp.act_fn", "input2"),
+            on("mlp.act_fn", "output"),
+            on("mlp.w3", "output"),
+            on("mlp.w2", "output"),
+            on("resid_add_2", "input"),
+            on("resid_add_2", "input2"),
+            on("resid_add_2", "output"))
+
+
 def _layer_meta(lr, policy, c):
     """(pallas_layer.LAYER_META_LEN,) fp32 meta for the whole-layer kernel:
     ATTN head section (ops/pallas_layer.py header) + the MLP section
@@ -834,11 +855,15 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
             and "mlp_norm" in lp and kc.stacked_mlp_kernel
             and sp["w13_proj"]["wq"].shape[1] * 2 == resid.shape[-1]
             and c.hidden_act in ("silu", "gelu_tanh")
-            and not c.parallel_residual and B * T <= 32):
+            and not c.parallel_residual):
         from mobilequant_tpu.ops import pallas_mlp as _PMLP
         Dm = resid.shape[-1]
         Fm = sp["w13_proj"]["wq"].shape[2] // 2
-        if (sp["w2"]["wq"].shape[1] * 2 == Fm
+        # decode-sized only: at prefill M the narrow-segment dots + in-program
+        # VPU serialization lose to the split stacked matmuls + gate_quant
+        # (523 vs ~300 µs/layer at M=1024 — see ops/pallas_mlp.py NOTE)
+        if (B * T <= 64
+                and sp["w2"]["wq"].shape[1] * 2 == Fm
                 and _PMLP.w4_mlp_block_supported(Dm, Fm)):
             # whole W4 MLP block (norm→quant→w13→act→w2→requant→residual) in
             # ONE stacked-layer dispatch: nibble weights stream straight from
@@ -849,7 +874,8 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
                 resid.reshape(-1, Dm).astype(jnp.float32),
                 sp["mlp_norm"]["w"], sp["mlp_norm"]["b"],
                 sp["w13_proj"], sp["w2"], meta, li, c.hidden_act,
-                "layernorm" if c.norm_class == "layernorm" else "rmsnorm")
+                "layernorm" if c.norm_class == "layernorm" else "rmsnorm",
+                site_on=_mlp_block_site_on(policy))
             return out.reshape(B, T, Dm).astype(x.dtype), (k_all, v_all)
 
     if (kc.mlp_block_kernel and "w13_proj" in lp and "mlp_norm" in lp
@@ -1037,6 +1063,13 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         g13 = _int_linear(h28, h2r["scale"], h2r["offset"], lp["w13_proj"],
                           lp["w13_proj"]["bias"], kc, _sp("w13_proj"), li)
         w1cfg8 = policy["mlp.w1"].output
+        # NOTE (negative result, 2026-08-19): a one-pass Pallas "gate_quant"
+        # kernel for this chain (w1/w3-fq → act → gate-mul → w2-quantize,
+        # (M,2F) fp32 → (M,F) int8) measured 163 µs/layer at T=1024 vs XLA's
+        # 129 µs two-fusion split, and the downstream w2 matmul regressed
+        # 79→95 µs behind the custom call. The chain is VPU-floor-bound
+        # (~40 elementwise ops/elem of fake-quant math), not HBM-bound —
+        # XLA's fusions already overlap the traffic. Details: BENCHMARKS.md.
         if "out_scale" in lp["w13_proj"] and w1cfg8 is not None and w1cfg8.enabled:
             g13 = fake_quant(g13, lp["w13_proj"]["out_scale"][0],
                              lp["w13_proj"]["out_offset"][0], w1cfg8)
@@ -1140,7 +1173,7 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
     # them the per-layer HBM->HBM copies a custom call otherwise forces
     # (see _int_linear)
     sp = packed["layers"] if kc.use_stacked else None
-    if (sp is not None and kv_cache is not None and T == 1 and B <= 8
+    if (sp is not None and kv_cache is not None and T == 1 and B <= 32
             and cache_position is not None and cp_mesh is None
             and "qkvp" in sp and (kc.layer_kernel or kc.model_kernel)):
         # whole-layer kernel extras: the FULL stacked cache (read by layer

@@ -362,19 +362,24 @@ def test_w4_mlp_block_stacked_matches_engine():
         0, cfg.vocab_size, (2, 8)).astype(np.int32)
     stats = calibrate.run_calibration(params, tokens, cfg, base, batch_size=2)
     ranges = calibrate.stats_to_ranges(stats, base)
-    ecfg = E.EngineConfig(model=cfg, max_seq_len=16, weight_bits=4)
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=64, weight_bits=4)
     packed = E.pack(params, ranges, cfg, base, ecfg)
-    t = jnp.asarray(tokens)
+    # (2,8): decode-sized M=16; (1,48): a chunked-decode-sized segment past
+    # the old M<=32 gate (the block kernel now admits B*T<=64)
+    prefill = np.random.default_rng(1).integers(
+        0, cfg.vocab_size, (1, 48)).astype(np.int32)
 
     om, ob = PM.int_linear_pallas_stacked, PMLP.fused_mlp_block_w4_stacked
     PM.int_linear_pallas_stacked = functools.partial(om, interpret=True)
     PMLP.fused_mlp_block_w4_stacked = functools.partial(ob, interpret=True)
     try:
-        for policy in (base, relax_16bit(base)):
-            ref, _ = E.forward(packed, t, cfg, policy)
-            out, _ = E.forward(packed, t, cfg, policy, use_pallas=True)
-            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                       rtol=2e-4, atol=2e-4)
+        for toks in (tokens, prefill):
+            t = jnp.asarray(toks)
+            for policy in (base, relax_16bit(base)):
+                ref, _ = E.forward(packed, t, cfg, policy)
+                out, _ = E.forward(packed, t, cfg, policy, use_pallas=True)
+                np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                           rtol=2e-4, atol=2e-4)
     finally:
         PM.int_linear_pallas_stacked = om
         PMLP.fused_mlp_block_w4_stacked = ob
@@ -502,6 +507,30 @@ def test_whole_layer_w4_kernel_matches_engine_decode(variant):
                                        rtol=2e-4, atol=2e-4)
             np.testing.assert_array_equal(np.asarray(cb2.k), np.asarray(ca2.k))
             np.testing.assert_array_equal(np.asarray(cb2.v), np.asarray(ca2.v))
+
+        # serving-sized batch (B=16, the lifted B<=32 gate) through the
+        # whole-model kernel — one variant/policy to bound interpret time
+        if variant == "llama_gqa64":
+            B16 = 16
+            t16 = jnp.asarray(np.tile(tokens[:2], (8, 1)))
+            ca, cb = E.init_kv_cache(ecfg, B16), E.init_kv_cache(ecfg, B16)
+            pos0 = jnp.zeros((B16,), jnp.int32)
+            _, ca = E.forward(packed, t16[:, :4], cfg, base, kv_cache=ca,
+                              cache_position=pos0)
+            _, cb = E.forward(packed, t16[:, :4], cfg, base, kv_cache=cb,
+                              cache_position=pos0)
+            pos = jnp.asarray([4, 3, 2, 4] * 4, jnp.int32)
+            ref3, ca = E.forward(packed, t16[:, 4:5], cfg, base,
+                                 positions=pos[:, None], kv_cache=ca,
+                                 cache_position=pos, kv_valid_len=pos + 1)
+            out3, cb = E.forward(packed, t16[:, 4:5], cfg, base,
+                                 positions=pos[:, None], kv_cache=cb,
+                                 cache_position=pos, kv_valid_len=pos + 1,
+                                 use_pallas=True)
+            np.testing.assert_allclose(np.asarray(out3), np.asarray(ref3),
+                                       rtol=2e-4, atol=2e-4)
+            np.testing.assert_array_equal(np.asarray(cb.k), np.asarray(ca.k))
+            np.testing.assert_array_equal(np.asarray(cb.v), np.asarray(ca.v))
     finally:
         PL.fused_layer_w4_stacked = orig[0]
         PL.fused_model_w4_stacked = orig[1]
