@@ -166,6 +166,33 @@ def main():
         log(f"{bname} bs=8 decode: {tps:.1f} tok/s total (marginal)")
         del packed
 
+    # --- bs=32 decode (large-batch serving: the windowed scatter kernel
+    # replaces the per-slot DUS slab rewrites, ops/pallas_scatter.py) ---
+    B32 = 32
+    for bname, bw, bup, bhb in (("w8a8", 8, False, 16),
+                                ("w4a8_kernel", 4, True, 4)):
+        if bup and jax.default_backend() == "cpu":
+            continue
+        packed, cfg, policy, ecfg = _build_packed_tinyllama(w_bits=bw,
+                                                            head_bits=bhb)
+        if bup:
+            policy = relax_16bit(policy)
+
+        def make_chunk32(n, _c=cfg, _p=policy, _up=bup):
+            @jax.jit
+            def chunk(packed, token, cache, pos):
+                toks, _, _ = E.decode_loop(packed, token, cache, pos, n, _c,
+                                           _p, use_pallas=_up)
+                return toks
+            return chunk
+
+        tps = time_decode_loop(make_chunk32, packed,
+                               lambda: E.init_kv_cache(ecfg, B32), B32,
+                               cfg.vocab_size) * B32
+        results[f"{bname}_bs32_decode_tok_s"] = tps
+        log(f"{bname} bs=32 decode: {tps:.1f} tok/s total (marginal)")
+        del packed
+
     if bs8_only:
         log(json.dumps(results))
         tag, best = max(results.items(), key=lambda kv: kv[1])
@@ -290,23 +317,25 @@ def main():
     policy_pf = relax_16bit(policy8)
     r1, r2 = (2, 4) if smoke else (2, 8)
 
-    def measure_prefill(use_pallas, last_only=False):
+    def measure_prefill(use_pallas, last_only=False, B=1):
         # last_only: generation-style prefill (engine logits_at) — the lm_head
         # runs on the final prompt row only, as Generator/batcher prefill do.
         # The chain stays forced: the last row's logits depend on every prompt
         # position through attention, and the sampled token perturbs the whole
         # next prompt.
+        Tq = seq // B              # batched prefill: same total tokens/pass
+
         @jax.jit
         def step(p, t):
-            la = jnp.full((1,), seq - 1, jnp.int32) if last_only else None
+            la = jnp.full((B,), Tq - 1, jnp.int32) if last_only else None
             logits, _ = E.forward(p, t, cfg, policy_pf, use_pallas=use_pallas,
                                   logits_at=la)
-            return jnp.argmax(logits, -1).astype(jnp.int32)   # (1,seq) | (1,1)
+            return jnp.argmax(logits, -1).astype(jnp.int32)   # (B,Tq) | (B,1)
 
         rng = np.random.default_rng(0)
 
         def run(reps, salt):
-            t = jnp.asarray((rng.integers(0, cfg.vocab_size, (1, seq)) + salt)
+            t = jnp.asarray((rng.integers(0, cfg.vocab_size, (B, Tq)) + salt)
                             % cfg.vocab_size, jnp.int32)
             t0 = time.perf_counter()
             for _ in range(reps):
@@ -316,7 +345,7 @@ def main():
 
         run(r1, 0)                                 # compile + warm
         d1, d2 = run(r1, 1), run(r2, 2)
-        return (r2 - r1) * seq / max(d2 - d1, 1e-9)
+        return (r2 - r1) * B * Tq / max(d2 - d1, 1e-9)
 
     pf_tps = measure_prefill(False)
     results["w8a8_prefill_tok_s"] = pf_tps
@@ -328,6 +357,21 @@ def main():
         pf_g = measure_prefill("attn", last_only=True)
         results["w8a8_prefill_gen_tok_s"] = pf_g
         log(f"W8A8 prefill (fused kernel, last-only head): {pf_g:.0f} tok/s")
+        pf_b4 = measure_prefill("attn", last_only=True, B=4)
+        results["w8a8_prefill_bs4_tok_s"] = pf_b4
+        log(f"W8A8 batched prefill (B=4, T={seq // 4}, kernel): "
+            f"{pf_b4:.0f} tok/s")
+        # W4 prefill (stacked fused-unpack matmul kernels + attn kernel)
+        del packed
+        packed, cfg, policy4, ecfg = _build_packed_tinyllama(w_bits=4)
+        policy_pf = relax_16bit(policy4)
+        pf_w4 = measure_prefill("attn")
+        results["w4a8_prefill_tok_s"] = pf_w4
+        log(f"W4A8 prefill (stacked kernels): {pf_w4:.0f} tok/s "
+            f"(bs=1, T={seq})")
+        pf_w4b = measure_prefill("attn", last_only=True, B=4)
+        results["w4a8_prefill_bs4_tok_s"] = pf_w4b
+        log(f"W4A8 batched prefill (B=4, T={seq // 4}): {pf_w4b:.0f} tok/s")
 
     # --- other reference target models (gemma-2b, stablelm-2-1.6b): gated —
     # each adds several minutes of compile+run to the official bench ---

@@ -508,7 +508,8 @@ def cmd_demo(args):
         if args.speculative > 0 and temperature <= 0.0:
             out, stats = gen.generate_speculative(
                 np.asarray([ids], np.int32), args.max_new_tokens,
-                k=args.speculative, eos_token_id=args.eos if args.eos >= 0
+                k=args.speculative, self_draft_layers=args.draft_layers,
+                eos_token_id=args.eos if args.eos >= 0
                 else None, return_stats=True)
             print(tk.decode(out[0].tolist()))
             print(f"[{stats['decode_tok_s']:.1f} tok/s decode, "
@@ -734,6 +735,10 @@ def build_parser():
     q.add_argument("--speculative", type=int, default=0, metavar="K",
                    help="greedy speculative decoding with K-token verify "
                         "(prompt-lookup drafts; greedy only)")
+    q.add_argument("--draft_layers", type=int, default=0, metavar="N",
+                   help="with --speculative: truncated-layer SELF-draft "
+                        "(first N decoder layers + head propose; 0 = "
+                        "prompt-lookup drafts)")
     q.add_argument("--compile_cache", default="auto",
                    help="auto = <engine_dir>/xla_cache, off, or a path")
     q.set_defaults(fn=cmd_demo)

@@ -785,7 +785,10 @@ def fused_model_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
     over (layer, phase): the hidden state is carried in VMEM scratch between
     layers, and layer l+1's weight blocks prefetch during layer l's MLP tail,
     so the per-layer dispatch + DMA-startup cost of the single-layer kernel
-    disappears. Supports decode batches up to 32 (continuous batching:
+    disappears. Supports decode batches up to 8 — measured at B=32 the
+    phase structure collapses (14.5 ms/step vs the scan path's 3.7: the
+    per-phase k/v slab fetches and attention scratch dwarf the weight
+    stream) — (continuous batching:
     per-sequence cache positions in pos (B,), per-sequence RoPE rows in
     rope_cs (B,2,hd)). qkv_ofq_L (L,4,Nq); meta_L (L, LAYER_META_LEN).
     Returns (x_out (B,K) fp32, kv_new (L, B, 2*Hkv, hd) int8).
@@ -795,7 +798,7 @@ def fused_model_w4_stacked(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
     return gains logits (B, Vp) fp32 (padded vocab columns exactly 0)."""
     Hq, Hkv, hd, rot = num_q_heads, num_kv_heads, head_dim, rotary_dim
     B, K = x.shape
-    assert B <= 32, "whole-model kernel supports decode batches up to 32"
+    assert B <= 8, "whole-model kernel supports decode batches up to 8"
     L, K2w, Nq = qkvsp["wq"].shape
     wbits = 4 if K2w * 2 == K else 8
     assert K2w * 2 == K or K2w == K

@@ -50,6 +50,26 @@ class EngineKVCache(NamedTuple):
     v: jax.Array
 
 
+class StagedKVCache(NamedTuple):
+    """Chunked-decode cache: the big k/v buffers stay READ-ONLY for a whole
+    decode chunk while the chunk's new rows accumulate in the small sk/sv
+    staging buffers (L, B, Hkv, n_chunk, hd); decode_loop flushes them into
+    k/v with one slab write per slot per chunk.
+
+    Why: XLA cannot alias a buffer consumed as scan xs into its own update,
+    so the per-step per-slot row scatter costs a full slot-slab copy —
+    18.8 µs/slot/step, 1.2 ms/step at bs=32, the single largest term of the
+    batched decode step (trace 2026-08-19). Read-only within the chunk, that
+    copy happens once per chunk instead of once per step. `m` is the number
+    of staged rows so far; attention adds the staged columns (masked to
+    col < m) between the stale cache and the self term."""
+    k: jax.Array
+    v: jax.Array
+    sk: jax.Array
+    sv: jax.Array
+    m: jax.Array
+
+
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
     model: ModelConfig
@@ -587,11 +607,74 @@ def _rope_cs_vec(cos, sin, hd: int, rot: int):
     return jnp.stack([c1, s1], axis=1)
 
 
+def _decode_light_attention(q8, k8_new, v8_new, k_cache, v_cache, qk, pv,
+                            policy, cache_position, c, B, Hkv, G, hd,
+                            ks=None, vs=None, staged_len=None):
+    """Decode-light attention math: scores over the STALE cache (masked to
+    positions < cache_position) plus the self term for the step's own K/V
+    rows — the cache is never rewritten inside the layer scan.
+
+    ks/vs/staged_len: chunked-staging mode (StagedKVCache) — this layer's
+    (B,Hkv,n,hd) staged rows from the chunk's earlier steps participate as
+    extra columns masked to col < staged_len; cache_position is then the
+    CHUNK-START position (the cache holds nothing newer)."""
+    S = k_cache.shape[2]
+    qg = jnp.transpose(q8.reshape(B, 1, Hkv, G, hd), (0, 2, 3, 1, 4))
+    qg = qg.reshape(B, Hkv, G, hd)
+    scores_c = qops.int_matmul_qk(qg, k_cache,
+                                  qk["input"]["scale"], qk["input"]["offset"],
+                                  qk["input2"]["scale"], qk["input2"]["offset"])
+    # self term: (q−oq)·(k_new−ok)·sq·sk over hd
+    oqv = qk["input"]["offset"] - 128.0
+    okv = qk["input2"]["offset"] - 128.0
+    qf = qg.astype(jnp.float32)                       # (B,Hkv,G,hd)
+    kf = k8_new.astype(jnp.float32)                   # (B,Hkv,1,hd)
+    s_self = jnp.sum((qf - oqv) * (kf - okv), axis=-1, keepdims=True) \
+        * (qk["input"]["scale"] * qk["input2"]["scale"])  # (B,Hkv,G,1)
+    qk_out_cfg = policy["self_attn.qk_bmm"].output
+    scores_c = _fq16(scores_c, qk["output"], qk_out_cfg)
+    s_self = _fq16(s_self, qk["output"], qk_out_cfg)
+    inv = 1.0 / math.sqrt(hd)
+    col = jnp.arange(S)[None, None, None, :]
+    maskc = jnp.where(col < cache_position[:, None, None, None], 0.0, c.neg_inf)
+    parts = [scores_c * inv + maskc]
+    n_st = 0
+    if ks is not None:
+        n_st = ks.shape[2]
+        scores_st = qops.int_matmul_qk(qg, ks,
+                                       qk["input"]["scale"],
+                                       qk["input"]["offset"],
+                                       qk["input2"]["scale"],
+                                       qk["input2"]["offset"])
+        scores_st = _fq16(scores_st, qk["output"], qk_out_cfg)
+        col_st = jnp.arange(n_st)[None, None, None, :]
+        mask_st = jnp.where(col_st < staged_len, 0.0, c.neg_inf)
+        parts.append(scores_st * inv + mask_st)
+    parts.append(s_self * inv)
+    logits_full = jnp.concatenate(parts, axis=-1)     # (B,Hkv,G,S+n_st+1)
+    probs = jax.nn.softmax(logits_full.astype(jnp.float32), axis=-1)
+    probs = _fq16(probs, pv["input"], policy["self_attn.pv_bmm"].input)
+    p_c, p_self = probs[..., :S], probs[..., S + n_st:]
+    attn = qops.int_matmul_pv(p_c, v_cache,
+                              pv["input2"]["scale"], pv["input2"]["offset"])
+    if ks is not None:
+        attn = attn + qops.int_matmul_pv(probs[..., S:S + n_st], vs,
+                                         pv["input2"]["scale"],
+                                         pv["input2"]["offset"])
+    v_new_f = (v8_new.astype(jnp.float32) + 128.0
+               - pv["input2"]["offset"]) * pv["input2"]["scale"]  # (B,Hkv,1,hd)
+    attn = attn + p_self * v_new_f
+    attn = attn.reshape(B, Hkv, G, 1, hd)
+    Hq = Hkv * G
+    return jnp.transpose(attn, (0, 3, 1, 2, 4)).reshape(B, 1, Hq * hd)
+
+
 def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
                    config: ModelConfig, policy: QPolicy,
                    kc: KernelConfig = KernelConfig(),
                    kv_valid_len=None, positions=None, sp=None, li=None,
-                   cp_mesh=None, cp_axis="cp", tp_mesh=None, tp_axis="tp"):
+                   cp_mesh=None, cp_axis="cp", tp_mesh=None, tp_axis="tp",
+                   st=None, staged_len=None):
     """One decoder layer on packed ints. lp/lr = this layer's packed params/ranges.
     sp/li: the full layer-stacked packed dict + this layer's traced index —
     lets the W4 Pallas path read weights straight from the stack (see
@@ -739,37 +822,11 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         # the *stale* cache (masked to positions < pos) plus the self-attention
         # term for the new token; the new K/V rows are emitted as scan outputs
         # and scattered into the cache ONCE after the scan (engine.forward).
-        S = k_cache.shape[2]
-        qg = jnp.transpose(q8.reshape(B, 1, Hkv, G, hd), (0, 2, 3, 1, 4))
-        qg = qg.reshape(B, Hkv, G, hd)
-        scores_c = qops.int_matmul_qk(qg, k_cache,
-                                      qk["input"]["scale"], qk["input"]["offset"],
-                                      qk["input2"]["scale"], qk["input2"]["offset"])
-        # self term: (q−oq)·(k_new−ok)·sq·sk over hd
-        oqv = qk["input"]["offset"] - 128.0
-        okv = qk["input2"]["offset"] - 128.0
-        qf = qg.astype(jnp.float32)                       # (B,Hkv,G,hd)
-        kf = k8_new.astype(jnp.float32)                   # (B,Hkv,1,hd)
-        s_self = jnp.sum((qf - oqv) * (kf - okv), axis=-1, keepdims=True) \
-            * (qk["input"]["scale"] * qk["input2"]["scale"])  # (B,Hkv,G,1)
-        qk_out_cfg = policy["self_attn.qk_bmm"].output
-        scores_c = _fq16(scores_c, qk["output"], qk_out_cfg)
-        s_self = _fq16(s_self, qk["output"], qk_out_cfg)
-        inv = 1.0 / math.sqrt(hd)
-        col = jnp.arange(S)[None, None, None, :]
-        maskc = jnp.where(col < cache_position[:, None, None, None], 0.0, c.neg_inf)
-        logits_full = jnp.concatenate(
-            [scores_c * inv + maskc, s_self * inv], axis=-1)  # (B,Hkv,G,S+1)
-        probs = jax.nn.softmax(logits_full.astype(jnp.float32), axis=-1)
-        probs = _fq16(probs, pv["input"], policy["self_attn.pv_bmm"].input)
-        p_c, p_self = probs[..., :S], probs[..., S:]
-        attn = qops.int_matmul_pv(p_c, v_cache,
-                                  pv["input2"]["scale"], pv["input2"]["offset"])
-        v_new_f = (v8_new.astype(jnp.float32) + 128.0
-                   - pv["input2"]["offset"]) * pv["input2"]["scale"]  # (B,Hkv,1,hd)
-        attn = attn + p_self * v_new_f
-        attn = attn.reshape(B, Hkv, G, 1, hd)
-        attn = jnp.transpose(attn, (0, 3, 1, 2, 4)).reshape(B, 1, Hq * hd)
+        ks, vs = st if st is not None else (None, None)
+        attn = _decode_light_attention(
+            q8, k8_new, v8_new, k_cache, v_cache, qk, pv, policy,
+            cache_position, c, B, Hkv, G, hd,
+            ks=ks, vs=vs, staged_len=staged_len)
         k_all, v_all = k8_new, v8_new        # scan ys: just the new rows
     elif True:
         if cache_position is not None:
@@ -1139,6 +1196,12 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
         # are single-chip); the ring kernels replace GSPMD's matmul→all-reduce
         # at the row-parallel sites
         kc = KernelConfig.none()
+    staging = None
+    if isinstance(kv_cache, StagedKVCache):
+        # chunked staging (decode_loop): big caches are read-only this chunk;
+        # the step's rows land in the staging buffers at column m
+        staging = kv_cache
+        kv_cache = EngineKVCache(k=staging.k, v=staging.v)
     B, T = tokens.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
@@ -1164,7 +1227,10 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
                                    kv_valid_len, positions,
                                    sp=sp, li=xs.get("li"),
                                    cp_mesh=cp_mesh, cp_axis=cp_axis,
-                                   tp_mesh=tp_mesh, tp_axis=tp_axis)
+                                   tp_mesh=tp_mesh, tp_axis=tp_axis,
+                                   st=xs.get("st"),
+                                   staged_len=(staging.m if staging is not None
+                                               else None))
         return h, kv_new
 
     # W4 Pallas path: hand the kernels the layer-STACKED weights (closure, a
@@ -1173,7 +1239,8 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
     # them the per-layer HBM->HBM copies a custom call otherwise forces
     # (see _int_linear)
     sp = packed["layers"] if kc.use_stacked else None
-    if (sp is not None and kv_cache is not None and T == 1 and B <= 32
+    if (sp is not None and kv_cache is not None and T == 1 and B <= 8
+            and staging is None
             and cache_position is not None and cp_mesh is None
             and "qkvp" in sp and (kc.layer_kernel or kc.model_kernel)):
         # whole-layer kernel extras: the FULL stacked cache (read by layer
@@ -1195,6 +1262,8 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
 
     if kv_cache is not None:
         xs["kv"] = (kv_cache.k, kv_cache.v)
+        if staging is not None:
+            xs["st"] = (staging.sk, staging.sv)
     else:
         # prefill without a cache object: keys/values come from the segment
         xs["kv"] = (jnp.zeros((c.num_layers, B, c.num_kv_heads, T, c.head_dim_), jnp.int8),
@@ -1243,7 +1312,18 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
     else:
         h, kv_out = jax.lax.scan(body, x, xs, unroll=layer_unroll)
         logits = None
-    if kv_cache is not None and T == 1 and not kc.attn_kernel:
+    if staging is not None and T == 1 and not kc.attn_kernel:
+        # chunked staging: the step's rows land at staging column m — ONE
+        # uniform-column DUS for all slots; the big caches pass through
+        # untouched and decode_loop flushes the chunk at the end
+        zero = jnp.int32(0)
+        at = (zero, zero, zero, staging.m, zero)
+        new_cache = StagedKVCache(
+            k=staging.k, v=staging.v,
+            sk=jax.lax.dynamic_update_slice(staging.sk, kv_out[0], at),
+            sv=jax.lax.dynamic_update_slice(staging.sv, kv_out[1], at),
+            m=staging.m + 1)
+    elif kv_cache is not None and T == 1 and not kc.attn_kernel:
         # decode-light: the scan emitted only the new K/V rows; scatter them
         # into the cache with ONE batched update after the scan. This DUS
         # rewrites the whole cache (18.9 µs × 2/step at TinyLlama shapes — the
@@ -1258,6 +1338,18 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
         # in place — 0.44 ms/step of copies at bs=8.)
         zero = jnp.int32(0)
 
+        # NOTE (2026-08-19): when the caches ride the layer scan as xs, these
+        # DUS cost 18.8 µs/slot — XLA copies each slot's whole slab because
+        # the xs consumption forbids aliasing (at bs=32 that is one
+        # full-cache copy per step, 1.2 ms). Measured dead ends, all reverted
+        # (BENCHMARKS.md "Batched decode, round 2"): a pure-DMA Pallas row
+        # scatter (Mosaic: lane slices must be 128-aligned), a windowed RMW
+        # over an int32 view (the bitcast is a full-cache relayout,
+        # 2×4.5 ms), a stacked-cache attention kernel (VPU-serialized,
+        # 116 µs/layer vs XLA's 40), and closure dynamic-slices (the while
+        # boundary still blocks aliasing). The fix that works is CHUNKED
+        # STAGING (decode_loop): the cache is read-only within a chunk and
+        # these slab copies amortize over n_steps.
         def scat(cache, new):
             for b in range(cache.shape[1]):
                 cache = jax.lax.dynamic_update_slice(
@@ -1342,10 +1434,59 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
     first_token: (B,1). start_pos: (B,). Returns (tokens (B, n_steps), cache, last_logits).
     temperature: static float (0 = greedy) or per-slot (B,) array — 0-rows
     greedy, hot rows sample (sampling.loop_next_token).
+
+    Scatter strategy: on the scan (non-megakernel) engine paths the chunk
+    runs in CHUNKED-STAGING mode — the big caches stay read-only for the
+    whole chunk (their rows < start_pos), each step's K/V rows accumulate in
+    a small (L,B,Hkv,n_steps,hd) staging buffer (attention adds them as
+    extra masked columns), and the per-slot slab-copying cache scatter
+    (18.8 µs/slot/step, 1.2 ms/step at bs=32) happens ONCE per chunk.
     """
     B = first_token.shape[0]
     if key is None:
         key = jax.random.PRNGKey(0)
+    from mobilequant_tpu.runtime.sampling import loop_next_token
+
+    kc = KernelConfig.coerce(use_pallas)
+    use_staging = (not kc.attn_kernel
+                   and (B > 8 or not (kc.layer_kernel or kc.model_kernel)))
+
+    if use_staging:
+        L, _, Hkv, S, hd = kv_cache.k.shape
+        st0 = StagedKVCache(
+            k=kv_cache.k, v=kv_cache.v,
+            sk=jnp.zeros((L, B, Hkv, n_steps, hd), kv_cache.k.dtype),
+            sv=jnp.zeros((L, B, Hkv, n_steps, hd), kv_cache.v.dtype),
+            m=jnp.int32(0))
+
+        def step_st(carry, k_step):
+            token, st, pos = carry
+            logits, st = forward(packed, token, config, policy,
+                                 positions=pos[:, None], kv_cache=st,
+                                 cache_position=start_pos,
+                                 kv_valid_len=pos + 1,
+                                 use_pallas=use_pallas,
+                                 layer_unroll=layer_unroll)
+            last = logits[:, -1]
+            nxt = loop_next_token(last, k_step, temperature)[:, None]
+            return (nxt, st, pos + 1), (nxt[:, 0], last)
+
+        keys = jax.random.split(key, n_steps)
+        (tok, st, pos), (tokens, logits_seq) = jax.lax.scan(
+            step_st, (first_token, st0, start_pos), keys)
+
+        # flush: one per-slot slab write for the whole chunk
+        zero = jnp.int32(0)
+
+        def flush(cache, staged):
+            for b in range(B):
+                cache = jax.lax.dynamic_update_slice(
+                    cache, staged[:, b:b + 1],
+                    (zero, jnp.int32(b), zero, start_pos[b], zero))
+            return cache
+
+        cache = EngineKVCache(k=flush(st.k, st.sk), v=flush(st.v, st.sv))
+        return jnp.transpose(tokens, (1, 0)), cache, logits_seq[-1]
 
     def step(carry, k_step):
         token, cache, pos = carry
@@ -1354,7 +1495,6 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
                                 cache_position=pos, kv_valid_len=pos + 1,
                                 use_pallas=use_pallas, layer_unroll=layer_unroll)
         last = logits[:, -1]
-        from mobilequant_tpu.runtime.sampling import loop_next_token
         nxt = loop_next_token(last, k_step, temperature)[:, None]
         return (nxt, cache, pos + 1), (nxt[:, 0], last)
 

@@ -181,7 +181,8 @@ class Generator:
 
     def generate_speculative(self, prompt_tokens: np.ndarray,
                              max_new_tokens: int, *, k: int = 4,
-                             draft_fn=None, eos_token_id: Optional[int] = None,
+                             draft_fn=None, self_draft_layers: int = 0,
+                             eos_token_id: Optional[int] = None,
                              return_stats: bool = False):
         """Greedy speculative decoding (B=1): a cheap draft proposes k-1
         tokens and ONE chunked engine forward verifies the whole pack — at
@@ -199,11 +200,21 @@ class Generator:
         default = prompt-lookup n-gram continuation (the zero-extra-model
         draft: copy what followed the last occurrence of the trailing bigram
         in the history — strong on repetitive/template text).
+
+        self_draft_layers > 0 selects the truncated-layer SELF-draft instead
+        (SelfDraft): the first N decoder layers of the same packed engine +
+        the final norm and (quantized) head as an early-exit proposer —
+        model-based drafting on arbitrary text, no extra weights, ~N/L of a
+        step per proposal.
         """
         B, T0 = prompt_tokens.shape
         assert B == 1, "speculative decoding is a bs=1 latency optimization"
         assert k >= 2
-        if draft_fn is None:
+        self_draft = None
+        if self_draft_layers > 0:
+            assert draft_fn is None, "pass draft_fn OR self_draft_layers"
+            self_draft = SelfDraft(self, self_draft_layers)
+        elif draft_fn is None:
             draft_fn = prompt_lookup_draft
         cfg, pol = self.config, self.policy
         if self._mod is not E:
@@ -229,6 +240,8 @@ class Generator:
         logits, cache = self._prefill(
             self.packed, jnp.asarray(prompt_tokens, jnp.int32), cache)
         cur = int(np.asarray(jnp.argmax(logits[0, -1])))
+        if self_draft is not None:
+            self_draft.prefill(prompt_tokens)
         t_prefill = time.perf_counter() - t0
 
         history = [int(t) for t in prompt_tokens[0]]
@@ -238,7 +251,10 @@ class Generator:
         t_dec = time.perf_counter()
         while len(out) < max_new_tokens and \
                 (eos_token_id is None or out[-1] != eos_token_id):
-            drafts = list(draft_fn(history + out, k - 1))[:k - 1]
+            if self_draft is not None:
+                drafts = self_draft.propose(out, T0, pos, k - 1)
+            else:
+                drafts = list(draft_fn(history + out, k - 1))[:k - 1]
             drafts += [out[-1]] * (k - 1 - len(drafts))      # pad (degenerate)
             toks = jnp.asarray([[out[-1]] + drafts], jnp.int32)
             am, cache = verify(self.packed, toks, cache,
@@ -268,6 +284,104 @@ class Generator:
             }
             return tokens_out, stats
         return tokens_out
+
+
+class SelfDraft:
+    """Truncated-layer self-draft (LayerSkip-style draft&verify, no extra
+    weights): the first `num_layers` decoder layers of the SAME packed engine
+    + the final norm and (quantized) lm_head act as an early-exit proposer.
+    Each proposal costs ~num_layers/L of a decode step plus the head; the
+    draft predicts from the model's own early hidden state, so it works on
+    arbitrary text where the prompt-lookup n-gram draft only covers
+    repetitive spans.
+
+    Cache discipline (mirrors generate_speculative's no-rollback argument):
+    the draft keeps its OWN num_layers-deep KV cache, written only by draft
+    forwards. Each round drafts from a growing segment [cur, d1..dj] anchored
+    at the verified position, so rows < the verified position are always
+    rows the draft itself wrote for tokens that later verified identically
+    (same token prefix ⇒ bit-identical early-layer K/V), and stale rows from
+    rejected drafts sit at positions ≥ the next anchor, where the next
+    segment rewrites them before any query can attend to them."""
+
+    def __init__(self, gen: "Generator", num_layers: int = 4):
+        import dataclasses
+        L = gen.config.num_layers
+        nd = max(1, min(num_layers, L))
+        self.nd = nd
+        self.gen = gen
+        assert gen._mod is E, "self-draft targets the integer engine"
+
+        def cut(tree):
+            return jax.tree.map(lambda a: a[:nd], tree)
+
+        p = dict(gen.packed)
+        p["layers"] = cut(gen.packed["layers"])
+        if "rvec" in p:
+            p["rvec"] = gen.packed["rvec"][:nd]
+        else:
+            p["ranges"] = cut(gen.packed["ranges"])
+        self.packed = p
+        self.cfg = dataclasses.replace(gen.config, num_layers=nd)
+        self.ecfg = dataclasses.replace(gen.ecfg, model=self.cfg)
+        self.cache = None
+        self._steps = {}
+        self._up = (False if jax.default_backend() == "cpu"
+                    else ("w4nomodelk" if gen.ecfg.weight_bits == 4
+                          else False))
+
+    def prefill(self, prompt_tokens: np.ndarray):
+        cfg, pol = self.cfg, self.gen.policy
+        B, T = prompt_tokens.shape
+        cache = E.init_kv_cache(self.ecfg, B)
+        positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+        _, self.cache = E.forward(
+            self.packed, jnp.asarray(prompt_tokens, jnp.int32), cfg, pol,
+            positions=positions, kv_cache=cache,
+            cache_position=jnp.zeros((B,), jnp.int32),
+            kv_valid_len=jnp.full((B,), T, jnp.int32),
+            logits_at=jnp.full((B,), T - 1, jnp.int32))
+        self._next_pos = T          # first draft-cache row not yet written
+
+    def _step(self, j: int):
+        """Jitted draft forward over a length-j segment (one per length)."""
+        if j not in self._steps:
+            cfg, pol, up = self.cfg, self.gen.policy, self._up
+
+            @functools.partial(jax.jit, donate_argnums=(2,))
+            def step(packed, toks, cache, start):
+                positions = (start + jnp.arange(j))[None, :]
+                logits, cache = E.forward(
+                    packed, toks, cfg, pol, positions=positions,
+                    kv_cache=cache,
+                    cache_position=jnp.full((1,), start, jnp.int32),
+                    kv_valid_len=jnp.asarray([start + j], jnp.int32),
+                    use_pallas=up,
+                    logits_at=jnp.full((1,), j - 1, jnp.int32))
+                return jnp.argmax(logits[0, -1]).astype(jnp.int32), cache
+
+            self._steps[j] = step
+        return self._steps[j]
+
+    def propose(self, out: list, prompt_len: int, pos: int, n: int):
+        """n proposals continuing out[-1] (at absolute position `pos`).
+
+        The segment is anchored at the first position whose draft-cache row
+        is not yet valid (all-accepted rounds leave the bonus token's row
+        unwritten), so every row < the anchor is always one the draft itself
+        wrote for a token that verified identically. out[i] is the token at
+        position prompt_len + i."""
+        p0 = int(min(self._next_pos, pos))
+        seg = [int(t) for t in out[p0 - prompt_len:]]   # positions p0..pos
+        npfx = len(seg)
+        start = jnp.int32(p0)
+        for _ in range(n):
+            toks = jnp.asarray([seg], jnp.int32)
+            nxt, self.cache = self._step(len(seg))(self.packed, toks,
+                                                   self.cache, start)
+            seg.append(int(np.asarray(nxt)))
+        self._next_pos = p0 + len(seg) - 1   # last forward wrote p0..that-1
+        return seg[npfx:]
 
 
 def prompt_lookup_draft(history, n: int, ngram: int = 2):

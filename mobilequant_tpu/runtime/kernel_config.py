@@ -40,7 +40,7 @@ class KernelConfig:
     stacked_mlp_kernel: bool = False  # stacked whole-MLP-block kernel (no
                                       # per-layer slice copies)
     layer_kernel: bool = False     # whole-decoder-layer megakernel
-    model_kernel: bool = False     # whole-model megakernel (decode, B<=32)
+    model_kernel: bool = False     # whole-model megakernel (decode, B<=8)
     interpret: bool = False        # run every Pallas kernel in interpret mode
                                    # (CPU tests)
 

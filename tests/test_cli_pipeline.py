@@ -116,6 +116,11 @@ def test_cli_full_pipeline(hf_ckpt, tmp_path):
               "--tokenizer", str(tmp_path / "tokenizer.bin"),
               "--prompt", "ababab", "--max_new_tokens", "6",
               "--speculative", "3", "--eos", "-1"])
+    # truncated-layer self-draft variant
+    cli.main(["demo", "--engine_dir", str(engine_dir),
+              "--tokenizer", str(tmp_path / "tokenizer.bin"),
+              "--prompt", "ababab", "--max_new_tokens", "6",
+              "--speculative", "3", "--draft_layers", "1", "--eos", "-1"])
 
 
 def test_cli_weight_only_pipeline(hf_ckpt, tmp_path):

@@ -317,3 +317,78 @@ def test_speculative_decode_matches_greedy():
 
     # the default draft helper proposes continuations from history
     assert prompt_lookup_draft([1, 2, 3, 1, 2], 2) == [3, 1]
+
+
+def test_decode_loop_staged_matches_stepwise():
+    """Chunked-staging decode (cache read-only per chunk, staged K/V columns
+    in attention, one flush per chunk) == the per-step forward chain: logits
+    to fp32-rounding tolerance, flushed int8 caches bit-exactly."""
+    cfg, params, policy, ranges, packed, ecfg, tokens = _build()
+    B, Tp, n = 3, 4, 6
+    t = jnp.asarray(tokens[:B, :Tp])
+
+    # shared prefill
+    ca = E.init_kv_cache(ecfg, B)
+    pos0 = jnp.zeros((B,), jnp.int32)
+    logits, ca = E.forward(packed, t, cfg, policy, kv_cache=ca,
+                           cache_position=pos0,
+                           kv_valid_len=jnp.full((B,), Tp, jnp.int32))
+    first = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+    cb = E.EngineKVCache(k=ca.k, v=ca.v)
+
+    # per-step reference chain
+    tok = first
+    pos = jnp.full((B,), Tp, jnp.int32)
+    ref_toks, ref_last = [], None
+    for _ in range(n):
+        lg, ca = E.forward(packed, tok, cfg, policy, positions=pos[:, None],
+                           kv_cache=ca, cache_position=pos,
+                           kv_valid_len=pos + 1)
+        ref_last = lg[:, -1]
+        tok = jnp.argmax(ref_last, -1).astype(jnp.int32)[:, None]
+        ref_toks.append(np.asarray(tok[:, 0]))
+        pos = pos + 1
+
+    # chunked staging path (use_pallas=False → staging on any B)
+    toks, cb, last = E.decode_loop(packed, first, cb,
+                                   jnp.full((B,), Tp, jnp.int32), n, cfg,
+                                   policy, use_pallas=False)
+    got = [np.asarray(toks[:, i]) for i in range(n)]
+    # tokens can flip only at near-tie logits; require logits agreement
+    np.testing.assert_allclose(np.asarray(last), np.asarray(ref_last),
+                               rtol=2e-4, atol=2e-4)
+    for i in range(n):
+        np.testing.assert_array_equal(got[i], ref_toks[i])
+    # flushed caches: rows Tp..Tp+n-1 must be bit-identical to the per-step
+    # scatter's (same int8 quantization of the same K/V rows)
+    np.testing.assert_array_equal(np.asarray(cb.k), np.asarray(ca.k))
+    np.testing.assert_array_equal(np.asarray(cb.v), np.asarray(ca.v))
+
+
+def test_self_draft_speculative_matches_greedy():
+    """Truncated-layer SELF-draft speculative decoding (first N layers + the
+    final norm/head as the proposer, own N-deep KV cache) emits exactly the
+    plain greedy chain; the draft cache discipline (segment anchored at the
+    first unwritten row) keeps proposals deterministic across rounds."""
+    from mobilequant_tpu.runtime.generate import Generator, SelfDraft
+    cfg, params, policy, ranges, packed, ecfg, tokens = _build("test-llama", 8)
+    gen = Generator(packed, cfg, policy, ecfg)
+    prompt = np.asarray(tokens[:1, :6], np.int32)
+    want = np.asarray(gen.generate(prompt, 14))[0].tolist()
+
+    for nd in (1, cfg.num_layers - 1):
+        got, stats = gen.generate_speculative(
+            prompt, 14, k=4, self_draft_layers=nd, return_stats=True)
+        assert np.asarray(got)[0].tolist() == want, nd
+        assert stats["verify_calls"] >= 1
+
+    # a draft as deep as the model accepts (greedily) everything: the
+    # early-exit chain IS the greedy chain, so one verify per k-1 tokens
+    sd = SelfDraft(gen, cfg.num_layers)
+    sd.prefill(prompt)
+    logits, _ = E.forward(packed, jnp.asarray(prompt), cfg, policy)
+    cur = int(np.asarray(jnp.argmax(logits[0, -1])))
+    props = sd.propose([cur], prompt.shape[1], prompt.shape[1], 3)
+    full_chain = want[1:4] if want[0] == cur else None
+    if full_chain is not None:
+        assert props == full_chain

@@ -508,8 +508,9 @@ def test_whole_layer_w4_kernel_matches_engine_decode(variant):
             np.testing.assert_array_equal(np.asarray(cb2.k), np.asarray(ca2.k))
             np.testing.assert_array_equal(np.asarray(cb2.v), np.asarray(ca2.v))
 
-        # serving-sized batch (B=16, the lifted B<=32 gate) through the
-        # whole-model kernel — one variant/policy to bound interpret time
+        # serving-sized batch (B=16, above the whole-model kernel's B<=8
+        # gate): the stacked per-layer kernels + decode-light + batched
+        # cache scatter — one variant/policy to bound interpret time
         if variant == "llama_gqa64":
             B16 = 16
             t16 = jnp.asarray(np.tile(tokens[:2], (8, 1)))
