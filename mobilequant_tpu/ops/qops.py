@@ -295,13 +295,20 @@ def int_expert_linear(x_q, x_scale, x_offset, pack: dict, bias,
     return out
 
 
-def int_matmul_qk(q_i8, k_i8, q_scale, q_offset, k_scale, k_offset):
+def int_matmul_qk(q_i8, k_i8, q_scale, q_offset, k_scale, k_offset,
+                  k_colsum=None):
     """Quantized Q·Kᵀ: q (B,Hkv,GT,hd) × k (B,Hkv,S,hd) → fp32 (B,Hkv,GT,S).
 
     The head-major KV layout makes this a clean *batched* int8 dot_general on the
     MXU (the general einsum form lowers to a dilated s32 convolution on TPU —
     much slower). Affine-exact with per-tensor encodings; rowsums are cheap VPU
     reductions.
+
+    k_colsum: optional precomputed Σ_hd k (B,Hkv,S) fp32. Inside a chunked
+    decode the cache is stale for the whole chunk, but the inline reduction
+    re-reads the 8.4 MB K slab every step (XLA keeps the dot and the reduce in
+    separate fusions — 12.8 µs/layer at bs=32, traced 2026-08-19); the caller
+    computes it once per chunk instead.
     """
     hd = q_i8.shape[-1]
     acc = jax.lax.dot_general(
@@ -311,7 +318,8 @@ def int_matmul_qk(q_i8, k_i8, q_scale, q_offset, k_scale, k_offset):
     oq = q_offset - 128.0
     ok = k_offset - 128.0
     qsum = jnp.sum(q_i8.astype(jnp.int32), axis=-1).astype(jnp.float32)  # (B,Hkv,GT)
-    ksum = jnp.sum(k_i8.astype(jnp.int32), axis=-1).astype(jnp.float32)  # (B,Hkv,S)
+    ksum = (jnp.sum(k_i8.astype(jnp.int32), axis=-1).astype(jnp.float32)
+            if k_colsum is None else k_colsum)                   # (B,Hkv,S)
     acc = acc - ok * qsum[..., None] - oq * ksum[:, :, None, :] + hd * oq * ok
     return acc * (q_scale * k_scale)
 

@@ -62,12 +62,18 @@ class StagedKVCache(NamedTuple):
     batched decode step (trace 2026-08-19). Read-only within the chunk, that
     copy happens once per chunk instead of once per step. `m` is the number
     of staged rows so far; attention adds the staged columns (masked to
-    col < m) between the stale cache and the self term."""
+    col < m) between the stale cache and the self term.
+
+    kcs: Σ_hd k (L, B, Hkv, S) fp32, the zero-point column sums of the stale
+    K cache — computed ONCE per chunk (the cache is read-only, so they are
+    chunk-constant) instead of re-reading the K slab every step inside
+    qops.int_matmul_qk (a 12.8 µs/layer convert+reduce pass at bs=32)."""
     k: jax.Array
     v: jax.Array
     sk: jax.Array
     sv: jax.Array
     m: jax.Array
+    kcs: Optional[jax.Array] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -609,7 +615,7 @@ def _rope_cs_vec(cos, sin, hd: int, rot: int):
 
 def _decode_light_attention(q8, k8_new, v8_new, k_cache, v_cache, qk, pv,
                             policy, cache_position, c, B, Hkv, G, hd,
-                            ks=None, vs=None, staged_len=None):
+                            ks=None, vs=None, staged_len=None, k_colsum=None):
     """Decode-light attention math: scores over the STALE cache (masked to
     positions < cache_position) plus the self term for the step's own K/V
     rows — the cache is never rewritten inside the layer scan.
@@ -617,13 +623,22 @@ def _decode_light_attention(q8, k8_new, v8_new, k_cache, v_cache, qk, pv,
     ks/vs/staged_len: chunked-staging mode (StagedKVCache) — this layer's
     (B,Hkv,n,hd) staged rows from the chunk's earlier steps participate as
     extra columns masked to col < staged_len; cache_position is then the
-    CHUNK-START position (the cache holds nothing newer)."""
+    CHUNK-START position (the cache holds nothing newer).
+    k_colsum: chunk-constant Σ_hd k_cache (B,Hkv,S) — see StagedKVCache.kcs.
+
+    The softmax runs PARTWISE (one shared row-max, per-part exp/sum, shared
+    denominator) instead of concatenating the cache/staged/self score parts
+    into one (B,Hkv,G,S+n+1) row: the concat materialized a second full-width
+    score tensor (4.98 µs/layer at bs=32 plus the softmax re-reading it,
+    traced 2026-08-19). Same math to fp32 rounding — max is exact, exp is
+    elementwise, only the denominator's summation order differs."""
     S = k_cache.shape[2]
     qg = jnp.transpose(q8.reshape(B, 1, Hkv, G, hd), (0, 2, 3, 1, 4))
     qg = qg.reshape(B, Hkv, G, hd)
     scores_c = qops.int_matmul_qk(qg, k_cache,
                                   qk["input"]["scale"], qk["input"]["offset"],
-                                  qk["input2"]["scale"], qk["input2"]["offset"])
+                                  qk["input2"]["scale"], qk["input2"]["offset"],
+                                  k_colsum=k_colsum)
     # self term: (q−oq)·(k_new−ok)·sq·sk over hd
     oqv = qk["input"]["offset"] - 128.0
     okv = qk["input2"]["offset"] - 128.0
@@ -637,8 +652,10 @@ def _decode_light_attention(q8, k8_new, v8_new, k_cache, v_cache, qk, pv,
     inv = 1.0 / math.sqrt(hd)
     col = jnp.arange(S)[None, None, None, :]
     maskc = jnp.where(col < cache_position[:, None, None, None], 0.0, c.neg_inf)
-    parts = [scores_c * inv + maskc]
-    n_st = 0
+    lg_c = (scores_c * inv + maskc).astype(jnp.float32)     # (B,Hkv,G,S)
+    lg_self = (s_self * inv).astype(jnp.float32)            # (B,Hkv,G,1)
+    m = jnp.maximum(jnp.max(lg_c, axis=-1), lg_self[..., 0])
+    lg_st = None
     if ks is not None:
         n_st = ks.shape[2]
         scores_st = qops.int_matmul_qk(qg, ks,
@@ -649,16 +666,23 @@ def _decode_light_attention(q8, k8_new, v8_new, k_cache, v_cache, qk, pv,
         scores_st = _fq16(scores_st, qk["output"], qk_out_cfg)
         col_st = jnp.arange(n_st)[None, None, None, :]
         mask_st = jnp.where(col_st < staged_len, 0.0, c.neg_inf)
-        parts.append(scores_st * inv + mask_st)
-    parts.append(s_self * inv)
-    logits_full = jnp.concatenate(parts, axis=-1)     # (B,Hkv,G,S+n_st+1)
-    probs = jax.nn.softmax(logits_full.astype(jnp.float32), axis=-1)
-    probs = _fq16(probs, pv["input"], policy["self_attn.pv_bmm"].input)
-    p_c, p_self = probs[..., :S], probs[..., S + n_st:]
+        lg_st = (scores_st * inv + mask_st).astype(jnp.float32)  # (B,Hkv,G,n)
+        m = jnp.maximum(m, jnp.max(lg_st, axis=-1))
+    m = m[..., None]
+    e_c = jnp.exp(lg_c - m)
+    e_self = jnp.exp(lg_self - m)
+    denom = jnp.sum(e_c, axis=-1, keepdims=True) + e_self
+    if lg_st is not None:
+        e_st = jnp.exp(lg_st - m)
+        denom = denom + jnp.sum(e_st, axis=-1, keepdims=True)
+    pv_in_cfg = policy["self_attn.pv_bmm"].input
+    p_c = _fq16(e_c / denom, pv["input"], pv_in_cfg)
+    p_self = _fq16(e_self / denom, pv["input"], pv_in_cfg)
     attn = qops.int_matmul_pv(p_c, v_cache,
                               pv["input2"]["scale"], pv["input2"]["offset"])
-    if ks is not None:
-        attn = attn + qops.int_matmul_pv(probs[..., S:S + n_st], vs,
+    if lg_st is not None:
+        p_st = _fq16(e_st / denom, pv["input"], pv_in_cfg)
+        attn = attn + qops.int_matmul_pv(p_st, vs,
                                          pv["input2"]["scale"],
                                          pv["input2"]["offset"])
     v_new_f = (v8_new.astype(jnp.float32) + 128.0
@@ -674,7 +698,7 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
                    kc: KernelConfig = KernelConfig(),
                    kv_valid_len=None, positions=None, sp=None, li=None,
                    cp_mesh=None, cp_axis="cp", tp_mesh=None, tp_axis="tp",
-                   st=None, staged_len=None):
+                   st=None, staged_len=None, k_colsum=None):
     """One decoder layer on packed ints. lp/lr = this layer's packed params/ranges.
     sp/li: the full layer-stacked packed dict + this layer's traced index —
     lets the W4 Pallas path read weights straight from the stack (see
@@ -826,7 +850,7 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         attn = _decode_light_attention(
             q8, k8_new, v8_new, k_cache, v_cache, qk, pv, policy,
             cache_position, c, B, Hkv, G, hd,
-            ks=ks, vs=vs, staged_len=staged_len)
+            ks=ks, vs=vs, staged_len=staged_len, k_colsum=k_colsum)
         k_all, v_all = k8_new, v8_new        # scan ys: just the new rows
     elif True:
         if cache_position is not None:
@@ -1230,7 +1254,8 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
                                    tp_mesh=tp_mesh, tp_axis=tp_axis,
                                    st=xs.get("st"),
                                    staged_len=(staging.m if staging is not None
-                                               else None))
+                                               else None),
+                                   k_colsum=xs.get("kcs"))
         return h, kv_new
 
     # W4 Pallas path: hand the kernels the layer-STACKED weights (closure, a
@@ -1264,6 +1289,8 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
         xs["kv"] = (kv_cache.k, kv_cache.v)
         if staging is not None:
             xs["st"] = (staging.sk, staging.sv)
+            if staging.kcs is not None:
+                xs["kcs"] = staging.kcs
     else:
         # prefill without a cache object: keys/values come from the segment
         xs["kv"] = (jnp.zeros((c.num_layers, B, c.num_kv_heads, T, c.head_dim_), jnp.int8),
@@ -1322,7 +1349,7 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
             k=staging.k, v=staging.v,
             sk=jax.lax.dynamic_update_slice(staging.sk, kv_out[0], at),
             sv=jax.lax.dynamic_update_slice(staging.sv, kv_out[1], at),
-            m=staging.m + 1)
+            m=staging.m + 1, kcs=staging.kcs)
     elif kv_cache is not None and T == 1 and not kc.attn_kernel:
         # decode-light: the scan emitted only the new K/V rows; scatter them
         # into the cache with ONE batched update after the scan. This DUS
@@ -1458,18 +1485,25 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
             sk=jnp.zeros((L, B, Hkv, n_steps, hd), kv_cache.k.dtype),
             sv=jnp.zeros((L, B, Hkv, n_steps, hd), kv_cache.v.dtype),
             m=jnp.int32(0))
+        # zero-point column sums of the stale K cache: chunk-constant, so ONE
+        # full K pass here replaces a per-step per-layer slab re-read inside
+        # int_matmul_qk (12.8 µs/layer at bs=32). A loop-invariant closure
+        # operand, NOT part of the scan carry (carried buffers risk per-step
+        # while-boundary copies).
+        kcs0 = jnp.sum(kv_cache.k.astype(jnp.int32), axis=-1).astype(jnp.float32)
 
         def step_st(carry, k_step):
             token, st, pos = carry
             logits, st = forward(packed, token, config, policy,
-                                 positions=pos[:, None], kv_cache=st,
+                                 positions=pos[:, None],
+                                 kv_cache=st._replace(kcs=kcs0),
                                  cache_position=start_pos,
                                  kv_valid_len=pos + 1,
                                  use_pallas=use_pallas,
                                  layer_unroll=layer_unroll)
             last = logits[:, -1]
             nxt = loop_next_token(last, k_step, temperature)[:, None]
-            return (nxt, st, pos + 1), (nxt[:, 0], last)
+            return (nxt, st._replace(kcs=None), pos + 1), (nxt[:, 0], last)
 
         keys = jax.random.split(key, n_steps)
         (tok, st, pos), (tokens, logits_seq) = jax.lax.scan(

@@ -319,6 +319,21 @@ def test_speculative_decode_matches_greedy():
     assert prompt_lookup_draft([1, 2, 3, 1, 2], 2) == [3, 1]
 
 
+def test_int_matmul_qk_precomputed_colsum():
+    """int_matmul_qk(k_colsum=Σ_hd k) is bit-identical to the inline reduction
+    (the chunk-constant StagedKVCache.kcs path: one K pass per chunk instead
+    of a per-step slab re-read)."""
+    key = jax.random.PRNGKey(0)
+    kq, kk = jax.random.split(key)
+    q = jax.random.randint(kq, (2, 3, 4, 64), -128, 128, jnp.int8)
+    k = jax.random.randint(kk, (2, 3, 16, 64), -128, 128, jnp.int8)
+    args = (0.013, 131.0, 0.021, 119.0)
+    ref = qops.int_matmul_qk(q, k, *args)
+    kcs = jnp.sum(k.astype(jnp.int32), axis=-1).astype(jnp.float32)
+    got = qops.int_matmul_qk(q, k, *args, k_colsum=kcs)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
 def test_decode_loop_staged_matches_stepwise():
     """Chunked-staging decode (cache read-only per chunk, staged K/V columns
     in attention, one flush per chunk) == the per-step forward chain: logits
