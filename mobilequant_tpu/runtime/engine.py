@@ -1451,7 +1451,7 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
                 start_pos: jax.Array, n_steps: int, config: ModelConfig,
                 policy: QPolicy, use_pallas=False,
                 temperature: float = 0.0, key: Optional[jax.Array] = None,
-                layer_unroll: int = 1):
+                layer_unroll: int = 1, staging_chunk: int = 32):
     """n_steps of autoregressive greedy/temperature decode inside ONE jitted graph
     (lax.scan over steps) — the whole token loop lives on-device, removing the
     per-token host dispatch that dominates single-step decode latency. This is the
@@ -1462,12 +1462,17 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
     temperature: static float (0 = greedy) or per-slot (B,) array — 0-rows
     greedy, hot rows sample (sampling.loop_next_token).
 
-    Scatter strategy: on the scan (non-megakernel) engine paths the chunk
-    runs in CHUNKED-STAGING mode — the big caches stay read-only for the
-    whole chunk (their rows < start_pos), each step's K/V rows accumulate in
-    a small (L,B,Hkv,n_steps,hd) staging buffer (attention adds them as
-    extra masked columns), and the per-slot slab-copying cache scatter
-    (18.8 µs/slot/step, 1.2 ms/step at bs=32) happens ONCE per chunk.
+    Scatter strategy: on the scan (non-megakernel) engine paths the loop
+    runs in CHUNKED-STAGING mode — within a `staging_chunk`-step chunk the
+    big caches stay READ-ONLY (their rows < the chunk-start position), each
+    step's K/V rows accumulate in a small (L,B,Hkv,chunk,hd) staging buffer
+    (attention adds them as extra masked columns), and the per-slot
+    slab-copying cache scatter (18.8 µs/slot/step, 1.2 ms/step at bs=32)
+    happens ONCE per chunk. For n_steps > staging_chunk an outer scan runs
+    chunk after chunk (flush + fresh K colsums between chunks) — the same
+    shape the ContinuousBatcher drives in production, so long bench loops
+    don't grow the staging buffer (and the staged-column attention term)
+    with n_steps.
     """
     B = first_token.shape[0]
     if key is None:
@@ -1480,47 +1485,64 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
 
     if use_staging:
         L, _, Hkv, S, hd = kv_cache.k.shape
-        st0 = StagedKVCache(
-            k=kv_cache.k, v=kv_cache.v,
-            sk=jnp.zeros((L, B, Hkv, n_steps, hd), kv_cache.k.dtype),
-            sv=jnp.zeros((L, B, Hkv, n_steps, hd), kv_cache.v.dtype),
-            m=jnp.int32(0))
-        # zero-point column sums of the stale K cache: chunk-constant, so ONE
-        # full K pass here replaces a per-step per-layer slab re-read inside
-        # int_matmul_qk (12.8 µs/layer at bs=32). A loop-invariant closure
-        # operand, NOT part of the scan carry (carried buffers risk per-step
-        # while-boundary copies).
-        kcs0 = jnp.sum(kv_cache.k.astype(jnp.int32), axis=-1).astype(jnp.float32)
-
-        def step_st(carry, k_step):
-            token, st, pos = carry
-            logits, st = forward(packed, token, config, policy,
-                                 positions=pos[:, None],
-                                 kv_cache=st._replace(kcs=kcs0),
-                                 cache_position=start_pos,
-                                 kv_valid_len=pos + 1,
-                                 use_pallas=use_pallas,
-                                 layer_unroll=layer_unroll)
-            last = logits[:, -1]
-            nxt = loop_next_token(last, k_step, temperature)[:, None]
-            return (nxt, st._replace(kcs=None), pos + 1), (nxt[:, 0], last)
-
-        keys = jax.random.split(key, n_steps)
-        (tok, st, pos), (tokens, logits_seq) = jax.lax.scan(
-            step_st, (first_token, st0, start_pos), keys)
-
-        # flush: one per-slot slab write for the whole chunk
+        cs = staging_chunk if (n_steps > staging_chunk
+                               and n_steps % staging_chunk == 0) else n_steps
+        n_chunks = n_steps // cs
         zero = jnp.int32(0)
 
-        def flush(cache, staged):
+        def flush(cache, staged, at):
+            # one per-slot slab write for the whole chunk
             for b in range(B):
                 cache = jax.lax.dynamic_update_slice(
                     cache, staged[:, b:b + 1],
-                    (zero, jnp.int32(b), zero, start_pos[b], zero))
+                    (zero, jnp.int32(b), zero, at[b], zero))
             return cache
 
-        cache = EngineKVCache(k=flush(st.k, st.sk), v=flush(st.v, st.sv))
-        return jnp.transpose(tokens, (1, 0)), cache, logits_seq[-1]
+        def chunk_body(carry, keys_chunk):
+            token, cache, pos0 = carry
+            st0 = StagedKVCache(
+                k=cache.k, v=cache.v,
+                sk=jnp.zeros((L, B, Hkv, cs, hd), cache.k.dtype),
+                sv=jnp.zeros((L, B, Hkv, cs, hd), cache.v.dtype),
+                m=jnp.int32(0))
+            # zero-point column sums of the stale K cache: chunk-constant, so
+            # ONE full K pass per chunk replaces a per-step per-layer slab
+            # re-read inside int_matmul_qk (12.8 µs/layer at bs=32). A
+            # loop-invariant closure operand of the inner scan, NOT part of
+            # its carry (carried buffers risk per-step while-boundary copies).
+            kcs0 = jnp.sum(cache.k.astype(jnp.int32),
+                           axis=-1).astype(jnp.float32)
+
+            def step_st(c, k_step):
+                tok_c, st, pos = c
+                logits, st = forward(packed, tok_c, config, policy,
+                                     positions=pos[:, None],
+                                     kv_cache=st._replace(kcs=kcs0),
+                                     cache_position=pos0,
+                                     kv_valid_len=pos + 1,
+                                     use_pallas=use_pallas,
+                                     layer_unroll=layer_unroll)
+                last = logits[:, -1]
+                nxt = loop_next_token(last, k_step, temperature)[:, None]
+                return (nxt, st._replace(kcs=None), pos + 1), (nxt[:, 0], last)
+
+            (tok_c, st, pos), (toks_c, logits_seq) = jax.lax.scan(
+                step_st, (token, st0, pos0), keys_chunk)
+            cache = EngineKVCache(k=flush(st.k, st.sk, pos0),
+                                  v=flush(st.v, st.sv, pos0))
+            return (tok_c, cache, pos), (toks_c, logits_seq[-1])
+
+        keys = jax.random.split(key, n_steps)
+        if n_chunks == 1:
+            (tok, cache, pos), (tokens, last) = chunk_body(
+                (first_token, kv_cache, start_pos), keys)
+        else:
+            (tok, cache, pos), (tokens, last) = jax.lax.scan(
+                chunk_body, (first_token, kv_cache, start_pos),
+                keys.reshape(n_chunks, cs, *keys.shape[1:]))
+            tokens = tokens.reshape(n_steps, B)
+            last = last[-1]
+        return jnp.transpose(tokens, (1, 0)), cache, last
 
     def step(carry, k_step):
         token, cache, pos = carry

@@ -1,17 +1,22 @@
 """On-chip speculative-decoding economics (TinyLlama shapes, synthetic model).
 
 The host-side accept/reject loop makes end-to-end wall-clock through the axon
-relay unrepresentative (~25 ms of relay round-trip per dispatch, several
-dispatches per round), so this measures the PARTS with the marginal method
-and reports the modeled speedup:
+relay unrepresentative (~25 ms of relay round-trip PER DISPATCH — marginal
+per-dispatch chaining cancels compiles but not that), so each step kind is
+measured as an IN-GRAPH lax.scan loop and differenced over loop LENGTH
+(t(n2) − t(n1)) / (n2 − n1) — the same method as bench.py's decode rows.
+Modeled speedup:
 
-  speedup(k, Nd, alpha) = E[tokens/round] / (cost_verify + (k-1)*cost_draft)
-  (costs in units of one full decode step; E[tokens/round] from the measured
-  acceptance `tokens_per_verify` of an actual generate_speculative run)
+  speedup(k, Nd, alpha) = tokens_per_verify * c_full / (c_verify + (k-1)*c_draft)
+  (tokens_per_verify from an actual generate_speculative run; NOTE the
+  synthetic-weight model collapses to repetitive greedy chains, so its
+  acceptance is an upper bound, not a text statistic — with real checkpoints
+  re-run on real prompts.)
 
-Usage: PYTHONPATH=. python scripts/bench_speculative.py [k] [draft_layers]
+Usage: python scripts/bench_speculative.py [k] [draft_layers]
 """
 
+import functools
 import sys
 import time
 
@@ -22,19 +27,23 @@ import jax
 import jax.numpy as jnp
 
 
-def marginal(fn, r1=16, r2=48):
-    """Marginal per-call cost of a chained jitted step (relay-safe)."""
-    def run(reps, salt):
-        t = fn(None, salt)
+def marginal_loop(make, n1=16, n2=48):
+    """Device-side per-iteration cost of an in-graph loop: compile both
+    lengths, time dispatches with a forced fetch, difference over length."""
+    f1, f2 = make(n1), make(n2)
+
+    def run(f, salt):
+        out = f(jnp.int32(salt))
+        np.asarray(out)
         t0 = time.perf_counter()
-        for _ in range(reps):
-            t = fn(t, salt)
-            np.asarray(t)                         # force the chain
+        out = f(jnp.int32(salt + 1))
+        np.asarray(out)
         return time.perf_counter() - t0
 
-    run(r1, 0)                                    # compile + warm
-    d1, d2 = run(r1, 1), run(r2, 2)
-    return (d2 - d1) / (r2 - r1)
+    run(f1, 0), run(f2, 0)                        # compile + warm
+    d1 = min(run(f1, 1), run(f1, 3))
+    d2 = min(run(f2, 5), run(f2, 7))
+    return (d2 - d1) / (n2 - n1)
 
 
 def main(k: int = 4, nd: int = 4):
@@ -50,60 +59,64 @@ def main(k: int = 4, nd: int = 4):
     rng = np.random.default_rng(0)
     V = cfg.vocab_size
 
-    # --- device-side step costs (marginal, chained token feedback) ---
+    # --- full decode step: the production in-graph loop ---
+    # NB: packed must be a jit ARGUMENT — a closure capture bakes the weights
+    # into the HLO as constants and the relay rejects the upload (HTTP 413)
+    def mk_full(n):
+        @jax.jit
+        def loop(p, salt):
+            toks, _, _ = E.decode_loop(
+                p, jnp.full((1, 1), salt % V, jnp.int32),
+                E.init_kv_cache(ecfg, 1), jnp.full((1,), 64, jnp.int32),
+                n, cfg, policy, use_pallas=True)
+            return toks[:, -1]
+        return lambda salt: loop(packed, salt)
+
+    c_full = marginal_loop(mk_full)
+
+    # --- verify step: one T=k forward per iteration, token feedback ---
     up = "w4nomodelk"          # the verify/draft T>1 path's kernel set
-    cache_full = E.init_kv_cache(ecfg, 1)
 
-    @jax.jit
-    def full_step(packed, tok, cache, pos):
-        logits, cache = E.forward(packed, tok, cfg, policy,
-                                  positions=pos[:, None], kv_cache=cache,
-                                  cache_position=pos, kv_valid_len=pos + 1,
-                                  use_pallas=True)
-        return jnp.argmax(logits[:, 0], -1).astype(jnp.int32), cache
+    def mk_verify(n):
+        @jax.jit
+        def loop(p, salt):
+            cache0 = E.init_kv_cache(ecfg, 1)
 
-    def mk_chain(step, cache0, T):
-        state = {"cache": cache0, "pos": 64}
+            def step(carry, _):
+                toks, cache, pos = carry
+                positions = pos[:, None] + jnp.arange(k)[None, :]
+                logits, cache = E.forward(p, toks, cfg, policy,
+                                          positions=positions, kv_cache=cache,
+                                          cache_position=pos,
+                                          kv_valid_len=pos + k, use_pallas=up)
+                nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+                toks = (toks + nxt[:, None] + 1) % V
+                return (toks, cache, pos + k), nxt
 
-        def fn(tok, salt):
-            if tok is None:
-                state["cache"] = jax.tree.map(lambda a: a, cache0)
-                state["pos"] = 64
-                return jnp.full((1, T), salt % V, jnp.int32)
-            out, state["cache"] = step(packed, tok, state["cache"],
-                                       jnp.full((1,), state["pos"], jnp.int32))
-            state["pos"] += 1
-            return (out[:, None] + tok[:, :1] + 1) % V * jnp.ones(
-                (1, T), jnp.int32)
-        return fn
+            (_, _, _), outs = jax.lax.scan(
+                step, (jnp.full((1, k), salt % V, jnp.int32), cache0,
+                       jnp.full((1,), 8, jnp.int32)), None, length=n)
+            return outs[-1]
+        return lambda salt: loop(packed, salt)
 
-    c_full = marginal(mk_chain(full_step, cache_full, 1))
+    c_verify = marginal_loop(mk_verify, 8, 24)    # pos grows k per iter
 
-    @jax.jit
-    def verify_step(packed, toks, cache, pos):
-        positions = pos[:, None] + jnp.arange(k)[None, :]
-        logits, cache = E.forward(packed, toks, cfg, policy,
-                                  positions=positions, kv_cache=cache,
-                                  cache_position=pos,
-                                  kv_valid_len=pos + k, use_pallas=up)
-        return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), cache
-
-    c_verify = marginal(mk_chain(verify_step, E.init_kv_cache(ecfg, 1), k))
-
+    # --- draft step: the truncated-layer proposer's T=1 loop ---
     sd = SelfDraft(gen, nd)
-    dcache0 = E.init_kv_cache(sd.ecfg, 1)
 
-    @jax.jit
-    def draft_step(packed, tok, cache, pos):
-        logits, cache = E.forward(sd.packed, tok, sd.cfg, policy,
-                                  positions=pos[:, None], kv_cache=cache,
-                                  cache_position=pos, kv_valid_len=pos + 1,
-                                  use_pallas=up)
-        return jnp.argmax(logits[:, 0], -1).astype(jnp.int32), cache
+    def mk_draft(n):
+        @jax.jit
+        def loop(p, salt):
+            toks, _, _ = E.decode_loop(
+                p, jnp.full((1, 1), salt % V, jnp.int32),
+                E.init_kv_cache(sd.ecfg, 1), jnp.full((1,), 64, jnp.int32),
+                n, sd.cfg, policy, use_pallas=up)
+            return toks[:, -1]
+        return lambda salt: loop(sd.packed, salt)
 
-    c_draft = marginal(mk_chain(draft_step, dcache0, 1))
+    c_draft = marginal_loop(mk_draft)
 
-    print(f"full step      : {c_full * 1e3:8.3f} ms")
+    print(f"full step      : {c_full * 1e3:8.3f} ms (device-side, in-graph)")
     print(f"verify (k={k})   : {c_verify * 1e3:8.3f} ms "
           f"({c_verify / c_full:.2f}x step)")
     print(f"draft (Nd={nd})   : {c_draft * 1e3:8.3f} ms "
@@ -123,6 +136,11 @@ def main(k: int = 4, nd: int = 4):
             model_tps = tpv / max(cost, 1e-9)
             print(f"{name:10s} {mode:8s}: {tpv:.2f} tok/verify -> modeled "
                   f"{model_tps:.0f} tok/s ({model_tps * c_full:.2f}x plain)")
+
+    # break-even acceptance for the self-draft: tpv needed to tie plain decode
+    be = (c_verify + (k - 1) * c_draft) / c_full
+    print(f"break-even tokens/verify: lookup {c_verify / c_full:.2f}, "
+          f"self{nd} {be:.2f} (of max {k + 1})")
 
 
 if __name__ == "__main__":

@@ -334,10 +334,14 @@ def test_int_matmul_qk_precomputed_colsum():
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
-def test_decode_loop_staged_matches_stepwise():
+@pytest.mark.parametrize("staging_chunk", [32, 3])
+def test_decode_loop_staged_matches_stepwise(staging_chunk):
     """Chunked-staging decode (cache read-only per chunk, staged K/V columns
     in attention, one flush per chunk) == the per-step forward chain: logits
-    to fp32-rounding tolerance, flushed int8 caches bit-exactly."""
+    to fp32-rounding tolerance, flushed int8 caches bit-exactly.
+
+    staging_chunk=3 with n=6 exercises the OUTER chunk scan (two chunks:
+    flush + fresh K colsums between them); 32 is the single-chunk path."""
     cfg, params, policy, ranges, packed, ecfg, tokens = _build()
     B, Tp, n = 3, 4, 6
     t = jnp.asarray(tokens[:B, :Tp])
@@ -367,7 +371,8 @@ def test_decode_loop_staged_matches_stepwise():
     # chunked staging path (use_pallas=False → staging on any B)
     toks, cb, last = E.decode_loop(packed, first, cb,
                                    jnp.full((B,), Tp, jnp.int32), n, cfg,
-                                   policy, use_pallas=False)
+                                   policy, use_pallas=False,
+                                   staging_chunk=staging_chunk)
     got = [np.asarray(toks[:, i]) for i in range(n)]
     # tokens can flip only at near-tie logits; require logits agreement
     np.testing.assert_allclose(np.asarray(last), np.asarray(ref_last),
