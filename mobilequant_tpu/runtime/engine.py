@@ -1423,26 +1423,33 @@ def quantized_head_logits(y: jax.Array, hq: dict, vocab_size: int,
     per-channel symmetric W8/W4 head pack (pack_head) → fp32 logits
     (B, T, vocab_size). Shared by the int engine and the weight-only mode.
 
-    use_kernel: at bs=1 decode, route a W4 head through the fused-unpack
-    Pallas kernel — XLA would otherwise materialize the unpacked int8 table
-    in HBM every step. The per-token dynamic scale is a scalar at decode;
-    symmetric acts ⇒ shifted offset 128. The packed head is vocab-padded to
-    a 4096 multiple (pack_head): wide blocks keep the grid short — Gemma's
-    256k vocab at 512-wide blocks is 501 grid steps, measured
-    per-step-overhead-bound."""
+    use_kernel: at decode rows (B·T ≤ 64), route a W4 head through the
+    fused-unpack Pallas kernel — XLA would otherwise materialize the unpacked
+    int8 table in HBM every step (128 µs at bs=32 vs the kernel's ~50 µs
+    packed stream, trace 2026-08-19). The per-row dynamic scales multiply
+    the kernel OUTPUT: acts are symmetric (shifted offset 128 ⇒ ox=0) and
+    the head has no bias, so the kernel's affine bracket
+    (acc − ow·rowsum) is row-local and the factorization is exact — the
+    kernel runs with x_scale=1. Full-M blocks keep Mosaic legality for any
+    row count (only 8-divisible-or-FULL sublane blocks lower). The packed
+    head is vocab-padded to a 4096 multiple (pack_head): wide blocks keep
+    the grid short — Gemma's 256k vocab at 512-wide blocks is 501 grid
+    steps, measured per-step-overhead-bound."""
     B, T, D = y.shape
     w4_packed = hq["wq"].shape[0] * 2 == D
-    if w4_packed and use_kernel and B * T == 1:
+    if w4_packed and use_kernel and B * T <= 64:
         from mobilequant_tpu.ops.pallas_matmul import w4a8_matmul
-        x_q, sx = qops.dynamic_quantize_act(y.reshape(1, D))
+        M = B * T
+        x_q, sx = qops.dynamic_quantize_act(y.reshape(M, D))
         Vp = hq["wq"].shape[1]
         # forward interpret only when set: an explicit interpret=False would
         # override the interpret-mode partial CPU tests patch onto w4a8_matmul
         kw = {"interpret": True} if interpret else {}
         logits = w4a8_matmul(
             x_q, hq["wq"], hq["scale"], hq["offset"], hq["colsum"],
-            jnp.zeros((Vp,), jnp.float32), sx.reshape(()),
+            jnp.zeros((Vp,), jnp.float32), jnp.float32(1.0),
             jnp.float32(128.0), block_n=4096, **kw)
+        logits = logits * sx                       # (M,1) per-row scales
         return logits[:, :vocab_size].reshape(B, T, vocab_size)
     return qops.int_head_linear(y, hq)[..., :vocab_size]
 

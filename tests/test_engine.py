@@ -319,6 +319,26 @@ def test_speculative_decode_matches_greedy():
     assert prompt_lookup_draft([1, 2, 3, 1, 2], 2) == [3, 1]
 
 
+def test_quantized_head_kernel_batched_rows():
+    """W4 head through the fused-unpack kernel at B·T > 1: the per-row dynamic
+    scales multiply the kernel output (exact — symmetric acts, no bias, the
+    affine bracket is row-local). Interpret mode vs int_head_linear."""
+    key = jax.random.PRNGKey(3)
+    kw_, ky = jax.random.split(key)
+    D, V = 64, 4096
+    w = jax.random.normal(kw_, (D, V), jnp.float32)
+    hq = E.pack_head(w, QuantConfig(bitwidth=4, is_per_channel=True,
+                                    is_symmetric=True))
+    for B, T in ((1, 1), (3, 1), (8, 2)):
+        y = jax.random.normal(ky, (B, T, D), jnp.float32) * (1.0 + jnp.arange(
+            B * T, dtype=jnp.float32).reshape(B, T, 1))   # distinct row scales
+        ref = qops.int_head_linear(y, hq)[..., :V]
+        got = E.quantized_head_logits(y, hq, V, use_kernel=True,
+                                      interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4)
+
+
 def test_int_matmul_qk_precomputed_colsum():
     """int_matmul_qk(k_colsum=Σ_hd k) is bit-identical to the inline reduction
     (the chunk-constant StagedKVCache.kcs path: one K pass per chunk instead
