@@ -1,11 +1,21 @@
 """Benchmark: TinyLlama-1.1B integer-engine decode throughput on one TPU chip.
 
-Prints ONE JSON line:
+Prints the headline JSON line to stdout:
   {"metric": "...", "value": N, "unit": "tok/s", "vs_baseline": N}
 
-vs_baseline = W8A8 decode tok/s ÷ bf16-FP decode tok/s on the same chip/shapes —
-the reference's headline claim is 20-50% latency reduction vs FP on-device
-(README.md:4); at bs=1 decode is weight-bandwidth-bound.
+vs_baseline = best quantized decode tok/s ÷ bf16-FP decode tok/s on the same
+chip/shapes — the reference's headline claim is 20-50% latency reduction vs FP
+on-device (README.md:4); at bs=1 decode is weight-bandwidth-bound.
+
+Robustness contract (VERDICT r2 item 1 — the official record must survive a
+driver timeout):
+  * the HEADLINE config (W4A8 whole-model kernel + W4 head) runs FIRST;
+  * the cumulative results dict goes to stderr and the current-best headline
+    JSON line is re-printed to stdout after EVERY row (flushed) — a timeout at
+    any point still leaves a parseable record whose last line is correct;
+  * a persistent XLA compilation cache (.jax_cache/) makes reruns cheap;
+  * a wall-clock budget (MQTPU_BENCH_BUDGET_S, default 2700s) skips remaining
+    sections gracefully instead of letting `timeout` SIGKILL mid-row.
 
 Methodology notes (both matter on this tunneled device):
   * every measured iteration is data-chained into the next (token feedback /
@@ -13,22 +23,37 @@ Methodology notes (both matter on this tunneled device):
     results are never consumed, so unchained loops report impossible numbers;
   * the decode loop runs IN-GRAPH (lax.scan over steps, engine.decode_loop), so
     per-token host dispatch overhead is excluded — that's also the production
-    configuration.
+    configuration;
+  * marginal cost over loop LENGTH (n=64 vs n=320) cancels the relay's ~1.8s
+    fixed per-dispatch overhead.
 
-Extra metrics (W4A8 pallas/xla, prefill, per-config details) go to stderr.
+Extra metrics (per-config details) go to stderr.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+T_START = time.perf_counter()
+BUDGET_S = float(os.environ.get("MQTPU_BENCH_BUDGET_S", "2700"))
+# last-known bf16 baseline on this chip (BENCH_r01.json); used for the early
+# headline emits until this run's own bf16 row lands, then overwritten
+FALLBACK_BF16 = 306.4
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def past_budget(margin_s: float = 300.0) -> bool:
+    """True once there's less than margin_s of budget left — callers skip
+    their section (a row's compile alone can take minutes on the relay)."""
+    return (time.perf_counter() - T_START) > (BUDGET_S - margin_s)
 
 
 N_STEPS = 64          # kept for smoke paths
@@ -37,6 +62,31 @@ N1, N2 = 64, 320      # marginal-method loop lengths (short chunks are noise-
                       # above the SOL bound; 64/320 reproduces within ±1%)
 
 _run_counter = [0]
+
+# headline preference order: best production serving config wins (relaxed
+# 16-bit sim sites are accuracy-neutral per scripts/accuracy_gate.py)
+HEADLINE_ORDER = ("w4a8_pallas_h4", "w4a8_pallas", "w8a8_kernel_h8",
+                  "w8a8_fast_h8", "w8a8_fast", "w8a8")
+
+
+def emit(results: dict, fp_tps: float | None):
+    """Incremental official record: cumulative dict to stderr, current-best
+    headline JSON line to stdout. Called after every row so a timeout at any
+    point leaves the last-printed line correct and parseable."""
+    log("RESULTS " + json.dumps(results))
+    cands = [(t, results[f"{t}_decode_tok_s"]) for t in HEADLINE_ORDER
+             if f"{t}_decode_tok_s" in results]
+    if not cands:
+        return
+    tag, headline = max(cands, key=lambda kv: kv[1])
+    short = "w4a8" if "w4a8" in tag else "w8a8"
+    base = fp_tps if fp_tps else FALLBACK_BF16
+    print(json.dumps({
+        "metric": f"tinyllama1.1b_{short}_decode_tok_s_per_chip",
+        "value": round(headline, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(headline / base, 3),
+    }), flush=True)
 
 
 def time_decode_loop(make_chunk, packed, cache_fn, batch, vocab):
@@ -64,9 +114,6 @@ def time_decode_loop(make_chunk, packed, cache_fn, batch, vocab):
 
 
 def main():
-    import functools
-    import os
-
     # Smoke mode validates the bench *paths* on a tiny model; default it to the
     # CPU backend so it never blocks on the axon relay (which hangs device
     # enumeration when down). MQTPU_SMOKE_TPU=1 opts back into the real chip.
@@ -79,10 +126,26 @@ def main():
             pass   # backend already initialized; run wherever we are
 
     import jax
+
+    # persistent compile cache: reruns of unchanged programs skip the relay's
+    # remote_compile entirely (verified to work through the axon backend).
+    # Real-chip runs only — CPU smoke would pollute it with host-specific AOT
+    # entries that warn/SIGILL when reloaded on a different machine.
+    if os.environ.get("MQTPU_BENCH_SMOKE") != "1" and "--smoke" not in sys.argv:
+        try:
+            cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                     ".jax_cache")
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        except Exception as e:
+            log(f"compile cache unavailable: {e!r}")
+
     import jax.numpy as jnp
     from __graft_entry__ import _build_packed_tinyllama as _build_base
     from mobilequant_tpu.models import get_config
     from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant.policy import relax_16bit
     from mobilequant_tpu.runtime import engine as E
 
     # --smoke / MQTPU_BENCH_SMOKE=1: tiny model, CPU-runnable path validation
@@ -97,31 +160,15 @@ def main():
         return _build_base(max_seq_len=seq, w_bits=w_bits, model_name=model_name,
                            head_bits=head_bits)
 
-    log(f"devices: {jax.devices()} smoke={smoke}")
+    on_cpu = jax.default_backend() == "cpu"
+    log(f"devices: {jax.devices()} smoke={smoke} budget={BUDGET_S:.0f}s")
     results = {}
+    fp_tps = None
 
-    # MQTPU_BENCH_BS8_ONLY=1: only the batched-decode section (for the
-    # MQTPU_MODELK_ATTN_SPLITS sweep — each setting needs a fresh process)
-    bs8_only = os.environ.get("MQTPU_BENCH_BS8_ONLY") == "1"
-
-    # --- integer engine: W8A8 strict, W8A8 relaxed-16bit, W4A8(pallas) ---
-    from mobilequant_tpu.quant.policy import relax_16bit
-    for name, w_bits, use_pallas, relax, head_bits in () if bs8_only else (
-            ("w8a8", 8, False, False, 16),
-            ("w8a8_fast", 8, False, True, 16),
-            ("w8a8_fast_h8", 8, False, True, 8),
-            ("w8a8_kernel_h8", 8, True, True, 8),
-            ("w4a8_pallas", 4, True, True, 16),
-            ("w4a8_pallas_h4", 4, True, True, 4)):
-        if use_pallas and jax.default_backend() == "cpu":
-            continue   # Pallas TPU kernels don't compile on the CPU backend
-        if w_bits == 8 and head_bits == 8 and use_pallas \
-                and jax.default_backend() == "cpu":
-            continue
-        if head_bits == 4 and jax.default_backend() == "cpu":
-            continue   # W4 head decode path uses the Pallas fused-unpack kernel
-        packed, cfg, policy, ecfg = _build_packed_tinyllama(w_bits=w_bits,
-                                                            head_bits=head_bits)
+    def decode_row(name, w_bits, use_pallas, relax, head_bits, B=1):
+        """One marginal-method decode row; returns tok/s TOTAL (×B)."""
+        packed, cfg, policy, ecfg = _build_packed_tinyllama(
+            w_bits=w_bits, head_bits=head_bits)
         if relax:
             policy = relax_16bit(policy)
 
@@ -134,64 +181,87 @@ def main():
             return chunk
 
         tps = time_decode_loop(make_chunk, packed,
-                               lambda: E.init_kv_cache(ecfg, 1), 1, cfg.vocab_size)
-        results[f"{name}_decode_tok_s"] = tps
-        log(f"{name} decode: {tps:.1f} tok/s (bs=1, S=1024, marginal)")
-        del packed
-
-    # --- batched decode (serving shape: weight reads amortize over slots) ---
-    B = 8
-    for bname, bw, bup, bhb in (("w8a8", 8, False, 16),
-                                ("w8a8_kernel", 8, True, 8),
-                                ("w4a8_kernel", 4, True, 4)):
-        if bup and jax.default_backend() == "cpu":
-            continue
-        packed, cfg, policy, ecfg = _build_packed_tinyllama(w_bits=bw,
-                                                            head_bits=bhb)
-        if bup:
-            policy = relax_16bit(policy)
-
-        def make_chunk8(n, _c=cfg, _p=policy, _up=bup):
-            @jax.jit
-            def chunk(packed, token, cache, pos):
-                toks, _, _ = E.decode_loop(packed, token, cache, pos, n, _c,
-                                           _p, use_pallas=_up)
-                return toks
-            return chunk
-
-        tps = time_decode_loop(make_chunk8, packed,
                                lambda: E.init_kv_cache(ecfg, B), B,
                                cfg.vocab_size) * B
-        results[f"{bname}_bs8_decode_tok_s"] = tps
-        log(f"{bname} bs=8 decode: {tps:.1f} tok/s total (marginal)")
+        key = f"{name}_decode_tok_s" if B == 1 else f"{name}_bs{B}_decode_tok_s"
+        results[key] = tps
+        bs_note = f"bs={B}" + (" total" if B > 1 else "")
+        log(f"{name}{'' if B == 1 else f' bs={B}'} decode: {tps:.1f} tok/s "
+            f"({bs_note}, S={seq}, marginal)")
         del packed
+        emit(results, fp_tps)
+        return tps
 
-    # --- bs=32 decode (large-batch serving: the windowed scatter kernel
-    # replaces the per-slot DUS slab rewrites, ops/pallas_scatter.py) ---
-    B32 = 32
-    for bname, bw, bup, bhb in (("w8a8", 8, False, 16),
-                                ("w4a8_kernel", 4, True, 4)):
-        if bup and jax.default_backend() == "cpu":
-            continue
-        packed, cfg, policy, ecfg = _build_packed_tinyllama(w_bits=bw,
-                                                            head_bits=bhb)
-        if bup:
-            policy = relax_16bit(policy)
+    # MQTPU_BENCH_BS8_ONLY=1: only the batched-decode section (for the
+    # MQTPU_MODELK_ATTN_SPLITS sweep — each setting needs a fresh process)
+    bs8_only = os.environ.get("MQTPU_BENCH_BS8_ONLY") == "1"
 
-        def make_chunk32(n, _c=cfg, _p=policy, _up=bup):
+    # --- 1. HEADLINE first: W4A8 whole-model kernel + W4 head -------------
+    if not bs8_only and not on_cpu:
+        try:
+            decode_row("w4a8_pallas_h4", 4, True, True, 4)
+        except Exception as e:
+            log(f"headline w4a8_pallas_h4 failed: {e!r}")
+
+    # --- 2. bf16 FP baseline (same in-graph loop shape) -------------------
+    if not bs8_only:
+        cfg = get_config(model_name)
+        params = M.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        kvshape = (cfg.num_layers, 1, seq, cfg.num_kv_heads, cfg.head_dim_)
+
+        def make_fp_chunk(n):
             @jax.jit
-            def chunk(packed, token, cache, pos):
-                toks, _, _ = E.decode_loop(packed, token, cache, pos, n, _c,
-                                           _p, use_pallas=_up)
-                return toks
-            return chunk
+            def fp_chunk(params, token, cache, pos):
+                def step(carry, _):
+                    token, cache, pos = carry
+                    logits, cache = M.forward(params, token, cfg,
+                                              positions=pos[:, None],
+                                              kv_cache=cache, cache_position=pos,
+                                              kv_valid_len=pos + 1)
+                    nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+                    return (nxt, cache, pos + 1), nxt[:, 0]
+                (tok, cache, pos), tokens = jax.lax.scan(
+                    step, (token, cache, pos), None, length=n)
+                return jnp.transpose(tokens, (1, 0))
+            return fp_chunk
 
-        tps = time_decode_loop(make_chunk32, packed,
-                               lambda: E.init_kv_cache(ecfg, B32), B32,
-                               cfg.vocab_size) * B32
-        results[f"{bname}_bs32_decode_tok_s"] = tps
-        log(f"{bname} bs=32 decode: {tps:.1f} tok/s total (marginal)")
-        del packed
+        def fp_cache_fn():
+            return M.KVCache(k=jnp.zeros(kvshape, jnp.bfloat16),
+                             v=jnp.zeros(kvshape, jnp.bfloat16))
+
+        fp_tps = time_decode_loop(make_fp_chunk, params, fp_cache_fn, 1,
+                                  cfg.vocab_size)
+        results["bf16_decode_tok_s"] = fp_tps
+        log(f"bf16 FP decode: {fp_tps:.1f} tok/s (bs=1, S={seq}, marginal)")
+        emit(results, fp_tps)
+        fp_params, fp_cfg = params, cfg   # reused by the wonly section
+
+    # --- 3. batched decode, bs=32 (large-batch serving: chunked KV staging
+    # + windowed scatter; the W8 kernel row is the staged W8 pack path) -----
+    B32 = 32
+    for bname, bw, bup, bhb in (("w4a8_kernel", 4, True, 4),
+                                ("w8a8_kernel", 8, True, 8),
+                                ("w8a8", 8, False, 16)):
+        if (bup and on_cpu) or past_budget():
+            continue
+        try:
+            decode_row(bname, bw, bup, True, bhb, B=B32)
+        except Exception as e:
+            log(f"{bname} bs=32 failed: {e!r}")
+
+    # --- 4. batched decode, bs=8 ------------------------------------------
+    B8 = 8
+    for bname, bw, bup, bhb in (("w4a8_kernel", 4, True, 4),
+                                ("w8a8_kernel", 8, True, 8),
+                                ("w8a8", 8, False, 16)):
+        if bup and on_cpu:
+            continue
+        if past_budget() and not bs8_only:
+            continue
+        try:
+            decode_row(bname, bw, bup, True, bhb, B=B8)
+        except Exception as e:
+            log(f"{bname} bs=8 failed: {e!r}")
 
     if bs8_only:
         log(json.dumps(results))
@@ -202,115 +272,118 @@ def main():
             "vs_baseline": None}))
         return
 
-    # --- end-to-end serving throughput (MQTPU_BENCH_SERVE=1): the continuous
-    # batcher with chunked prefill + chunked decode ticks, refills included.
-    # Marginal method (mnt=32 vs 96 after a warmup run) cancels compiles and
-    # the relay's fixed per-dispatch overhead ---
-    if os.environ.get("MQTPU_BENCH_SERVE") == "1" or smoke:
-        from mobilequant_tpu.runtime.serve import ContinuousBatcher
-        from mobilequant_tpu.runtime.sampling import SamplerConfig
-        packed, cfgS, policyS, ecfgS = _build_packed_tinyllama(w_bits=8)
-        policyS = relax_16bit(policyS)
-        rngS = np.random.default_rng(0)
-        lens = rngS.integers(seq // 8, seq // 2, 24)
-        prompts = [rngS.integers(0, cfgS.vocab_size, (int(l),)).astype(np.int32)
-                   for l in lens]
-        cd = 8 if smoke else 32
-
-        cb = ContinuousBatcher(
-            packed, cfgS, policyS, ecfgS, batch_slots=8,
-            chunk_prefill=max(seq // 8, 16), chunk_decode=cd,
-            sampler=SamplerConfig(greedy=True))
-
-        def run_serve(mnt, salt):
-            # ONE batcher instance across runs — its jitted closures compile
-            # once (a fresh instance per run would re-trace everything and the
-            # marginal difference would be compile noise)
-            for p in prompts:
-                cb.submit((p + salt) % cfgS.vocab_size, mnt)
-            t0 = time.perf_counter()
-            out = cb.run()
-            n = sum(len(v) for v in out.values())
-            cb.done.clear()
-            return n, time.perf_counter() - t0
-
-        run_serve(8 if smoke else 32, 0)                      # warmup/compile
-        n1, t1 = run_serve(8 if smoke else 32, 1)
-        n2, t2 = run_serve(16 if smoke else 96, 2)
-        if t2 - t1 > 0.05:
-            serve_tps = (n2 - n1) / (t2 - t1)
-            results["serve_tok_s"] = serve_tps
-            log(f"serving (batcher, 8 slots, chunked): {serve_tps:.1f} tok/s "
-                f"(marginal over {n2 - n1} extra tokens)")
-        else:
-            log(f"serving marginal too small to time ({t2 - t1:.3f}s) — "
-                "skipping the metric")
-        del packed
-
-    # --- bf16 FP baseline (same in-graph loop shape) ---
-    cfg = get_config(model_name)
-    params = M.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    kvshape = (cfg.num_layers, 1, seq, cfg.num_kv_heads, cfg.head_dim_)
-
-    def make_fp_chunk(n):
-        @jax.jit
-        def fp_chunk(params, token, cache, pos):
-            def step(carry, _):
-                token, cache, pos = carry
-                logits, cache = M.forward(params, token, cfg, positions=pos[:, None],
-                                          kv_cache=cache, cache_position=pos,
-                                          kv_valid_len=pos + 1)
-                nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
-                return (nxt, cache, pos + 1), nxt[:, 0]
-            (tok, cache, pos), tokens = jax.lax.scan(
-                step, (token, cache, pos), None, length=n)
-            return jnp.transpose(tokens, (1, 0))
-        return fp_chunk
-
-    def fp_cache_fn():
-        return M.KVCache(k=jnp.zeros(kvshape, jnp.bfloat16),
-                         v=jnp.zeros(kvshape, jnp.bfloat16))
-
-    fp_tps = time_decode_loop(make_fp_chunk, params, fp_cache_fn, 1, cfg.vocab_size)
-    results["bf16_decode_tok_s"] = fp_tps
-    log(f"bf16 FP decode: {fp_tps:.1f} tok/s (bs=1, S=1024, marginal)")
-
-    # --- weight-only W4A16 (g128) decode: fp activations/KV, stacked-kernel
-    # dequant (runtime/wonly.py — the reference's auto_gptq mode) ---
-    from mobilequant_tpu.runtime import wonly as WW
-    w_gs = 16 if smoke else 128
-    ecfg_w = E.EngineConfig(model=cfg, max_seq_len=seq, act_bits=16,
-                            act_dtype=jnp.bfloat16)
-    wonly_pallas = jax.default_backend() != "cpu"
-
-    def make_wonly_chunk(n):
-        @jax.jit
-        def chunk(packed, token, cache, pos):
-            toks, _, _ = WW.decode_loop(packed, token, cache, pos, n, cfg,
-                                        None, use_pallas=wonly_pallas)
-            return toks
-        return chunk
-
-    for w_tag, w_hb in (("w4a16", 16), ("w4a16_h4", 4)):
-        if w_hb == 4 and jax.default_backend() == "cpu" and not smoke:
+    # --- 5. remaining bs=1 configs: W8A8 strict/relaxed/kernel, W4 h16 ----
+    for name, w_bits, use_pallas, relax, head_bits in (
+            ("w4a8_pallas", 4, True, True, 16),
+            ("w8a8_kernel_h8", 8, True, True, 8),
+            ("w8a8_fast_h8", 8, False, True, 8),
+            ("w8a8_fast", 8, False, True, 16),
+            ("w8a8", 8, False, False, 16)):
+        if use_pallas and on_cpu:
             continue
-        wpacked = WW.pack_weight_only(params, cfg,
-                                      WW.default_weight_cfg(4, w_gs),
-                                      act_dtype=jnp.bfloat16, head_bits=w_hb)
+        if head_bits == 4 and on_cpu:
+            continue   # W4 head decode path uses the Pallas fused-unpack kernel
+        if past_budget():
+            log(f"budget: skipping {name}")
+            continue
         try:
-            w_tps = time_decode_loop(make_wonly_chunk, wpacked,
-                                     lambda: WW.init_kv_cache(ecfg_w, 1), 1,
-                                     cfg.vocab_size)
-            results[f"{w_tag}_decode_tok_s"] = w_tps
-            log(f"{w_tag} weight-only decode: {w_tps:.1f} tok/s "
-                "(bs=1, S=1024, marginal)")
-        except Exception as e:   # first on-chip Mosaic compile of the grouped
-            log(f"{w_tag} weight-only bench failed (kernel compile?): {e!r}")
-            # dequant kernel happens here — never let it kill the headline run
-        del wpacked
-    del params
+            decode_row(name, w_bits, use_pallas, relax, head_bits)
+        except Exception as e:
+            log(f"{name} failed: {e!r}")
 
-    # --- prefill throughput (W8A8), marginal method with per-rep token fetch
+    # --- 6. end-to-end serving throughput: the continuous batcher with
+    # chunked prefill + chunked decode ticks, refills included. Marginal
+    # method (mnt=32 vs 96 after a warmup run) cancels compiles and the
+    # relay's fixed per-dispatch overhead ---
+    if (not past_budget() or smoke) \
+            and os.environ.get("MQTPU_BENCH_SERVE") != "0":
+        try:
+            from mobilequant_tpu.runtime.serve import ContinuousBatcher
+            from mobilequant_tpu.runtime.sampling import SamplerConfig
+            packed, cfgS, policyS, ecfgS = _build_packed_tinyllama(w_bits=8)
+            policyS = relax_16bit(policyS)
+            rngS = np.random.default_rng(0)
+            lens = rngS.integers(seq // 8, seq // 2, 24)
+            prompts = [rngS.integers(0, cfgS.vocab_size,
+                                     (int(l),)).astype(np.int32)
+                       for l in lens]
+            cd = 8 if smoke else 32
+
+            cb = ContinuousBatcher(
+                packed, cfgS, policyS, ecfgS, batch_slots=8,
+                chunk_prefill=max(seq // 8, 16), chunk_decode=cd,
+                sampler=SamplerConfig(greedy=True))
+
+            def run_serve(mnt, salt):
+                # ONE batcher instance across runs — its jitted closures
+                # compile once (a fresh instance per run would re-trace
+                # everything and the marginal difference = compile noise)
+                for p in prompts:
+                    cb.submit((p + salt) % cfgS.vocab_size, mnt)
+                t0 = time.perf_counter()
+                out = cb.run()
+                n = sum(len(v) for v in out.values())
+                cb.done.clear()
+                return n, time.perf_counter() - t0
+
+            run_serve(8 if smoke else 32, 0)                  # warmup/compile
+            n1, t1 = run_serve(8 if smoke else 32, 1)
+            n2, t2 = run_serve(16 if smoke else 96, 2)
+            if t2 - t1 > 0.05:
+                serve_tps = (n2 - n1) / (t2 - t1)
+                results["serve_tok_s"] = serve_tps
+                log(f"serving (batcher, 8 slots, chunked): {serve_tps:.1f} "
+                    f"tok/s (marginal over {n2 - n1} extra tokens)")
+                emit(results, fp_tps)
+            else:
+                log(f"serving marginal too small to time ({t2 - t1:.3f}s) — "
+                    "skipping the metric")
+            del packed
+        except Exception as e:
+            log(f"serve bench failed: {e!r}")
+
+    # --- 7. weight-only W4A16 (g128) decode: fp activations/KV, stacked-
+    # kernel dequant (runtime/wonly.py — the reference's auto_gptq mode) ---
+    if not past_budget():
+        from mobilequant_tpu.runtime import wonly as WW
+        w_gs = 16 if smoke else 128
+        ecfg_w = E.EngineConfig(model=fp_cfg, max_seq_len=seq, act_bits=16,
+                                act_dtype=jnp.bfloat16)
+        wonly_pallas = not on_cpu
+
+        def make_wonly_chunk(n):
+            @jax.jit
+            def chunk(packed, token, cache, pos):
+                toks, _, _ = WW.decode_loop(packed, token, cache, pos, n,
+                                            fp_cfg, None,
+                                            use_pallas=wonly_pallas)
+                return toks
+            return chunk
+
+        for w_tag, w_hb in (("w4a16", 16), ("w4a16_h4", 4)):
+            if w_hb == 4 and on_cpu and not smoke:
+                continue
+            if past_budget():
+                continue
+            wpacked = WW.pack_weight_only(fp_params, fp_cfg,
+                                          WW.default_weight_cfg(4, w_gs),
+                                          act_dtype=jnp.bfloat16,
+                                          head_bits=w_hb)
+            try:
+                w_tps = time_decode_loop(make_wonly_chunk, wpacked,
+                                         lambda: WW.init_kv_cache(ecfg_w, 1),
+                                         1, fp_cfg.vocab_size)
+                results[f"{w_tag}_decode_tok_s"] = w_tps
+                log(f"{w_tag} weight-only decode: {w_tps:.1f} tok/s "
+                    f"(bs=1, S={seq}, marginal)")
+                emit(results, fp_tps)
+            except Exception as e:   # first on-chip Mosaic compile of the
+                log(f"{w_tag} weight-only bench failed: {e!r}")
+                # grouped dequant kernel happens here — never fatal
+            del wpacked
+    del fp_params
+
+    # --- 8. prefill throughput, marginal method with per-rep token fetch
     # (block_until_ready alone is NOT enough: the relay lazily skips chained
     # work whose results are never fetched — np.asarray each rep forces it) ---
     packed, cfg, policy8, ecfg = _build_packed_tinyllama(w_bits=8)
@@ -347,34 +420,52 @@ def main():
         d1, d2 = run(r1, 1), run(r2, 2)
         return (r2 - r1) * B * Tq / max(d2 - d1, 1e-9)
 
-    pf_tps = measure_prefill(False)
-    results["w8a8_prefill_tok_s"] = pf_tps
-    log(f"W8A8 prefill (xla): {pf_tps:.0f} tok/s (bs=1, T={seq}, marginal)")
-    if jax.default_backend() != "cpu":
-        pf_k = measure_prefill("attn")             # fused prefill-attention kernel
-        results["w8a8_prefill_pallas_tok_s"] = pf_k
-        log(f"W8A8 prefill (fused attn kernel): {pf_k:.0f} tok/s")
-        pf_g = measure_prefill("attn", last_only=True)
-        results["w8a8_prefill_gen_tok_s"] = pf_g
-        log(f"W8A8 prefill (fused kernel, last-only head): {pf_g:.0f} tok/s")
-        pf_b4 = measure_prefill("attn", last_only=True, B=4)
-        results["w8a8_prefill_bs4_tok_s"] = pf_b4
-        log(f"W8A8 batched prefill (B=4, T={seq // 4}, kernel): "
-            f"{pf_b4:.0f} tok/s")
+    if not past_budget(150):
+        pf_tps = measure_prefill(False)
+        results["w8a8_prefill_tok_s"] = pf_tps
+        log(f"W8A8 prefill (xla): {pf_tps:.0f} tok/s (bs=1, T={seq}, marginal)")
+        emit(results, fp_tps)
+    if not on_cpu:
+        for key, kwargs, note in (
+                ("w8a8_prefill_pallas_tok_s", {}, "fused attn kernel"),
+                ("w8a8_prefill_gen_tok_s", {"last_only": True},
+                 "fused kernel, last-only head"),
+                ("w8a8_prefill_bs4_tok_s", {"last_only": True, "B": 4},
+                 f"B=4, T={seq // 4}, kernel"),
+                ("w8a8_prefill_bs8_tok_s", {"last_only": True, "B": 8},
+                 f"B=8, T={seq // 8}, kernel")):
+            if past_budget(150):
+                continue
+            try:
+                v = measure_prefill("attn", **kwargs)
+                results[key] = v
+                log(f"W8A8 prefill ({note}): {v:.0f} tok/s")
+                emit(results, fp_tps)
+            except Exception as e:
+                log(f"prefill {key} failed: {e!r}")
         # W4 prefill (stacked fused-unpack matmul kernels + attn kernel)
         del packed
-        packed, cfg, policy4, ecfg = _build_packed_tinyllama(w_bits=4)
-        policy_pf = relax_16bit(policy4)
-        pf_w4 = measure_prefill("attn")
-        results["w4a8_prefill_tok_s"] = pf_w4
-        log(f"W4A8 prefill (stacked kernels): {pf_w4:.0f} tok/s "
-            f"(bs=1, T={seq})")
-        pf_w4b = measure_prefill("attn", last_only=True, B=4)
-        results["w4a8_prefill_bs4_tok_s"] = pf_w4b
-        log(f"W4A8 batched prefill (B=4, T={seq // 4}): {pf_w4b:.0f} tok/s")
+        if not past_budget(150):
+            packed, cfg, policy4, ecfg = _build_packed_tinyllama(w_bits=4)
+            policy_pf = relax_16bit(policy4)
+            for key, kwargs, note in (
+                    ("w4a8_prefill_tok_s", {}, f"stacked kernels, bs=1 T={seq}"),
+                    ("w4a8_prefill_bs4_tok_s", {"last_only": True, "B": 4},
+                     f"B=4, T={seq // 4}"),
+                    ("w4a8_prefill_bs8_tok_s", {"last_only": True, "B": 8},
+                     f"B=8, T={seq // 8}")):
+                if past_budget(150):
+                    continue
+                try:
+                    v = measure_prefill("attn", **kwargs)
+                    results[key] = v
+                    log(f"W4A8 prefill ({note}): {v:.0f} tok/s")
+                    emit(results, fp_tps)
+                except Exception as e:
+                    log(f"prefill {key} failed: {e!r}")
 
-    # --- other reference target models (gemma-2b, stablelm-2-1.6b): gated —
-    # each adds several minutes of compile+run to the official bench ---
+    # --- 9. other reference target models (gemma-2b, stablelm-2-1.6b):
+    # gated — each adds several minutes of compile+run ---
     if os.environ.get("MQTPU_BENCH_ALL_MODELS") == "1" and not smoke:
         for mname in ("stablelm-2-1.6b", "gemma-2b"):
             mcfg = get_config(mname)
@@ -432,24 +523,9 @@ def main():
                 f"(W8A8 is {results[f'{mname}_w8a8_decode_tok_s']/fp_m:.2f}x)")
             del params
 
+    log(f"total wall: {time.perf_counter() - T_START:.0f}s")
     log(json.dumps(results))
-    # headline = the best production serving config (relaxed 16-bit sim sites —
-    # accuracy-neutral per scripts/accuracy_gate.py's relaxed rung). Since the
-    # stacked-layer W4 kernel landed, W4A8+W4-head beats W8A8 on every target
-    # model (BENCHMARKS.md), so the headline follows the best of the two; the
-    # metric name carries the winning config.
-    candidates = [(tag, results[f"{tag}_decode_tok_s"])
-                  for tag in ("w4a8_pallas_h4", "w4a8_pallas", "w8a8_kernel_h8",
-                              "w8a8_fast_h8", "w8a8_fast", "w8a8")
-                  if f"{tag}_decode_tok_s" in results]
-    tag, headline = max(candidates, key=lambda kv: kv[1])
-    short = "w4a8" if "w4a8" in tag else "w8a8"
-    print(json.dumps({
-        "metric": f"tinyllama1.1b_{short}_decode_tok_s_per_chip",
-        "value": round(headline, 2),
-        "unit": "tok/s",
-        "vs_baseline": round(headline / fp_tps, 3),
-    }))
+    emit(results, fp_tps)
 
 
 if __name__ == "__main__":
