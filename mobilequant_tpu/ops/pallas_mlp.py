@@ -544,10 +544,10 @@ def _w4_mlp_phase(j, nj, m, x_get, out_set, nw_ref, nb_ref,
 
 def _w4_mlp_block_kernel(idx_ref, meta_ref, x_ref, nw_ref, nb_ref,
                          w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
-                         w2p_ref, aux2_ref, out_ref,
+                         w2p_ref, w2b_ref, aux2_ref, out_ref,
                          acc_ref, rsum_ref, h_ref,
                          *, act_kind: str, norm_kind: str, half_f: int,
-                         site_on: tuple = (True,) * 9):
+                         wbits: int = 4, site_on: tuple = (True,) * 9):
     del idx_ref
     j = pl.program_id(0)
     nj = pl.num_programs(0)
@@ -557,16 +557,20 @@ def _w4_mlp_block_kernel(idx_ref, meta_ref, x_ref, nw_ref, nb_ref,
 
     _w4_mlp_phase(j, nj, lambda i: meta_ref[i], lambda: x_ref[:], out_set,
                   nw_ref, nb_ref, w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref,
-                  aux13_ref, (w2p_ref,), aux2_ref, acc_ref, rsum_ref, h_ref,
+                  aux13_ref,
+                  (w2p_ref,) if wbits == 4 else (w2p_ref, w2b_ref),
+                  aux2_ref, acc_ref, rsum_ref, h_ref,
                   act_kind=act_kind, norm_kind=norm_kind, half_f=half_f,
-                  site_on=site_on)
+                  wbits=wbits, site_on=site_on)
 
 
-def _pick_block_fh(K: int, half_f: int) -> int:
+def _pick_block_fh(K: int, half_f: int, wbits: int = 4) -> int:
     """Packed-w2 row-block (= F-segment width). Must divide F/2 and keep the
-    per-step weight bytes (4 w13 blocks of K/2·TFh + w2 TFh·K) ≤ ~4 MB with
-    ≥2 steps (the pipelining rules measured in scripts/ktune.py)."""
-    cap = max(128, min(1024, (4 * 1024 * 1024) // (3 * K), half_f // 2))
+    per-step weight bytes (4 w13 blocks of K/2·TFh + w2 TFh·K for W4; twice
+    that for W8's unpacked blocks) ≤ ~4 MB with ≥2 steps (the pipelining
+    rules measured in scripts/ktune.py)."""
+    per_tfh = 3 * K if wbits == 4 else 6 * K
+    cap = max(128, min(1024, (4 * 1024 * 1024) // per_tfh, half_f // 2))
     for t in (1024, 512, 256, 128):
         if t <= cap and half_f % t == 0:
             return t
@@ -576,6 +580,11 @@ def _pick_block_fh(K: int, half_f: int) -> int:
 def w4_mlp_block_supported(K: int, F: int) -> bool:
     return (K % 256 == 0 and F % 256 == 0
             and _pick_block_fh(K, F // 2) != 0)
+
+
+def w8_mlp_block_supported(K: int, F: int) -> bool:
+    return (K % 256 == 0 and F % 256 == 0
+            and _pick_block_fh(K, F // 2, wbits=8) != 0)
 
 
 # NOTE on prefill-sized M (two negative results, 2026-08-19):
@@ -600,15 +609,22 @@ def fused_mlp_block_w4_stacked(x: jax.Array, nw_L, nb_L, w13sp: dict,
                                interpret: bool = False):
     """Residual x (M,K) fp32 → x + MLP(norm(x)) for layer `layer_idx` of the
     stacked W4 packs, in ONE dispatch. w13sp: {wq (L,K/2,2F), scale/offset
-    (L,1,2F), colsum/bias (L,2F)}; w2sp: {wq (L,F/2,K), ...}."""
+    (L,1,2F), colsum/bias (L,2F)}; w2sp: {wq (L,F/2,K), ...}.
+
+    W8 packs (the batched-decode serving path, VERDICT r2 item 4) are detected
+    by shape — w13 wq (L,K,2F), w2 wq (L,F,K) plain int8; the phase body then
+    runs the same pipeline with unpacked dots and the w2 seg_lo/seg_hi row
+    groups riding as two block operands (like the whole-layer kernel)."""
     M, K = x.shape
     L, K2, F2 = w13sp["wq"].shape
-    assert K2 * 2 == K, (K2, K)
+    wbits = 4 if K2 * 2 == K else 8
+    assert K2 * 2 == K or K2 == K, (K2, K)
     F = F2 // 2
     Lw, F2h, Kw = w2sp["wq"].shape
-    assert F2h * 2 == F and Kw == K, (F2h, F, Kw, K)
+    assert Kw == K and (F2h * 2 == F if wbits == 4 else F2h == F), \
+        (wbits, F2h, F, Kw, K)
     half_f = F // 2
-    TFh = _pick_block_fh(K, half_f)
+    TFh = _pick_block_fh(K, half_f, wbits)
     assert TFh, (K, F)
     nh = half_f // TFh
 
@@ -629,7 +645,11 @@ def fused_mlp_block_w4_stacked(x: jax.Array, nw_L, nb_L, w13sp: dict,
 
     kernel = functools.partial(_w4_mlp_block_kernel, act_kind=act_kind,
                                norm_kind=norm_kind, half_f=half_f,
-                               site_on=site_on)
+                               wbits=wbits, site_on=site_on)
+    # W8: the w2 seg_lo rows ([0,F/2)) ride the first w2 operand, seg_hi rows
+    # ([F/2,F), row-block offset nh) the second; W4 packs carry both nibble
+    # halves in one block and the second operand is a dummy 32-row slab.
+    w2blk = nh if wbits == 8 else 0
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nh,),
@@ -653,6 +673,10 @@ def fused_mlp_block_w4_stacked(x: jax.Array, nw_L, nb_L, w13sp: dict,
                          memory_space=pltpu.VMEM),                     # aux13
             pl.BlockSpec((1, TFh, K), lambda j, i: (i[0], j, 0),
                          memory_space=pltpu.VMEM),                     # w2 pack
+            pl.BlockSpec((1, TFh if wbits == 8 else 32, K),
+                         lambda j, i: (i[0], w2blk + j
+                                       if wbits == 8 else 0, 0),
+                         memory_space=pltpu.VMEM),             # w2 seg_hi (W8)
             pl.BlockSpec((1, 4, K), lambda j, i: (i[0], 0, 0),
                          memory_space=pltpu.VMEM),                     # aux2
         ],
@@ -677,4 +701,4 @@ def fused_mlp_block_w4_stacked(x: jax.Array, nw_L, nb_L, w13sp: dict,
         interpret=interpret,
     )(idx, meta, x, nw3, nb3,
       w13sp["wq"], w13sp["wq"], w13sp["wq"], w13sp["wq"], aux13,
-      w2sp["wq"], aux2)
+      w2sp["wq"], w2sp["wq"], aux2)

@@ -934,22 +934,29 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
     # --- mlp ---
     if (sp is not None and li is not None and "w13_proj" in sp
             and "mlp_norm" in lp and kc.stacked_mlp_kernel
-            and sp["w13_proj"]["wq"].shape[1] * 2 == resid.shape[-1]
+            and sp["w13_proj"]["wq"].shape[1] in (resid.shape[-1],
+                                                  resid.shape[-1] // 2)
             and c.hidden_act in ("silu", "gelu_tanh")
             and not c.parallel_residual):
         from mobilequant_tpu.ops import pallas_mlp as _PMLP
         Dm = resid.shape[-1]
         Fm = sp["w13_proj"]["wq"].shape[2] // 2
+        w4p = sp["w13_proj"]["wq"].shape[1] * 2 == Dm   # nibble-packed W4
+        w2_rows = Fm // 2 if w4p else Fm
+        supported = (_PMLP.w4_mlp_block_supported(Dm, Fm) if w4p
+                     else _PMLP.w8_mlp_block_supported(Dm, Fm))
         # decode-sized only: at prefill M the narrow-segment dots + in-program
         # VPU serialization lose to the split stacked matmuls + gate_quant
         # (523 vs ~300 µs/layer at M=1024 — see ops/pallas_mlp.py NOTE)
         if (B * T <= 64
-                and sp["w2"]["wq"].shape[1] * 2 == Fm
-                and _PMLP.w4_mlp_block_supported(Dm, Fm)):
-            # whole W4 MLP block (norm→quant→w13→act→w2→requant→residual) in
-            # ONE stacked-layer dispatch: nibble weights stream straight from
+                and sp["w2"]["wq"].shape[1] == w2_rows
+                and supported):
+            # whole W4/W8 MLP block (norm→quant→w13→act→w2→requant→residual)
+            # in ONE stacked-layer dispatch: weights stream straight from
             # the (L,·,·) stacks (scalar-prefetch layer select), all the small
-            # inter-matmul fusions fold into the kernel
+            # inter-matmul fusions fold into the kernel; the W8 edition is the
+            # batched-decode serving path (fused_mlp_block_w4_stacked sniffs
+            # the pack bitwidth by shape)
             meta = _mlp_block_meta(lr, policy, c)
             out = _PMLP.fused_mlp_block_w4_stacked(
                 resid.reshape(-1, Dm).astype(jnp.float32),

@@ -385,6 +385,77 @@ def test_w4_mlp_block_stacked_matches_engine():
         PMLP.fused_mlp_block_w4_stacked = ob
 
 
+def test_w8_mlp_block_stacked_matches_engine():
+    """The W8 edition of the stacked whole-MLP-block kernel (plain int8 packs,
+    w2 seg_lo/seg_hi as two row-block operands — the batched-decode serving
+    path) == the XLA engine path through forward()."""
+    import dataclasses
+    import mobilequant_tpu.ops.pallas_mlp as PMLP
+    from mobilequant_tpu.models import get_config
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant import calibrate
+    from mobilequant_tpu.quant.policy import default_policy, relax_16bit
+    from mobilequant_tpu.runtime import engine as E
+    from mobilequant_tpu.runtime.kernel_config import KernelConfig
+
+    cfg = dataclasses.replace(get_config("test-llama"), hidden_size=256,
+                              intermediate_size=512, num_heads=4,
+                              num_kv_heads=2, head_dim=64, num_layers=2)
+    assert PMLP.w8_mlp_block_supported(cfg.hidden_size, cfg.intermediate_size)
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    base = default_policy(cfg, QuantConfig(bitwidth=8), QuantConfig(bitwidth=8))
+    tokens = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 8)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, base, batch_size=2)
+    ranges = calibrate.stats_to_ranges(stats, base)
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=64, weight_bits=8)
+    packed = E.pack(params, ranges, cfg, base, ecfg)
+    # chunked-decode-sized segment (M=48) + decode-sized (M=16)
+    prefill = np.random.default_rng(1).integers(
+        0, cfg.vocab_size, (1, 48)).astype(np.int32)
+    # stacked-MLP-kernel only (no layer/model kernel) — the serving config
+    # the batched W8 decode path actually dispatches
+    kc = KernelConfig(stacked_mlp_kernel=True)
+
+    ob = PMLP.fused_mlp_block_w4_stacked
+    PMLP.fused_mlp_block_w4_stacked = functools.partial(ob, interpret=True)
+    try:
+        for toks in (tokens, prefill):
+            t = jnp.asarray(toks)
+            for policy in (base, relax_16bit(base)):
+                ref, _ = E.forward(packed, t, cfg, policy)
+                out, _ = E.forward(packed, t, cfg, policy, use_pallas=kc)
+                np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                           rtol=2e-4, atol=2e-4)
+
+        # batched chunked-staging decode (the bs=32 serving path, B>8 so the
+        # whole-model kernel is gated off): staged + W8 stacked-MLP kernel ==
+        # staged XLA, logits to fp32 rounding, flushed caches bit-exact
+        policy = relax_16bit(base)
+        B, Tp, n = 3, 4, 6
+        t = jnp.asarray(tokens[:1]).repeat(B, 0)[:, :Tp]
+        ca = E.init_kv_cache(ecfg, B)
+        pos0 = jnp.zeros((B,), jnp.int32)
+        logits, ca = E.forward(packed, t, cfg, policy, kv_cache=ca,
+                               cache_position=pos0,
+                               kv_valid_len=jnp.full((B,), Tp, jnp.int32))
+        first = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+        cb = E.EngineKVCache(k=ca.k, v=ca.v)
+        pos = jnp.full((B,), Tp, jnp.int32)
+        _, c_ref, l_ref = E.decode_loop(packed, first, ca, pos, n, cfg,
+                                        policy, use_pallas=False,
+                                        staging_chunk=4)
+        _, c_k, l_k = E.decode_loop(packed, first, cb, pos, n, cfg,
+                                    policy, use_pallas=kc, staging_chunk=4)
+        np.testing.assert_allclose(np.asarray(l_k), np.asarray(l_ref),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(c_k.k), np.asarray(c_ref.k))
+        np.testing.assert_array_equal(np.asarray(c_k.v), np.asarray(c_ref.v))
+    finally:
+        PMLP.fused_mlp_block_w4_stacked = ob
+    jax.clear_caches()
+
+
 @pytest.mark.parametrize("variant", ["llama_gqa64", "stablelm_mha64_partial",
                                      "gemma_mqa128", "llama_gqa64_w8"])
 def test_whole_layer_w4_kernel_matches_engine_decode(variant):
