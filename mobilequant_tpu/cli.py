@@ -183,6 +183,67 @@ def _warm_engine_cache(output_dir, packed, cfg, policy, ecfg):
     print(f"warmed xla_cache (decode chunk + prefill) -> {output_dir}/xla_cache")
 
 
+def _verify_packed(output_dir, packed, cfg, policy, ecfg, sim_logits_fn,
+                   eng_logits_fn, decode_loop_fn, init_cache_fn,
+                   n_check=12, n_decode=16):
+    """pack --verify: the reference's export parity ritual (ref
+    device/export.py:395-438 — every export ends with the on-device graph
+    allclosed against the simulator plus a measured avg latency). Runs the
+    packed engine on the CURRENT backend (the real chip when run under the
+    ambient TPU platform), checks prompt logits against the fake-quant sim,
+    times an in-graph decode chunk (length-differenced so fixed dispatch
+    overhead cancels), and merges the record into engine.json."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from mobilequant_tpu.utils.io import json_load, json_save
+
+    rng = np.random.default_rng(0)
+    T = int(min(n_check, ecfg.max_seq_len // 2))
+    t = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, T)), jnp.int32)
+    sim = np.asarray(sim_logits_fn(t), np.float32)
+    eng = np.asarray(eng_logits_fn(t), np.float32)
+    max_abs = float(np.abs(eng - sim).max())
+    max_rel = float(max_abs / (np.abs(sim).max() + 1e-9))
+    # reference gate: rtol=1e-1, atol=1e-3 (HTP vs GPU-sim); the integer
+    # engine is an exact re-expression of the sim so fp32 rounding is the
+    # only divergence — on TPU the sim's fp32 matmuls run at bf16 precision,
+    # hence the looser-than-CPU-test bound
+    ok = bool(max_rel < 5e-2 or max_abs < 1e-1)
+
+    def run_chunk(n, salt):
+        tok = jnp.full((1, 1), salt % cfg.vocab_size, jnp.int32)
+        cache = init_cache_fn(ecfg, 1)
+        pos = jnp.zeros((1,), jnp.int32)
+        t0 = time.perf_counter()
+        toks, _, _ = decode_loop_fn(packed, tok, cache, pos, n)
+        np.asarray(toks)
+        return time.perf_counter() - t0
+
+    n1, n2 = 8, 8 + n_decode
+    run_chunk(n1, 1); run_chunk(n2, 2)          # compile + warm
+    d1, d2 = run_chunk(n1, 3), run_chunk(n2, 4)
+    ms_per_tok = max(d2 - d1, 0.0) / n_decode * 1e3
+
+    rec = {"engine_sim_max_abs": max_abs, "engine_sim_max_rel": max_rel,
+           "ok": ok, "decode_ms_per_token": round(ms_per_tok, 4),
+           "backend": jax.default_backend(), "n_check_tokens": T,
+           "n_decode_tokens": n_decode}
+    meta_path = Path(output_dir) / "engine.json"
+    meta = json_load(meta_path) if meta_path.exists() else {}
+    meta["verify"] = rec
+    json_save(meta_path, meta)
+    status = "OK" if ok else "MISMATCH"
+    print(f"verify [{status}]: engine vs sim max_rel={max_rel:.2e} "
+          f"max_abs={max_abs:.2e}; decode {ms_per_tok:.3f} ms/token "
+          f"on {rec['backend']} -> engine.json")
+    if not ok:
+        raise SystemExit(1)
+    return rec
+
+
 def cmd_pack(args):
     from mobilequant_tpu.export import artifacts
     from mobilequant_tpu.runtime import engine as E
@@ -214,10 +275,35 @@ def cmd_pack(args):
             artifacts.export_decode_step_wonly(
                 packed, cfg, args.max_seq_len,
                 Path(args.output_dir) / "decode_step.stablehlo")
+        ecfg = E.EngineConfig(model=cfg, max_seq_len=args.max_seq_len,
+                              act_bits=16, weight_bits=wb)
         if args.warm_cache:
-            ecfg = E.EngineConfig(model=cfg, max_seq_len=args.max_seq_len,
-                                  act_bits=16, weight_bits=wb)
             _warm_engine_cache(args.output_dir, packed, cfg, policy, ecfg)
+        if args.verify:
+            from mobilequant_tpu.models import model as M
+            from mobilequant_tpu.quant.quantizer import fake_quant_weight
+            import jax
+
+            def _fq_params():
+                out = jax.tree.map(lambda a: a, params)
+                for k in wonly._PROJ_KEYS:
+                    if k in out["layers"] and "w" in out["layers"][k]:
+                        w = out["layers"][k]["w"]
+                        fq = (jax.vmap(jax.vmap(
+                                  lambda wi: fake_quant_weight(wi, wcfg)))
+                              if w.ndim == 4 else
+                              jax.vmap(lambda wi: fake_quant_weight(wi, wcfg)))(w)
+                        out["layers"][k]["w"] = fq
+                return out
+
+            fqp = _fq_params()
+            _verify_packed(
+                args.output_dir, packed, cfg, policy, ecfg,
+                sim_logits_fn=lambda t: M.forward(fqp, t, cfg)[0],
+                eng_logits_fn=lambda t: wonly.forward(packed, t, cfg)[0],
+                decode_loop_fn=lambda p, tok, cache, pos, n: wonly.decode_loop(
+                    p, tok, cache, pos, n, cfg, None),
+                init_cache_fn=wonly.init_kv_cache)
         return
 
     assert qstate is not None, "run `quantize` first (needs learned ranges)"
@@ -239,6 +325,18 @@ def cmd_pack(args):
     print(f"packed engine -> {args.output_dir}")
     if args.warm_cache:
         _warm_engine_cache(args.output_dir, packed, cfg, policy, ecfg)
+    if args.verify:
+        from mobilequant_tpu.quant import qmodel
+
+        qst = {"ranges": qstate["ranges"]}
+        _verify_packed(
+            args.output_dir, packed, cfg, policy, ecfg,
+            sim_logits_fn=lambda t: qmodel.qforward(params, qst, t, cfg,
+                                                    policy)[0],
+            eng_logits_fn=lambda t: E.forward(packed, t, cfg, policy)[0],
+            decode_loop_fn=lambda p, tok, cache, pos, n: E.decode_loop(
+                p, tok, cache, pos, n, cfg, policy),
+            init_cache_fn=E.init_kv_cache)
 
 
 def cmd_eval_ppl(args):
@@ -641,6 +739,12 @@ def build_parser():
     q.add_argument("--warm_cache", action="store_true",
                    help="pre-compile the decode executable into "
                         "<output_dir>/xla_cache (instant cold start)")
+    q.add_argument("--verify", action="store_true",
+                   help="after packing, run the engine vs the fake-quant sim "
+                        "on the current backend (logits allclose) + time an "
+                        "in-graph decode chunk; store both in engine.json "
+                        "(the reference export's parity ritual, ref "
+                        "device/export.py:395-438)")
     q.set_defaults(fn=cmd_pack)
 
     q = sub.add_parser("eval-ppl")

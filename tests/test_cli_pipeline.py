@@ -47,8 +47,13 @@ def test_cli_full_pipeline(hf_ckpt, tmp_path):
 
     engine_dir = tmp_path / "engine"
     cli.main(["pack", "--model_dir", str(work), "--output_dir", str(engine_dir),
-              "--max_seq_len", "32"])
+              "--max_seq_len", "32", "--verify"])
     assert (engine_dir / "packed.orbax").exists()
+    # --verify stored the export parity ritual (engine vs sim + latency)
+    import json as _json
+    vrec = _json.loads((engine_dir / "engine.json").read_text())["verify"]
+    assert vrec["ok"] and vrec["engine_sim_max_rel"] < 5e-2
+    assert vrec["decode_ms_per_token"] >= 0
 
     # load back and generate
     from mobilequant_tpu.export import artifacts
@@ -136,10 +141,11 @@ def test_cli_weight_only_pipeline(hf_ckpt, tmp_path):
     engine_dir = tmp_path / "engine_w4a16"
     cli.main(["pack", "--model_dir", str(work), "--output_dir", str(engine_dir),
               "--max_seq_len", "32", "--act_bits", "16", "--weight_bits", "4",
-              "--group_size", "16", "--warm_cache"])
+              "--group_size", "16", "--warm_cache", "--verify"])
     import json
     meta = json.loads((engine_dir / "engine.json").read_text())
     assert meta["act_bits"] == 16 and meta["weight_bits"] == 4
+    assert meta["verify"]["ok"]      # wonly engine vs fake-quant-weight model
     # --warm_cache pre-compiled the decode chunk into the artifact's xla_cache
     assert any((engine_dir / "xla_cache").iterdir())
 
