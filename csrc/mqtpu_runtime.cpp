@@ -316,42 +316,80 @@ Session* session_cast(void* h) {
     return s;
 }
 
-// chat templates, hardcoded per family like the reference's tokenized
-// templates (llm.cpp:382-392); mirrors runtime/chat.py CHAT_TEMPLATES
-std::string apply_template(const std::string& family, const char* prompt) {
-    if (family == "llama")
-        return std::string("<|system|>\nYou are a friendly chatbot.</s>\n"
-                           "<|user|>\n") + prompt + "</s>\n<|assistant|>\n";
-    if (family == "gemma")
-        return std::string("<start_of_turn>user\n") + prompt +
-               "<end_of_turn>\n<start_of_turn>model\n";
-    if (family == "stablelm")
-        return std::string("<|user|>\n") + prompt +
-               "<|endoftext|>\n<|assistant|>\n";
-    return prompt;
+// Tokenized chat templates, hardcoded per family like the reference's
+// token-id templates (llm.cpp:382-392). Special tokens resolve to ATOMIC
+// vocab ids and the user prompt is tokenized as its own segment — string-
+// level templating can shift ids at segment boundaries (sentencepiece
+// prefix-space / cross-boundary merges), which is exactly why the reference
+// hardcodes ids. Specials missing from the vocab fall back to text encoding
+// so byte-fallback test vocabs still work. Mirrors runtime/chat.py
+// TEMPLATE_SEGMENTS — keep the two specs in sync (pinned by
+// tests/test_runtime_extras.py golden-id tests).
+struct Seg { bool special; const char* s; };
+struct TemplateSpec { std::vector<Seg> prefix, suffix; };
+
+TemplateSpec template_spec(const std::string& family) {
+    if (family == "llama")           // TinyLlama-1.1B-Chat (zephyr format)
+        return {{{true, "<|system|>"}, {false, "\nYou are a friendly chatbot."},
+                 {true, "</s>"}, {false, "\n"}, {true, "<|user|>"}, {false, "\n"}},
+                {{true, "</s>"}, {false, "\n"}, {true, "<|assistant|>"},
+                 {false, "\n"}}};
+    if (family == "gemma")           // Gemma instruction format
+        return {{{true, "<start_of_turn>"}, {false, "user\n"}},
+                {{true, "<end_of_turn>"}, {false, "\n"},
+                 {true, "<start_of_turn>"}, {false, "model\n"}}};
+    if (family == "stablelm")        // StableLM-2 zephyr format
+        return {{{true, "<|user|>"}, {false, "\n"}},
+                {{true, "<|endoftext|>"}, {false, "\n"},
+                 {true, "<|assistant|>"}, {false, "\n"}}};
+    return {{}, {}};
 }
 
-int32_t session_run(Session* s, const char* prompt, char** text_out,
-                    int32_t max_new_tokens, int32_t* last_pos_out) {
-    if (!prompt || !text_out || max_new_tokens <= 0) {
-        s->fail(MQTPU_BAD_ARGS, "bad arguments to mqtpu_session_run");
+bool encode_segments(const Tokenizer& tok, const std::vector<Seg>& segs,
+                     std::vector<int32_t>& out) {
+    for (const auto& g : segs) {
+        if (g.special) {
+            int32_t id = tok.find(g.s);
+            if (id >= 0) { out.push_back(id); continue; }
+        }
+        std::vector<int32_t> tmp(std::strlen(g.s) + 8);
+        int n = tok.encode(g.s, tmp.data(), static_cast<int>(tmp.size()));
+        if (n < 0) return false;
+        for (int i = 0; i < n && i < static_cast<int>(tmp.size()); ++i)
+            out.push_back(tmp[i]);
+    }
+    return true;
+}
+
+// full templated token sequence for pre-tokenized prompt ids (no bos)
+bool build_template_ids(const Tokenizer& tok, const std::string& family,
+                        const int32_t* prompt_ids, int32_t n_prompt,
+                        std::vector<int32_t>& out) {
+    TemplateSpec spec = template_spec(family);
+    if (!encode_segments(tok, spec.prefix, out)) return false;
+    out.insert(out.end(), prompt_ids, prompt_ids + n_prompt);
+    return encode_segments(tok, spec.suffix, out);
+}
+
+int32_t session_run_ids(Session* s, const int32_t* prompt_ids,
+                        int32_t n_prompt, char** text_out,
+                        int32_t max_new_tokens, int32_t* last_pos_out) {
+    if (!prompt_ids || n_prompt <= 0 || !text_out || max_new_tokens <= 0) {
+        s->fail(MQTPU_BAD_ARGS, "bad arguments to mqtpu_session_run_ids");
         return MQTPU_BAD_ARGS;
     }
-    const std::string text = apply_template(s->family, prompt);
-    std::vector<int32_t> tokens(text.size() + 8);
-    int n = s->tok.encode(text.c_str(), tokens.data(),
-                          static_cast<int>(tokens.size()));
-    if (n < 0) {
-        s->fail(MQTPU_TOKENIZER_ERROR, "tokenizer encode failed: " + g_error);
+    std::vector<int32_t> tokens;
+    if (!build_template_ids(s->tok, s->family, prompt_ids, n_prompt, tokens)) {
+        s->fail(MQTPU_TOKENIZER_ERROR, "template encode failed: " + g_error);
         return MQTPU_TOKENIZER_ERROR;
     }
-    tokens.resize(n);
     if (s->bos_id >= 0) tokens.insert(tokens.begin(), s->bos_id);
     if (static_cast<int32_t>(tokens.size()) + max_new_tokens > s->max_seq_len) {
         s->fail(MQTPU_SEQ_OVERFLOW, "prompt + max_new_tokens exceeds max_seq_len");
         return MQTPU_SEQ_OVERFLOW;
     }
-    logmsg(2, "prompt: %d tokens, generating up to %d", n, max_new_tokens);
+    logmsg(2, "prompt: %d tokens, generating up to %d",
+           static_cast<int>(tokens.size()), max_new_tokens);
 
     if (tokens.empty()) {
         s->fail(MQTPU_BAD_ARGS, "empty prompt after tokenization");
@@ -387,6 +425,25 @@ int32_t session_run(Session* s, const char* prompt, char** text_out,
     return MQTPU_OK;
 }
 
+// string entry point: tokenize the user prompt as its own segment, then the
+// exact-id path — ids are identical whether the caller pre-tokenizes or not
+int32_t session_run(Session* s, const char* prompt, char** text_out,
+                    int32_t max_new_tokens, int32_t* last_pos_out) {
+    if (!prompt || !text_out || max_new_tokens <= 0) {
+        s->fail(MQTPU_BAD_ARGS, "bad arguments to mqtpu_session_run");
+        return MQTPU_BAD_ARGS;
+    }
+    std::vector<int32_t> ids(std::strlen(prompt) + 8);
+    int n = s->tok.encode(prompt, ids.data(), static_cast<int>(ids.size()));
+    if (n < 0) {
+        s->fail(MQTPU_TOKENIZER_ERROR, "tokenizer encode failed: " + g_error);
+        return MQTPU_TOKENIZER_ERROR;
+    }
+    ids.resize(n);
+    return session_run_ids(s, ids.data(), static_cast<int32_t>(ids.size()),
+                           text_out, max_new_tokens, last_pos_out);
+}
+
 extern "C" {
 
 const char* mqtpu_last_error() { return g_error.c_str(); }
@@ -407,6 +464,25 @@ int mqtpu_tokenizer_encode(void* tk, const char* text, int32_t* out, int max_out
 
 const char* mqtpu_tokenizer_decode(void* tk, int32_t token) {
     return static_cast<Tokenizer*>(tk)->decode(token);
+}
+
+// exact-piece lookup (no merging): the atomic id of a special token, or -1
+int32_t mqtpu_tokenizer_piece_to_id(void* tk, const char* piece) {
+    return static_cast<Tokenizer*>(tk)->find(piece);
+}
+
+// tokenized chat template around pre-tokenized prompt ids (no bos). Returns
+// the total id count (fills up to max_out), or -1 on encode failure.
+int32_t mqtpu_template_ids(void* tk, const char* family,
+                           const int32_t* prompt_ids, int32_t n_prompt,
+                           int32_t* out, int32_t max_out) {
+    auto* t = static_cast<Tokenizer*>(tk);
+    if (!t || !family || (!prompt_ids && n_prompt > 0)) return -1;
+    std::vector<int32_t> ids;
+    if (!build_template_ids(*t, family, prompt_ids, n_prompt, ids)) return -1;
+    int32_t n = std::min<int32_t>(static_cast<int32_t>(ids.size()), max_out);
+    if (out) std::copy(ids.begin(), ids.begin() + n, out);
+    return static_cast<int32_t>(ids.size());
 }
 
 void mqtpu_tokenizer_free(void* tk) { delete static_cast<Tokenizer*>(tk); }
@@ -472,6 +548,17 @@ int32_t mqtpu_session_run(void* h, const char* prompt, char** text_out,
     Session* s = session_cast(h);
     if (!s) return MQTPU_INVALID_HANDLE;
     return session_run(s, prompt, text_out, max_new_tokens, last_pos_out);
+}
+
+// pre-tokenized entry point: the caller supplies exact prompt ids (avoids
+// sentencepiece prefix-space drift entirely; ref llm.cpp:382-392 ships ids)
+int32_t mqtpu_session_run_ids(void* h, const int32_t* prompt_ids,
+                              int32_t n_prompt, char** text_out,
+                              int32_t max_new_tokens, int32_t* last_pos_out) {
+    Session* s = session_cast(h);
+    if (!s) return MQTPU_INVALID_HANDLE;
+    return session_run_ids(s, prompt_ids, n_prompt, text_out, max_new_tokens,
+                           last_pos_out);
 }
 
 const char* mqtpu_session_error(void* h, int32_t code) {

@@ -589,7 +589,7 @@ def cmd_demo(args):
     from mobilequant_tpu.export import artifacts
     from mobilequant_tpu.runtime.generate import Generator
     from mobilequant_tpu.runtime.native import NativeTokenizer
-    from mobilequant_tpu.runtime.chat import apply_chat_template
+    from mobilequant_tpu.runtime.chat import apply_chat_template_ids
 
     packed, cfg, policy, meta = artifacts.load_packed(args.engine_dir)
     from mobilequant_tpu.runtime import engine as E
@@ -601,8 +601,12 @@ def cmd_demo(args):
     temperature = args.temperature
 
     def answer(prompt: str):
-        text_in = apply_chat_template(prompt, args.chat)
-        ids = tk.encode(text_in, prefix=[args.bos] if args.bos >= 0 else [])
+        # tokenized template: the prompt is encoded as its own segment and
+        # wrapped in exact ids (same path the native session takes — immune
+        # to string-level boundary drift, ref llm.cpp:382-392)
+        tids = apply_chat_template_ids(tk.encode(prompt), args.chat,
+                                       tk.encode, tk.piece_to_id)
+        ids = ([args.bos] if args.bos >= 0 else []) + tids
         if args.speculative > 0 and temperature <= 0.0:
             out, stats = gen.generate_speculative(
                 np.asarray([ids], np.int32), args.max_new_tokens,

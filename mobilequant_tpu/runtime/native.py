@@ -39,6 +39,13 @@ def load_library() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
     lib.mqtpu_tokenizer_decode.restype = ctypes.c_char_p
     lib.mqtpu_tokenizer_decode.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.mqtpu_tokenizer_piece_to_id.restype = ctypes.c_int32
+    lib.mqtpu_tokenizer_piece_to_id.argtypes = [ctypes.c_void_p,
+                                                ctypes.c_char_p]
+    lib.mqtpu_template_ids.restype = ctypes.c_int32
+    lib.mqtpu_template_ids.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
     lib.mqtpu_tokenizer_free.argtypes = [ctypes.c_void_p]
     lib.mqtpu_sampler_new.restype = ctypes.c_void_p
     lib.mqtpu_sampler_new.argtypes = [ctypes.c_uint64, ctypes.c_float,
@@ -79,6 +86,25 @@ class NativeTokenizer:
         for t in tokens:
             parts.append(self._lib.mqtpu_tokenizer_decode(self._h, int(t)))
         return b"".join(parts).decode("utf-8", errors="replace")
+
+    def piece_to_id(self, piece: str) -> int:
+        """Exact-piece (atomic) id lookup, -1 if absent — for special tokens
+        that must never be split or merged by the encoder."""
+        return self._lib.mqtpu_tokenizer_piece_to_id(self._h, piece.encode())
+
+    def template_ids(self, family: str, prompt_ids) -> list[int]:
+        """C++-side tokenized chat template around pre-tokenized prompt ids
+        (csrc template_spec — the exact ids mqtpu_session_run_ids consumes)."""
+        arr = (ctypes.c_int32 * max(len(prompt_ids), 1))(*[int(t) for t in prompt_ids])
+        n_total = self._lib.mqtpu_template_ids(self._h, family.encode(), arr,
+                                               len(prompt_ids), None, 0)
+        if n_total < 0:
+            raise RuntimeError("mqtpu_template_ids failed: "
+                               f"{self._lib.mqtpu_last_error().decode()}")
+        out = (ctypes.c_int32 * n_total)()
+        self._lib.mqtpu_template_ids(self._h, family.encode(), arr,
+                                     len(prompt_ids), out, n_total)
+        return list(out)
 
     def __del__(self):
         if getattr(self, "_h", None):
@@ -127,6 +153,11 @@ def _load_session_api(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.mqtpu_session_run.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_char_p),
         ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)]
+    lib.mqtpu_session_run_ids.restype = ctypes.c_int32
+    lib.mqtpu_session_run_ids.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32)]
     lib.mqtpu_session_error.restype = ctypes.c_char_p
     lib.mqtpu_session_error.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     lib.mqtpu_free_text.argtypes = [ctypes.c_char_p]
@@ -188,6 +219,24 @@ class NativeSession:
         if rc != 0:
             msg = self._lib.mqtpu_session_error(self._h, rc).decode()
             raise RuntimeError(f"mqtpu_session_run failed ({rc}): {msg}")
+        try:
+            text = out.value.decode("utf-8", errors="replace")
+        finally:
+            self._lib.mqtpu_free_text(out)
+        return text, pos.value
+
+    def run_ids(self, prompt_ids, max_new_tokens: int = 64) -> tuple[str, int]:
+        """Pre-tokenized entry point: exact prompt ids, immune to string-level
+        template drift (the tokenized template wraps them id-for-id)."""
+        arr = (ctypes.c_int32 * len(prompt_ids))(*[int(t) for t in prompt_ids])
+        out = ctypes.c_char_p()
+        pos = ctypes.c_int32()
+        rc = self._lib.mqtpu_session_run_ids(self._h, arr, len(prompt_ids),
+                                             ctypes.byref(out), max_new_tokens,
+                                             ctypes.byref(pos))
+        if rc != 0:
+            msg = self._lib.mqtpu_session_error(self._h, rc).decode()
+            raise RuntimeError(f"mqtpu_session_run_ids failed ({rc}): {msg}")
         try:
             text = out.value.decode("utf-8", errors="replace")
         finally:

@@ -215,11 +215,18 @@ def make_http_server(server: InferenceServer, tokenizer=None, host="127.0.0.1",
                 else:
                     text = req["prompt"]
                     if chat_family:
+                        # tokenized template (exact ids, no string-boundary
+                        # drift — runtime/chat.TEMPLATE_SEGMENTS)
                         from mobilequant_tpu.runtime.chat import (
-                            apply_chat_template)
-                        text = apply_chat_template(text, chat_family)
-                    ids = tokenizer.encode(
-                        text, prefix=[bos_id] if bos_id >= 0 else [])
+                            apply_chat_template_ids)
+                        ids = apply_chat_template_ids(
+                            tokenizer.encode(text), chat_family,
+                            tokenizer.encode,
+                            getattr(tokenizer, "piece_to_id", lambda _: -1))
+                        ids = ([bos_id] if bos_id >= 0 else []) + ids
+                    else:
+                        ids = tokenizer.encode(
+                            text, prefix=[bos_id] if bos_id >= 0 else [])
             except (ValueError, TypeError, KeyError) as e:  # malformed input
                 return self._send(400, {"error": f"bad request: {e!r}"})
             try:

@@ -191,6 +191,81 @@ def test_chat_templates():
         apply_chat_template("hi", "mistralx")
 
 
+def test_tokenized_chat_template_golden_ids(tmp_path):
+    """Token-ID chat templates (ref capp/src/llm.cpp:382-392 hardcodes ids
+    because string-level templating can shift ids at segment boundaries):
+    golden id lists for the toy vocab, Python spec == C++ spec, and the
+    pre-tokenized NativeSession entry point consumes them id-for-id."""
+    from mobilequant_tpu.runtime.chat import apply_chat_template_ids
+    from mobilequant_tpu.runtime.native import NativeSession
+
+    pieces, scores = _toy_vocab()
+    specials = [b"<|system|>", b"<|user|>", b"<|assistant|>", b"<|endoftext|>",
+                b"<start_of_turn>", b"<end_of_turn>"]
+    for sp in specials:
+        pieces.append(sp)
+        scores.append(0.0)
+    path = tmp_path / "tok_chat.bin"
+    write_tokenizer_bin(path, pieces, scores, version=2)
+    tk = NativeTokenizer(path)
+    assert tk.piece_to_id("<|user|>") == 278
+    assert tk.piece_to_id("<nope>") == -1
+
+    prompt_ids = tk.encode("hello world")
+    assert prompt_ids == [267, 276]              # "hello", " world" merges
+
+    # golden ids (hand-checked against the segment spec + toy-vocab merges:
+    # specials atomic, '\n'=13, 'u'=120 's'=118 'e'=261 'r'=270, 'm'=112
+    # 'o'=263 'd'=271 'l'=262)
+    golden = {
+        "gemma": [281, 120, 118, 261, 270, 13, 267, 276,
+                  282, 13, 281, 112, 263, 271, 261, 262, 13],
+        "stablelm": [278, 13, 267, 276, 280, 13, 279, 13],
+        "none": [267, 276],
+    }
+    for fam, want in golden.items():
+        got = apply_chat_template_ids(prompt_ids, fam, tk.encode,
+                                      tk.piece_to_id)
+        assert got == want, fam
+    # every family: the Python spec and the C++ spec produce identical ids
+    for fam in ("llama", "gemma", "stablelm", "none"):
+        py = apply_chat_template_ids(prompt_ids, fam, tk.encode,
+                                     tk.piece_to_id)
+        assert tk.template_ids(fam, prompt_ids) == py, fam
+    # llama structure: specials atomic at the pinned positions
+    lids = apply_chat_template_ids(prompt_ids, "llama", tk.encode,
+                                   tk.piece_to_id)
+    assert lids[0] == 277 and lids[-2] == 279 and lids[-1] == 13
+    k = lids.index(278)                          # <|user|> marker
+    assert lids[k:k + 4] == [278, 13, 267, 276]  # prompt ids verbatim after it
+    assert lids[k + 4:] == [2, 13, 279, 13]      # </s> \n <|assistant|> \n
+
+    # the pre-tokenized session path consumes these ids exactly: the forward
+    # callback must see len(ids)+1 (bos) prompt positions before sampling
+    seen = []
+
+    def forward(token, position):
+        seen.append((token, position))
+        lg = np.zeros(len(pieces), np.float32)
+        lg[263] = 1.0                            # always "o"
+        return lg
+
+    sess = NativeSession(path, forward, len(pieces), family="stablelm",
+                         max_seq_len=64, bos_id=1, eos_id=2)
+    text, pos = sess.run_ids(prompt_ids, max_new_tokens=3)
+    want_prompt = [1] + golden["stablelm"]
+    assert [t for t, _ in seen[:len(want_prompt)]] == want_prompt
+    assert [p for _, p in seen[:len(want_prompt)]] == list(range(len(want_prompt)))
+    assert text == "ooo"
+    # and the string entry point goes through the SAME tokenized-template
+    # path (prompt encoded as its own segment, then exact ids)
+    seen.clear()
+    text2, _ = sess.run("hello world", max_new_tokens=3)
+    assert [t for t, _ in seen[:len(want_prompt)]] == want_prompt
+    assert text2 == "ooo"
+    sess.release()
+
+
 def test_collect_mmlu():
     from mobilequant_tpu.eval.collect import collect_mmlu, results_table
     res = {"mmlu_abstract_algebra": {"acc,none": 0.3},
