@@ -342,6 +342,56 @@ def main():
         except Exception as e:
             log(f"serve bench failed: {e!r}")
 
+    # --- 6b. speculative decoding END TO END: the in-graph loop
+    # (generate_speculative_fast — draft, verify, accept/reject all inside
+    # one lax.scan dispatch), marginal over ROUND count so the relay's fixed
+    # per-dispatch overhead cancels. Realized tok/s = d(tokens)/d(time).
+    # Caveat (BENCHMARKS.md): synthetic weights collapse to repetitive greedy
+    # chains, so acceptance is an upper bound, not a text statistic. ---
+    if not past_budget() and (not on_cpu or smoke):
+        try:
+            from mobilequant_tpu.runtime.generate import Generator
+            packed, cfg, policy, ecfg = _build_packed_tinyllama(
+                w_bits=8 if on_cpu else 4, head_bits=16 if on_cpu else 4)
+            policy = relax_16bit(policy)
+            gen = Generator(packed, cfg, policy, ecfg)
+            rngK = np.random.default_rng(7)
+            motif = rngK.integers(0, cfg.vocab_size, 16)
+            prompt = np.tile(motif, 4)[None, :].astype(np.int32)   # 64 toks
+            K = 4
+            R1, R2 = (2, 4) if smoke else (16, 48)
+
+            def spec_row(layers, tag):
+                chunk, _sd = gen._spec_chunk_fn(K, R1, layers)
+                chunk2, _ = gen._spec_chunk_fn(K, R2, layers)
+
+                def run(fn, salt):
+                    p = (prompt + salt) % cfg.vocab_size
+                    st = gen._spec_state(p, K, layers)
+                    np.asarray(st[0])              # force prefill
+                    t0 = time.perf_counter()
+                    out = fn(packed, *st)
+                    nem = int(np.asarray(out[5]))
+                    return nem, time.perf_counter() - t0
+
+                run(chunk, 1); run(chunk2, 2)      # compile + warm
+                n1, d1 = run(chunk, 3)
+                n2, d2 = run(chunk2, 4)
+                tps = (n2 - n1) / max(d2 - d1, 1e-9)
+                tpv = (n2 - n1) / (R2 - R1)
+                results[f"spec_{tag}_decode_tok_s"] = tps
+                results[f"spec_{tag}_tok_per_verify"] = tpv
+                log(f"speculative ({tag}, k={K}, in-graph rounds): "
+                    f"{tps:.1f} tok/s realized, {tpv:.2f} tok/verify "
+                    "(synthetic-weight acceptance = upper bound)")
+                emit(results, fp_tps)
+
+            spec_row(0, "lookup")
+            spec_row(4, "selfdraft4")
+            del packed, gen
+        except Exception as e:
+            log(f"speculative bench failed: {e!r}")
+
     # --- 7. weight-only W4A16 (g128) decode: fp activations/KV, stacked-
     # kernel dequant (runtime/wonly.py — the reference's auto_gptq mode) ---
     if not past_budget():

@@ -319,6 +319,49 @@ def test_speculative_decode_matches_greedy():
     assert prompt_lookup_draft([1, 2, 3, 1, 2], 2) == [3, 1]
 
 
+def test_in_graph_speculative_matches_greedy():
+    """The IN-GRAPH speculative loop (generate_speculative_fast: lax.scan
+    over draft→verify rounds, device-side prompt-lookup / self-draft) emits
+    exactly the plain greedy chain; _ig_lookup_draft twins the host
+    prompt_lookup_draft semantics."""
+    import jax.numpy as jnp
+    from mobilequant_tpu.runtime.generate import (Generator, _ig_lookup_draft,
+                                                  prompt_lookup_draft)
+    cfg, params, policy, ranges, packed, ecfg, tokens = _build("test-llama", 8)
+    gen = Generator(packed, cfg, policy, ecfg)
+    prompt = np.asarray([[7, 3, 9, 4, 7, 3, 9, 4, 7, 3]], np.int32)
+    want = np.asarray(gen.generate(prompt, 12))[0].tolist()
+
+    got, stats = gen.generate_speculative_fast(prompt, 12, k=4,
+                                               rounds_per_chunk=3,
+                                               return_stats=True)
+    assert np.asarray(got)[0].tolist() == want
+    assert stats["verify_calls"] >= 1
+
+    # self-draft edition (catch-up + in-scan T=1 draft steps)
+    got_sd = gen.generate_speculative_fast(prompt, 12, k=4,
+                                           self_draft_layers=1,
+                                           rounds_per_chunk=3)
+    assert np.asarray(got_sd)[0].tolist() == want
+
+    # eos truncation
+    eos = want[5]
+    got_eos = gen.generate_speculative_fast(prompt, 12, k=4, eos_token_id=eos)
+    assert np.asarray(got_eos)[0].tolist() == want[:want.index(eos) + 1]
+
+    # the in-graph draft == the host draft on assorted histories
+    rng = np.random.default_rng(0)
+    for n in (1, 3):
+        for hist in ([1, 2, 3, 1, 2], [5, 5, 5, 5], [9, 8], [4, 1, 4, 1, 4],
+                     list(rng.integers(0, 6, 17))):
+            S = 32
+            buf = jnp.zeros((S,), jnp.int32).at[:len(hist)].set(
+                jnp.asarray(hist, jnp.int32))
+            got_d = np.asarray(_ig_lookup_draft(
+                buf, jnp.int32(len(hist)), n)).tolist()
+            assert got_d == prompt_lookup_draft(hist, n), (hist, n)
+
+
 def test_quantized_head_kernel_batched_rows():
     """W4 head through the fused-unpack kernel at B·T > 1: the per-row dynamic
     scales multiply the kernel output (exact — symmetric acts, no bias, the
