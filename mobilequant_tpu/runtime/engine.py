@@ -67,13 +67,24 @@ class StagedKVCache(NamedTuple):
     kcs: Σ_hd k (L, B, Hkv, S) fp32, the zero-point column sums of the stale
     K cache — computed ONCE per chunk (the cache is read-only, so they are
     chunk-constant) instead of re-reading the K slab every step inside
-    qops.int_matmul_qk (a 12.8 µs/layer convert+reduce pass at bs=32)."""
+    qops.int_matmul_qk (a 12.8 µs/layer convert+reduce pass at bs=32).
+
+    pk/pv: the current step's PENDING rows (L, B, Hkv, 1, hd). forward() does
+    NOT append them to sk/sv itself — within one scan iteration that read-
+    then-update pattern leaves the staging buffers live across the layer
+    scan, and XLA's aliasing analysis inserts a full 11.6 MB defensive copy
+    per step (the 89 µs/step residual of the round-2 trace). decode_loop
+    instead writes the previous step's pending rows at the TOP of each step
+    (the only write in the iteration, with the old buffer value dead), then
+    the layer scan reads the already-updated buffers."""
     k: jax.Array
     v: jax.Array
     sk: jax.Array
     sv: jax.Array
     m: jax.Array
     kcs: Optional[jax.Array] = None
+    pk: Optional[jax.Array] = None
+    pv: Optional[jax.Array] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -1347,16 +1358,14 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
         h, kv_out = jax.lax.scan(body, x, xs, unroll=layer_unroll)
         logits = None
     if staging is not None and T == 1 and not kc.attn_kernel:
-        # chunked staging: the step's rows land at staging column m — ONE
-        # uniform-column DUS for all slots; the big caches pass through
-        # untouched and decode_loop flushes the chunk at the end
-        zero = jnp.int32(0)
-        at = (zero, zero, zero, staging.m, zero)
+        # chunked staging: the step's rows come back as PENDING (pk/pv);
+        # decode_loop writes them into the staging buffers at the top of the
+        # NEXT step (see StagedKVCache docstring — appending here would leave
+        # sk/sv live across the layer scan and force a defensive copy)
         new_cache = StagedKVCache(
-            k=staging.k, v=staging.v,
-            sk=jax.lax.dynamic_update_slice(staging.sk, kv_out[0], at),
-            sv=jax.lax.dynamic_update_slice(staging.sv, kv_out[1], at),
-            m=staging.m + 1, kcs=staging.kcs)
+            k=staging.k, v=staging.v, sk=staging.sk, sv=staging.sv,
+            m=staging.m + 1, kcs=staging.kcs,
+            pk=kv_out[0], pv=kv_out[1])
     elif kv_cache is not None and T == 1 and not kc.attn_kernel:
         # decode-light: the scan emitted only the new K/V rows; scatter them
         # into the cache with ONE batched update after the scan. This DUS
@@ -1514,11 +1523,14 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
 
         def chunk_body(carry, keys_chunk):
             token, cache, pos0 = carry
+            pshape = (L, B, Hkv, 1, hd)
             st0 = StagedKVCache(
                 k=cache.k, v=cache.v,
                 sk=jnp.zeros((L, B, Hkv, cs, hd), cache.k.dtype),
                 sv=jnp.zeros((L, B, Hkv, cs, hd), cache.v.dtype),
-                m=jnp.int32(0))
+                m=jnp.int32(0),
+                pk=jnp.zeros(pshape, cache.k.dtype),
+                pv=jnp.zeros(pshape, cache.v.dtype))
             # zero-point column sums of the stale K cache: chunk-constant, so
             # ONE full K pass per chunk replaces a per-step per-layer slab
             # re-read inside int_matmul_qk (12.8 µs/layer at bs=32). A
@@ -1526,9 +1538,23 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
             # its carry (carried buffers risk per-step while-boundary copies).
             kcs0 = jnp.sum(cache.k.astype(jnp.int32),
                            axis=-1).astype(jnp.float32)
+            zero = jnp.int32(0)
+
+            def stage_pending(st):
+                # top-of-step append: the PREVIOUS step's rows land at column
+                # m-1 (step 0 writes its zero-init pending over the zeroed
+                # column 0 — harmless). This is the iteration's ONLY write to
+                # sk/sv and the pre-write value has no later use, so XLA can
+                # apply it in place — appending after the layer-scan read
+                # cost an 11.6 MB defensive copy per step (BENCHMARKS.md).
+                at = (zero, zero, zero, jnp.maximum(st.m - 1, 0), zero)
+                return st._replace(
+                    sk=jax.lax.dynamic_update_slice(st.sk, st.pk, at),
+                    sv=jax.lax.dynamic_update_slice(st.sv, st.pv, at))
 
             def step_st(c, k_step):
                 tok_c, st, pos = c
+                st = stage_pending(st)
                 logits, st = forward(packed, tok_c, config, policy,
                                      positions=pos[:, None],
                                      kv_cache=st._replace(kcs=kcs0),
@@ -1542,6 +1568,9 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
 
             (tok_c, st, pos), (toks_c, logits_seq) = jax.lax.scan(
                 step_st, (token, st0, pos0), keys_chunk)
+            # the last step's rows are still pending: one post-scan append
+            # (single-use buffer here — in-place without gymnastics)
+            st = stage_pending(st)
             cache = EngineKVCache(k=flush(st.k, st.sk, pos0),
                                   v=flush(st.v, st.sv, pos0))
             return (tok_c, cache, pos), (toks_c, logits_seq[-1])
