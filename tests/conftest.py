@@ -21,3 +21,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: >25s tests (kernel matrices, pipeline-parallel training, full "
+        "CLI journeys). Inner loop: pytest -m 'not slow' (~12 min); CI/full: "
+        "no filter (~21 min).")

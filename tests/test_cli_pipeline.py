@@ -29,6 +29,7 @@ def hf_ckpt(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_cli_full_pipeline(hf_ckpt, tmp_path):
     from mobilequant_tpu import cli
 

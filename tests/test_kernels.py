@@ -336,6 +336,7 @@ def test_engine_stacked_w4_path_matches_unstacked():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_w4_mlp_block_stacked_matches_engine():
     """The stacked W4 whole-MLP-block kernel == the XLA engine path exactly
     (same fake-quant ordering), through forward() on an alignment-compatible
@@ -385,6 +386,7 @@ def test_w4_mlp_block_stacked_matches_engine():
         PMLP.fused_mlp_block_w4_stacked = ob
 
 
+@pytest.mark.slow
 def test_w8_mlp_block_stacked_matches_engine():
     """The W8 edition of the stacked whole-MLP-block kernel (plain int8 packs,
     w2 seg_lo/seg_hi as two row-block operands — the batched-decode serving
@@ -458,6 +460,7 @@ def test_w8_mlp_block_stacked_matches_engine():
 
 @pytest.mark.parametrize("variant", ["llama_gqa64", "stablelm_mha64_partial",
                                      "gemma_mqa128", "llama_gqa64_w8"])
+@pytest.mark.slow
 def test_whole_layer_w4_kernel_matches_engine_decode(variant):
     """The whole-layer W4 megakernel (norm->qkv->rope->decode-light attention->
     o->residual->MLP, ops/pallas_layer.py) == the XLA engine decode path

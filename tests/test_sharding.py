@@ -147,6 +147,7 @@ def test_engine_moe_ep_sharding():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_pipeline_parallel_matches_single_device():
     """GPipe pipeline over a "pp" mesh axis == unpipelined sim forward, and the
     pipelined loss is differentiable w.r.t. the quant state (the e2equant use)."""
@@ -264,6 +265,7 @@ def test_packed_pspecs_cover_w4_kernel_packs():
 
 
 @pytest.mark.parametrize("cp", [2, 4])
+@pytest.mark.slow
 def test_cp_decode_attention_matches_unsharded(cp):
     """Context-parallel decode attention (KV cache sequence-sharded over a
     "cp" axis, flash-decoding split-softmax merge) == the engine's unsharded
@@ -450,6 +452,7 @@ def test_wonly_tp_forward_matches_unsharded():
                                    err_msg=f"bits={bits} gs={gs} hb={hb}")
 
 
+@pytest.mark.slow
 def test_e2equant_trains_through_pipeline_mesh():
     """e2equant(pp_mesh=...): the quant-training loop itself runs the GPipe
     backbone — the role of the reference's map_layers_to_multi_gpus
