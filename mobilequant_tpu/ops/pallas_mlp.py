@@ -587,6 +587,162 @@ def w8_mlp_block_supported(K: int, F: int) -> bool:
             and _pick_block_fh(K, F // 2, wbits=8) != 0)
 
 
+# ---------------------------------------------------------------------------
+# Prefill w13+gate kernel: wide stacked w13 matmul with the gate chain and
+# w2-input requant as an in-kernel epilogue (VERDICT r3 item 9's third
+# option — untried by the two negative results below: unlike the separate
+# gate_quant kernel there is no extra (M,2F) fp32 HBM round-trip, and unlike
+# the whole-block kernel the dots stay WIDE (TF-block columns of the full
+# matmul) so the MXU work per grid step dwarfs the VPU epilogue).
+# ---------------------------------------------------------------------------
+
+
+def _w13_gate_kernel(idx_ref, meta_ref, h_ref,
+                     w1_ref, w3_ref, aux13_ref, out_ref,
+                     *, act_kind: str, nf: int, wbits: int,
+                     site_on: tuple = (True,) * 4):
+    """Grid step j: g8[:, j·TF:(j+1)·TF] = quant(gate(h@w1_blk, h@w3_blk)).
+    h (M,K) shifted-int8 (the already-normed/quantized MLP input); w1_ref /
+    w3_ref are the j-th and (nf+j)-th column blocks of the stacked w13 pack;
+    meta is the engine's _mlp_block_meta vector (indices 0..15 used).
+    site_on: static enables for (w1out, sig, actout, w3out)."""
+    del idx_ref
+    j = pl.program_id(0)
+    del j, nf
+    M, K = h_ref.shape
+    K2 = K // 2
+    TF = out_ref.shape[1]
+    s_w1, s_sig, s_act, s_w3 = site_on
+
+    def m(i):
+        return meta_ref[i]
+
+    def fq_on(x, i0, on):
+        return _fq(x, m(i0), m(i0 + 1), m(i0 + 2)) if on else x
+
+    h = h_ref[:]
+    ox_h = m(1) - 128.0
+    rowsum_h = jnp.sum(h.astype(jnp.int32), axis=1,
+                       keepdims=True).astype(jnp.float32)
+
+    def mm(wp_ref, col_ref0):
+        if wbits == 8:
+            acc = jax.lax.dot_general(
+                h, wp_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        else:
+            wp = wp_ref[0]
+            lo = wp & 0x0F
+            hi = ((wp.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                h[:, :K2], lo, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc = acc + jax.lax.dot_general(
+                h[:, K2:], hi, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        acc = acc.astype(jnp.float32)
+        s = aux13_ref[0, 0:1, pl.ds(col_ref0, TF)]
+        o = aux13_ref[0, 1:2, pl.ds(col_ref0, TF)]
+        cs = aux13_ref[0, 2:3, pl.ds(col_ref0, TF)]
+        b = aux13_ref[0, 3:4, pl.ds(col_ref0, TF)]
+        acc = acc - ox_h * cs - o * rowsum_h + K * ox_h * o
+        return acc * (m(0) * s) + b
+
+    g1 = fq_on(mm(w1_ref, 0), 2, s_w1)
+    if act_kind == "silu":
+        sig = 1.0 / (1.0 + jnp.exp(-g1))
+        sig = fq_on(sig, 5, s_sig)
+        act = g1 * sig
+    else:
+        t = 0.7978845608028654 * (g1 + 0.044715 * g1 * g1 * g1)
+        act = 0.5 * g1 * (1.0 + jnp.tanh(t))
+    act = fq_on(act, 8, s_act)
+    g3 = fq_on(mm(w3_ref, TF), 11, s_w3)
+    out_ref[:] = _quant_u8s(act * g3, m(14), m(15))
+
+
+def _pick_block_tf(K: int, F: int, wbits: int) -> int:
+    per_tf = 2 * K if wbits == 4 else 4 * K      # two blocks per step, bytes
+    cap = max(128, min(1024, (4 * 1024 * 1024) // per_tf))
+    for t in (1024, 512, 256, 128):
+        if t <= cap and F % t == 0:
+            return t
+    return 0
+
+
+def w13_gate_supported(M: int, K: int, F: int, wbits: int) -> bool:
+    return (K % 256 == 0 and M * K <= 4 * 1024 * 1024
+            and _pick_block_tf(K, F, wbits) != 0)
+
+
+@functools.partial(jax.jit, static_argnames=("act_kind", "site_on",
+                                             "interpret"))
+def w13_gate_stacked(h8: jax.Array, w13sp: dict, meta: jax.Array, layer_idx,
+                     act_kind: str = "silu", *,
+                     site_on: tuple = (True,) * 4,
+                     interpret: bool = False):
+    """h8 (M,K) shifted-int8 → g8 (M,F) shifted-int8 ready for the w2 matmul:
+    the w13 projection, w1/w3 output fq, activation (+fq), gate multiply
+    (+fq) and w2-input quantization in ONE dispatch over stacked packs
+    (W4 nibble or W8 by shape). The fp32 (M,2F) intermediate never touches
+    HBM; the per-block VPU epilogue pipelines behind the next block's DMA."""
+    M, K = h8.shape
+    L, K2w, F2 = w13sp["wq"].shape
+    wbits = 4 if K2w * 2 == K else 8
+    assert K2w * 2 == K or K2w == K, (K2w, K)
+    F = F2 // 2
+    TF = _pick_block_tf(K, F, wbits)
+    assert TF, (K, F)
+    nf = F // TF
+
+    def aux(spd, n):
+        def row(v):
+            return jnp.broadcast_to(jnp.reshape(v, (L, 1, -1)),
+                                    (L, 1, n)).astype(jnp.float32)
+        return jnp.concatenate([row(spd["scale"]), row(spd["offset"]),
+                                row(spd["colsum"]), row(spd["bias"])], axis=1)
+
+    aux13 = aux(w13sp, F2)                       # (L, 4, 2F)
+    idx = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
+    kernel = functools.partial(_w13_gate_kernel, act_kind=act_kind, nf=nf,
+                               wbits=wbits, site_on=site_on)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nf,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # meta
+            pl.BlockSpec((M, K), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),                 # h8
+            pl.BlockSpec((1, K2w, TF), lambda j, i: (i[0], 0, j),
+                         memory_space=pltpu.VMEM),                 # w1 block
+            pl.BlockSpec((1, K2w, TF), lambda j, i: (i[0], 0, nf + j),
+                         memory_space=pltpu.VMEM),                 # w3 block
+            pl.BlockSpec((1, 4, 2 * TF),
+                         lambda j, i: (i[0], 0, j),
+                         memory_space=pltpu.VMEM),                 # aux cols
+        ],
+        out_specs=pl.BlockSpec((M, TF), lambda j, i: (0, j),
+                               memory_space=pltpu.VMEM),
+    )
+    # aux columns: the j-th (1,4,2TF) block of a (L,4,2F) array viewed as
+    # nf blocks of 2TF columns would interleave w1/w3 wrongly — instead
+    # rearrange aux13 so block j holds [w1 cols j·TF.., w3 cols F+j·TF..]
+    a = aux13.reshape(L, 4, 2, nf, TF)           # [.., w1/w3, block, col]
+    a = jnp.transpose(a, (0, 1, 3, 2, 4)).reshape(L, 4, F2)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, F), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * F2,
+            bytes_accessed=M * K + K2w * F2 + M * F,
+            transcendentals=M * F),
+        interpret=interpret,
+    )(idx, meta, h8, w13sp["wq"], w13sp["wq"], a)
+
+
 # NOTE on prefill-sized M (two negative results, 2026-08-19):
 # 1. Lifting the stacked-block gate to M=1024 measured WORSE than the split
 #    path (523 vs 344 us/layer, TinyLlama W4 T=1024, even with static site_on

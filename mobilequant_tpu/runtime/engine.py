@@ -1157,6 +1157,32 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         return _resid_add(resid, y, lr, policy, "resid_add_2"), (k_all, v_all)
 
     g3 = None
+    if (kc.gate_kernel and "w13_proj" in lp and li is not None
+            and _sp("w13_proj") is not None
+            and c.hidden_act in ("silu", "gelu_tanh")):
+        # prefill w13+gate epilogue kernel: the (M,2F) fp32 intermediate and
+        # the two XLA gate fusions (129 µs/layer at T=1024) fold into the
+        # stacked w13 matmul; emits the w2-input int8 directly
+        from mobilequant_tpu.ops import pallas_mlp as _PMLP
+        Dm = h28.shape[-1]
+        Fm = sp["w13_proj"]["wq"].shape[2] // 2
+        m_flat = 1
+        for d in h28.shape[:-1]:
+            m_flat *= d
+        if _PMLP.w13_gate_supported(m_flat, Dm, Fm,
+                                    4 if sp["w13_proj"]["wq"].shape[1] * 2
+                                    == Dm else 8):
+            meta = _mlp_block_meta(lr, policy, c)
+            so = _mlp_block_site_on(policy)[1:5]
+            act8 = _PMLP.w13_gate_stacked(
+                h28.reshape(m_flat, Dm), sp["w13_proj"], meta, li,
+                c.hidden_act, site_on=so).reshape(*h28.shape[:-1], Fm)
+            w2r = lr["mlp.w2"]["input"]
+            y = _row_parallel_linear(act8, w2r["scale"], w2r["offset"],
+                                     lp["w2"], lp["w2"]["bias"], _sp("w2"))
+            y = _fq16(y, lr["mlp.w2"]["output"], policy["mlp.w2"].output)
+            return _resid_add(resid, y, lr, policy, "resid_add_2"), \
+                (k_all, v_all)
     if "w13_proj" in lp:
         F = lp["w13_proj"]["wq"].shape[-1] // 2
         g13 = _int_linear(h28, h2r["scale"], h2r["offset"], lp["w13_proj"],

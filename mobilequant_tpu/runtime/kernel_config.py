@@ -39,6 +39,9 @@ class KernelConfig:
                                    # non-stacked MLP-block kernel
     stacked_mlp_kernel: bool = False  # stacked whole-MLP-block kernel (no
                                       # per-layer slice copies)
+    gate_kernel: bool = False      # prefill w13+gate epilogue kernel
+                                   # (w13 matmul -> act chain -> w2-input
+                                   # int8, no (M,2F) fp32 HBM round trip)
     layer_kernel: bool = False     # whole-decoder-layer megakernel
     model_kernel: bool = False     # whole-model megakernel (decode, B<=8)
     interpret: bool = False        # run every Pallas kernel in interpret mode
@@ -49,14 +52,14 @@ class KernelConfig:
         return (self.w4_matmul or self.w8_matmul or self.attn_kernel
                 or self.mlp_kernel or self.mlp_block_kernel
                 or self.stacked_mlp_kernel or self.layer_kernel
-                or self.model_kernel)
+                or self.model_kernel or self.gate_kernel)
 
     @property
     def use_stacked(self) -> bool:
         """Whether forward() should hand the layer-stacked packs (sp) to the
         layer body (scalar-prefetch weight reads instead of scan slices)."""
         return (self.w4_matmul or self.stacked_mlp_kernel or self.layer_kernel
-                or self.model_kernel)
+                or self.model_kernel or self.gate_kernel)
 
     def replace(self, **kw) -> "KernelConfig":
         return dataclasses.replace(self, **kw)
@@ -96,6 +99,7 @@ class KernelConfig:
             attn_kernel="attn" in s,
             mlp_kernel=mlp_kernel,
             mlp_block_kernel=mlp_block,
+            gate_kernel="gatek" in s,
             vpu_matvec="vpu" in s,
             stacked_mlp_kernel=("nomlpk" not in s and not mlp_kernel
                                 and not mlp_block),

@@ -458,6 +458,54 @@ def test_w8_mlp_block_stacked_matches_engine():
     jax.clear_caches()
 
 
+@pytest.mark.parametrize("wb", [4, 8])
+def test_w13_gate_kernel_matches_engine(wb):
+    """The prefill w13+gate epilogue kernel (w13 matmul -> w1/w3 fq -> act ->
+    gate mul -> w2-input int8, one dispatch over the stacked packs) == the
+    XLA split path through forward() at prefill M."""
+    import dataclasses
+    import mobilequant_tpu.ops.pallas_mlp as PMLP
+    from mobilequant_tpu.models import get_config
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant import calibrate
+    from mobilequant_tpu.quant.policy import default_policy, relax_16bit
+    from mobilequant_tpu.runtime import engine as E
+    from mobilequant_tpu.runtime.kernel_config import KernelConfig
+
+    cfg = dataclasses.replace(get_config("test-llama"), hidden_size=256,
+                              intermediate_size=512, num_heads=4,
+                              num_kv_heads=2, head_dim=64, num_layers=2)
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    base = default_policy(cfg,
+                          QuantConfig(bitwidth=wb, is_per_channel=(wb == 4),
+                                      is_symmetric=(wb == 4)),
+                          QuantConfig(bitwidth=8))
+    tokens = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 8)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, base, batch_size=2)
+    ranges = calibrate.stats_to_ranges(stats, base)
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=128, weight_bits=wb)
+    packed = E.pack(params, ranges, cfg, base, ecfg)
+    assert PMLP.w13_gate_supported(96, cfg.hidden_size,
+                                   cfg.intermediate_size, wb)
+    prefill = np.random.default_rng(1).integers(
+        0, cfg.vocab_size, (1, 96)).astype(np.int32)
+    kc = KernelConfig(gate_kernel=True)
+
+    og = PMLP.w13_gate_stacked
+    PMLP.w13_gate_stacked = functools.partial(og, interpret=True)
+    try:
+        t = jnp.asarray(prefill)
+        for policy in (base, relax_16bit(base)):
+            ref, _ = E.forward(packed, t, cfg, policy)
+            out, _ = E.forward(packed, t, cfg, policy, use_pallas=kc)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-4, atol=2e-4)
+    finally:
+        PMLP.w13_gate_stacked = og
+    jax.clear_caches()
+
+
 @pytest.mark.parametrize("variant", ["llama_gqa64", "stablelm_mha64_partial",
                                      "gemma_mqa128", "llama_gqa64_w8"])
 @pytest.mark.slow
