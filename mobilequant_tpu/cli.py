@@ -65,15 +65,19 @@ def _load_model_dir(model_dir):
 
 
 def _calib_tokens(args, cfg, tokenizer=None):
-    from mobilequant_tpu.data.calib import get_loaders
+    from mobilequant_tpu.data.calib import add_random_samples, get_loaders
     if args.calib.endswith((".txt", ".jsonl", ".zst", ".json")):
-        return get_loaders("file", tokenizer, args.nsamples, args.seqlen,
+        toks = get_loaders("file", tokenizer, args.nsamples, args.seqlen,
                            local_path=args.calib)
-    if args.calib.endswith(".npy"):
+    elif args.calib.endswith(".npy"):
         toks = np.load(args.calib)
-        return toks[:args.nsamples, :args.seqlen].astype(np.int32)
-    return get_loaders(args.calib, tokenizer, args.nsamples, args.seqlen,
-                       vocab_size=cfg.vocab_size)
+        toks = toks[:args.nsamples, :args.seqlen].astype(np.int32)
+    else:
+        toks = get_loaders(args.calib, tokenizer, args.nsamples, args.seqlen,
+                           vocab_size=cfg.vocab_size)
+    if getattr(args, "use_rand_samples", False):
+        toks = add_random_samples(toks, cfg.vocab_size)
+    return toks
 
 
 def cmd_calibrate(args):
@@ -693,6 +697,10 @@ def build_parser():
         q.add_argument("--batch_size", type=int, default=4)
         q.add_argument("--wbits", type=int, default=8)
         q.add_argument("--abits", type=int, default=8)
+        q.add_argument("--use_rand_samples", action="store_true",
+                       help="interleave uniform-random-id samples with the "
+                            "calib set (stats robustness; ref ptq/"
+                            "generate_act_scale_shift.py:81-84)")
 
     q = sub.add_parser("calibrate")
     q.add_argument("--model_dir", required=True)

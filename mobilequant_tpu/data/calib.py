@@ -62,6 +62,22 @@ def synthetic_tokens(vocab_size: int, nsamples: int = 128, seqlen: int = 2048,
     return rng.choice(vocab_size, size=(nsamples, seqlen), p=p).astype(np.int32)
 
 
+def add_random_samples(samples: np.ndarray, vocab_size: int,
+                       seed: int = 1337, lo: int = 2) -> np.ndarray:
+    """Random-token calibration augmentation (ref ptq/
+    generate_act_scale_shift.py:81-84 `--use_rand_samples`, after Qualcomm's
+    stable-diffusion demo): interleave one uniform-random-id sample per real
+    sample so collected ranges also cover activation extremes that natural
+    text never reaches. Ids drawn from [lo, vocab_size-1) — past bos, short
+    of the last special, exactly like the reference."""
+    rng = np.random.default_rng(seed)
+    n, seqlen = samples.shape
+    rand = rng.integers(lo, vocab_size - 1, (n, seqlen)).astype(samples.dtype)
+    out = np.empty((2 * n, seqlen), samples.dtype)
+    out[0::2], out[1::2] = samples, rand
+    return out
+
+
 def get_loaders(name: str, tokenizer=None, nsamples: int = 128,
                 seqlen: int = 2048, seed: int = 1337,
                 local_path: Optional[str] = None,

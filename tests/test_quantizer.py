@@ -144,3 +144,18 @@ def test_weight_only_linear_grouped_matches_fake_quant():
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                        rtol=1e-4, atol=1e-4,
                                        err_msg=f"bits={bits} gs={gs}")
+
+
+def test_add_random_samples_interleaves():
+    """Random-token calibration augmentation (ref generate_act_scale_shift.py
+    81-84): one uniform-random sample interleaved per real sample, ids in
+    [2, vocab-1)."""
+    import numpy as np
+    from mobilequant_tpu.data.calib import add_random_samples
+    base = np.arange(12, dtype=np.int32).reshape(3, 4)
+    out = add_random_samples(base, vocab_size=50, seed=0)
+    assert out.shape == (6, 4) and out.dtype == base.dtype
+    np.testing.assert_array_equal(out[0::2], base)
+    assert out[1::2].min() >= 2 and out[1::2].max() < 49
+    # deterministic under the seed
+    np.testing.assert_array_equal(out, add_random_samples(base, 50, seed=0))
