@@ -1566,14 +1566,24 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
                            axis=-1).astype(jnp.float32)
             zero = jnp.int32(0)
 
+            append_k = (cs % 8 == 0 and jax.default_backend() != "cpu")
+
             def stage_pending(st):
                 # top-of-step append: the PREVIOUS step's rows land at column
                 # m-1 (step 0 writes its zero-init pending over the zeroed
                 # column 0 — harmless). This is the iteration's ONLY write to
-                # sk/sv and the pre-write value has no later use, so XLA can
-                # apply it in place — appending after the layer-scan read
-                # cost an 11.6 MB defensive copy per step (BENCHMARKS.md).
-                at = (zero, zero, zero, jnp.maximum(st.m - 1, 0), zero)
+                # sk/sv and the pre-write value has no later use — yet XLA
+                # still copies both buffers defensively when expressed as a
+                # DUS (BENCHMARKS.md round-3 staging dead-ends), so on TPU
+                # the append is a Pallas kernel with MUST-alias outputs that
+                # touches only the 8-column window containing the column.
+                at_m = jnp.maximum(st.m - 1, 0)
+                if append_k:
+                    from mobilequant_tpu.ops.pallas_scatter import (
+                        staged_append)
+                    sk2, sv2 = staged_append(st.sk, st.sv, st.pk, st.pv, at_m)
+                    return st._replace(sk=sk2, sv=sv2)
+                at = (zero, zero, zero, at_m, zero)
                 return st._replace(
                     sk=jax.lax.dynamic_update_slice(st.sk, st.pk, at),
                     sv=jax.lax.dynamic_update_slice(st.sv, st.pv, at))

@@ -665,3 +665,22 @@ def test_whole_layer_w4_kernel_matches_engine_decode(variant):
         # pressure (observed: segfault in backend_compile_and_load during
         # test_train when the full suite runs in one process)
         jax.clear_caches()
+
+
+def test_staged_append_matches_dus():
+    """The MUST-alias staged-column append kernel == dynamic_update_slice at
+    every column, both buffers, window-crossing columns included."""
+    from mobilequant_tpu.ops.pallas_scatter import staged_append
+    rng = np.random.default_rng(0)
+    L, B, Hkv, cs, hd = 3, 2, 2, 16, 64
+    sk = jnp.asarray(rng.integers(-128, 127, (L, B, Hkv, cs, hd)), jnp.int8)
+    sv = jnp.asarray(rng.integers(-128, 127, (L, B, Hkv, cs, hd)), jnp.int8)
+    pk = jnp.asarray(rng.integers(-128, 127, (L, B, Hkv, 1, hd)), jnp.int8)
+    pv = jnp.asarray(rng.integers(-128, 127, (L, B, Hkv, 1, hd)), jnp.int8)
+    for m in (0, 5, 7, 8, 15):
+        rk = jax.lax.dynamic_update_slice(sk, pk, (0, 0, 0, m, 0))
+        rv = jax.lax.dynamic_update_slice(sv, pv, (0, 0, 0, m, 0))
+        gk, gv = staged_append(sk, sv, pk, pv, jnp.int32(m), interpret=True)
+        np.testing.assert_array_equal(np.asarray(gk), np.asarray(rk))
+        np.testing.assert_array_equal(np.asarray(gv), np.asarray(rv))
+    jax.clear_caches()
