@@ -143,13 +143,18 @@ def e2equant(params, qstate, tokens: np.ndarray, config: ModelConfig,
     trainable = {k: qstate[k] for k in trainable_keys}
     opt_state = opt.init(trainable)
 
+    # params ride the jits as ARGUMENTS: a closure capture bakes the full
+    # teacher (4.1 GB at TinyLlama fp32) into the HLO as constants, which the
+    # tunneled TPU's remote_compile rejects/uploads per-program (the bench
+    # gotcha in .claude/skills/verify — it applies to training too; found
+    # when the first on-chip e2equant stalled in lowering)
     @jax.jit
-    def teacher(tok):
+    def teacher(params, tok):
         h, _, _ = M.forward_hidden(params, tok, config, apply_final_norm=False)
         return h
 
     @jax.jit
-    def train_step(trainable, opt_state, tok, fp_h):
+    def train_step(params, trainable, opt_state, tok, fp_h):
         def loss_fn(tr):
             qs = {**static_state, **tr}
             if pp_mesh is not None:
@@ -181,7 +186,7 @@ def e2equant(params, qstate, tokens: np.ndarray, config: ModelConfig,
                        <= tc.teacher_cache_bytes)
     fp_hidden = []
     for tok in tok_batches:
-        h = teacher(tok)
+        h = teacher(params, tok)
         fp_hidden.append(h if cache_on_device else jax.device_get(h))
 
     history = []
@@ -191,8 +196,9 @@ def e2equant(params, qstate, tokens: np.ndarray, config: ModelConfig,
         for bi, tok in enumerate(tok_batches):
             fp_h = fp_hidden[bi] if cache_on_device \
                 else jnp.asarray(fp_hidden[bi])
-            trainable, opt_state, loss, gnorm = train_step(trainable, opt_state,
-                                                           tok, fp_h)
+            trainable, opt_state, loss, gnorm = train_step(params, trainable,
+                                                           opt_state, tok,
+                                                           fp_h)
             loss = float(loss)
             if not math.isfinite(loss):
                 raise FloatingPointError(
@@ -261,8 +267,10 @@ def omniquant(params, qstate, tokens: np.ndarray, config: ModelConfig,
     pos = jnp.broadcast_to(jnp.arange(T)[None, :], tokens.shape)
 
     @jax.jit
-    def embed(tok):
-        x = params["embed"]["w"][tok]
+    def embed(emb_w, tok):
+        # embedding as an ARG (a closure capture bakes the 260 MB table into
+        # the HLO — see the e2equant note above)
+        x = emb_w[tok]
         if c.normalize_embed:
             x = x * jnp.asarray(math.sqrt(c.hidden_size), x.dtype)
         return x
@@ -294,7 +302,7 @@ def omniquant(params, qstate, tokens: np.ndarray, config: ModelConfig,
         return xp.concatenate([fn(jnp.asarray(x[i:i + ib]))
                                for i in range(0, n, ib)], axis=0)
 
-    fp_inps = batched(embed, tok_all)                               # (n,T,D)
+    fp_inps = batched(lambda t: embed(params["embed"]["w"], t), tok_all)
     quant_inps = fp_inps if cache_dev else fp_inps.copy()
 
     trainable_keys = [k for k in ("let", "lwc", "ranges") if k in qstate
