@@ -1589,7 +1589,10 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
                     sv=jax.lax.dynamic_update_slice(st.sv, st.pv, at))
 
             def step_st(c, k_step):
-                tok_c, st, pos = c
+                # `last` rides the CARRY, not the ys: a (cs,B,V) logits ys
+                # buffer (131 MB at bs=32, S=1024) would be materialized for
+                # one consumed row
+                tok_c, st, pos, _ = c
                 st = stage_pending(st)
                 logits, st = forward(packed, tok_c, config, policy,
                                      positions=pos[:, None],
@@ -1600,16 +1603,17 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
                                      layer_unroll=layer_unroll)
                 last = logits[:, -1]
                 nxt = loop_next_token(last, k_step, temperature)[:, None]
-                return (nxt, st._replace(kcs=None), pos + 1), (nxt[:, 0], last)
+                return (nxt, st._replace(kcs=None), pos + 1, last), nxt[:, 0]
 
-            (tok_c, st, pos), (toks_c, logits_seq) = jax.lax.scan(
-                step_st, (token, st0, pos0), keys_chunk)
+            last0 = jnp.zeros((B, config.vocab_size), jnp.float32)
+            (tok_c, st, pos, last), toks_c = jax.lax.scan(
+                step_st, (token, st0, pos0, last0), keys_chunk)
             # the last step's rows are still pending: one post-scan append
             # (single-use buffer here — in-place without gymnastics)
             st = stage_pending(st)
             cache = EngineKVCache(k=flush(st.k, st.sk, pos0),
                                   v=flush(st.v, st.sv, pos0))
-            return (tok_c, cache, pos), (toks_c, logits_seq[-1])
+            return (tok_c, cache, pos), (toks_c, last)
 
         keys = jax.random.split(key, n_steps)
         if n_chunks == 1:
@@ -1624,16 +1628,17 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
         return jnp.transpose(tokens, (1, 0)), cache, last
 
     def step(carry, k_step):
-        token, cache, pos = carry
+        token, cache, pos, _ = carry
         logits, cache = forward(packed, token, config, policy,
                                 positions=pos[:, None], kv_cache=cache,
                                 cache_position=pos, kv_valid_len=pos + 1,
                                 use_pallas=use_pallas, layer_unroll=layer_unroll)
         last = logits[:, -1]
         nxt = loop_next_token(last, k_step, temperature)[:, None]
-        return (nxt, cache, pos + 1), (nxt[:, 0], last)
+        return (nxt, cache, pos + 1, last), nxt[:, 0]
 
     keys = jax.random.split(key, n_steps)
-    (tok, cache, pos), (tokens, logits_seq) = jax.lax.scan(
-        step, (first_token, kv_cache, start_pos), keys)
-    return jnp.transpose(tokens, (1, 0)), cache, logits_seq[-1]
+    last0 = jnp.zeros((B, config.vocab_size), jnp.float32)
+    (tok, cache, pos, last), tokens = jax.lax.scan(
+        step, (first_token, kv_cache, start_pos, last0), keys)
+    return jnp.transpose(tokens, (1, 0)), cache, last
