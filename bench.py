@@ -503,6 +503,8 @@ def main():
         if not past_budget(150):
             packed, cfg, policy4, ecfg = _build_packed_tinyllama(w_bits=4)
             policy_pf = relax_16bit(policy4)
+            # W4 prefill: stacked matmul kernels + the w13+gate epilogue
+            # kernel (16.41 vs 17.2 ms/pass device-side — BENCHMARKS.md)
             for key, kwargs, note in (
                     ("w4a8_prefill_tok_s", {}, f"stacked kernels, bs=1 T={seq}"),
                     ("w4a8_prefill_bs4_tok_s", {"last_only": True, "B": 4},
@@ -512,7 +514,7 @@ def main():
                 if past_budget(150):
                     continue
                 try:
-                    v = measure_prefill("attn", **kwargs)
+                    v = measure_prefill("attn_gatek", **kwargs)
                     results[key] = v
                     log(f"W4A8 prefill ({note}): {v:.0f} tok/s")
                     emit(results, fp_tps)

@@ -51,7 +51,11 @@ class Generator:
         if _mod is not E:
             up_prefill = False            # wonly prefill: XLA dequant path
         elif jax.default_backend() != "cpu":
-            up_prefill = "w4_attn" if self.ecfg.weight_bits == 4 else "attn"
+            # W4 prefill adds the w13+gate epilogue kernel (16.41 vs 17.2 ms/pass
+            # at T=1024 — BENCHMARKS.md round-3 prefill); W8 keeps the XLA
+            # matmul+fusion split (already near peak at prefill M)
+            up_prefill = "w4_attn_gatek" if self.ecfg.weight_bits == 4 \
+                else "attn"
         else:
             up_prefill = False
 
