@@ -367,15 +367,16 @@ def main():
             R1, R2 = (2, 4) if smoke else (16, 48)
 
             def spec_row(layers, tag):
-                chunk, _sd = gen._spec_chunk_fn(K, R1, layers)
+                chunk, sd_ = gen._spec_chunk_fn(K, R1, layers)
                 chunk2, _ = gen._spec_chunk_fn(K, R2, layers)
+                dpk = sd_.packed if sd_ is not None else None
 
                 def run(fn, salt):
                     p = (prompt + salt) % cfg.vocab_size
                     st = gen._spec_state(p, K, layers)
                     np.asarray(st[0])              # force prefill
                     t0 = time.perf_counter()
-                    out = fn(packed, *st)
+                    out = fn(packed, dpk, *st)
                     nem = int(np.asarray(out[5]))
                     return nem, time.perf_counter() - t0
 

@@ -317,13 +317,20 @@ class Generator:
         else:
             up = False if jax.default_backend() == "cpu" else \
                 ("w4nomodelk" if self.ecfg.weight_bits == 4 else False)
-        sd = SelfDraft(self, draft_layers) if draft_layers > 0 else None
+        # ONE SelfDraft per depth (shared across chunk sizes): its truncated
+        # pack is a real device-memory slice of the engine pack
+        sd_cache = self.__dict__.setdefault("_sd_cache", {})
+        sd = (sd_cache.setdefault(draft_layers, SelfDraft(self, draft_layers))
+              if draft_layers > 0 else None)
 
-        @functools.partial(jax.jit, donate_argnums=(2,))
-        def chunk(packed, cur, cache, pos, buf, blen, dstate):
+        @functools.partial(jax.jit, donate_argnums=(3,))
+        def chunk(packed, dpacked, cur, cache, pos, buf, blen, dstate):
             # cur (1,) current token; pos (1,) its position; buf (S,) token
             # history (prompt + emitted, buf[blen-1] == cur); dstate = None or
-            # (draft_packed? no — closed over, draft_cache, prev_toks (k,))
+            # (draft_cache, prev_toks (k,), start_prev). dpacked = the
+            # truncated self-draft pack as an ARGUMENT (a closure capture
+            # bakes ~200 MB into the HLO — the relay rejects the upload with
+            # HTTP 413; same gotcha as bench jits / the training teacher)
             def round_(carry, _):
                 cur, cache, pos, buf, blen, nem, dstate = carry
                 if sd is None:
@@ -334,7 +341,7 @@ class Generator:
                     # (positions start_prev..start_prev+k-1) through the
                     # truncated draft model — fixed T=k shape
                     _, dcache = E.forward(
-                        sd.packed, prev[None, :], sd.cfg, pol,
+                        dpacked, prev[None, :], sd.cfg, pol,
                         positions=(start_prev + jnp.arange(k))[None, :],
                         kv_cache=dcache,
                         cache_position=start_prev[None],
@@ -346,7 +353,7 @@ class Generator:
                         dcache, tok = dc
                         p = pos + j
                         lg, dcache = E.forward(
-                            sd.packed, tok[None], sd.cfg, pol,
+                            dpacked, tok[None], sd.cfg, pol,
                             positions=p[None], kv_cache=dcache,
                             cache_position=p, kv_valid_len=p + 1,
                             use_pallas=up)
@@ -429,6 +436,8 @@ class Generator:
             prompt_tokens, k, self_draft_layers)
         t_prefill = time.perf_counter() - t0
 
+        _, sd = self._spec_chunk_fn(k, 1, self_draft_layers)
+        dpacked = sd.packed if sd is not None else None
         out = [int(np.asarray(cur[0]))]
         n_rounds = 0
         t_dec = time.perf_counter()
@@ -442,7 +451,7 @@ class Generator:
                 break
             chunk, _sd = self._spec_chunk_fn(k, rpc, self_draft_layers)
             cur, cache, pos, buf, blen, nem, dstate, toks_r, counts = chunk(
-                self.packed, cur, cache, pos, buf, blen, dstate)
+                self.packed, dpacked, cur, cache, pos, buf, blen, dstate)
             toks_r, counts = np.asarray(toks_r), np.asarray(counts)
             for r in range(toks_r.shape[0]):
                 out.extend(int(t) for t in toks_r[r, :counts[r]])
