@@ -482,18 +482,22 @@ def main():
         log(f"W8A8 prefill (xla): {pf_tps:.0f} tok/s (bs=1, T={seq}, marginal)")
         emit(results, fp_tps)
     if not on_cpu:
-        for key, kwargs, note in (
-                ("w8a8_prefill_pallas_tok_s", {}, "fused attn kernel"),
-                ("w8a8_prefill_gen_tok_s", {"last_only": True},
-                 "fused kernel, last-only head"),
-                ("w8a8_prefill_bs4_tok_s", {"last_only": True, "B": 4},
-                 f"B=4, T={seq // 4}, kernel"),
-                ("w8a8_prefill_bs8_tok_s", {"last_only": True, "B": 8},
-                 f"B=8, T={seq // 8}, kernel")):
+        # production W8 prefill = attn + w13+gate epilogue kernel (15.05 vs
+        # 17.2 ms/pass device-side); the plain-attn row stays for continuity
+        for key, mode, kwargs, note in (
+                ("w8a8_prefill_pallas_tok_s", "attn", {}, "fused attn kernel"),
+                ("w8a8_prefill_gatek_tok_s", "attn_gatek", {},
+                 "attn + w13-gate kernels"),
+                ("w8a8_prefill_gen_tok_s", "attn_gatek", {"last_only": True},
+                 "gatek, last-only head"),
+                ("w8a8_prefill_bs4_tok_s", "attn_gatek",
+                 {"last_only": True, "B": 4}, f"B=4, T={seq // 4}, gatek"),
+                ("w8a8_prefill_bs8_tok_s", "attn_gatek",
+                 {"last_only": True, "B": 8}, f"B=8, T={seq // 8}, gatek")):
             if past_budget(150):
                 continue
             try:
-                v = measure_prefill("attn", **kwargs)
+                v = measure_prefill(mode, **kwargs)
                 results[key] = v
                 log(f"W8A8 prefill ({note}): {v:.0f} tok/s")
                 emit(results, fp_tps)

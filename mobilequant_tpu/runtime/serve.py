@@ -172,11 +172,12 @@ class ContinuousBatcher:
         if _mod is not E:
             up_prefill = False        # wonly prefill: XLA dequant path
         elif jax.default_backend() != "cpu":
-            # W4 prefill adds the w13+gate epilogue kernel (16.41 vs 17.2 ms/pass
-            # at T=1024 — BENCHMARKS.md round-3 prefill); W8 keeps the XLA
-            # matmul+fusion split (already near peak at prefill M)
+            # prefill adds the w13+gate epilogue kernel for both bitwidths
+            # (W4 16.41, W8 15.05 vs 17.2 ms/pass at T=1024 — the kernel is
+            # MXU/VPU-bound at prefill M, so W8's 2x weight bytes are free;
+            # BENCHMARKS.md round-3 prefill)
             up_prefill = "w4_attn_gatek" if self.ecfg.weight_bits == 4 \
-                else "attn"
+                else "attn_gatek"
         else:
             up_prefill = False
 
