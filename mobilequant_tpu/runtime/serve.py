@@ -55,7 +55,7 @@ class ContinuousBatcher:
                  sampler: SamplerConfig = SamplerConfig(greedy=True),
                  eos_token_id: Optional[int] = None, seed: int = 0,
                  mesh=None, chunk_prefill: Optional[int] = None,
-                 chunk_decode: int = 1):
+                 chunk_decode: int = 1, pipeline_ticks: int = 2):
         """mesh: optional jax.sharding.Mesh — weights go tensor-parallel over
         "tp" and the slot axis of the KV cache shards over "dp"
         (parallel/sharding.packed_pspecs / kv_cache_pspec). batch_slots must be
@@ -73,7 +73,18 @@ class ContinuousBatcher:
         (the decode twin of chunk_prefill; slots still retire/refill between
         chunks, trading ≤N-1 tokens of wasted tail compute per retirement).
         Greedy and plain-temperature sampling only; top-k/top-p fall back to
-        per-token ticks."""
+        per-token ticks.
+
+        pipeline_ticks: when every active slot has budget/headroom for P
+        chunks, dispatch P decode chunks back to back with the next chunk
+        consuming the previous one's last token ON DEVICE — one host sync
+        per P chunks instead of per chunk. On a tunneled/remote runtime the
+        per-tick round trip dominates serving throughput (BENCHMARKS.md
+        "Serving"), so this roughly divides scheduler latency overhead by P.
+        A slot that hits EOS mid-pipeline wastes its remaining rows (the
+        output is truncated at EOS; KV rows past it are overwritten by the
+        next prefill into the slot — the same invariant chunked ticks
+        already rely on)."""
         self.ecfg = ecfg or E.EngineConfig(model=config)
         # weight-only mode (act_bits=16): same batcher over the wonly engine
         # (fp activations + fp KV cache; slot axis is 1 in both cache layouts)
@@ -141,6 +152,7 @@ class ContinuousBatcher:
         self._decode = decode_step
 
         self.chunk_decode = max(int(chunk_decode), 1)
+        self.pipeline_ticks = max(int(pipeline_ticks), 1)
         self._chunk_ok = sampler.greedy or (sampler.top_k == 0
                                             and sampler.top_p >= 1.0)
         chunk_temp = 0.0 if sampler.greedy else float(sampler.temperature)
@@ -330,11 +342,20 @@ class ContinuousBatcher:
         if n > 1 and all(req.pos + n <= self.ecfg.max_seq_len - 1
                          and len(req.out) < req.max_new_tokens
                          for req in self.active.values()):
+            # pipeline depth: the largest P <= pipeline_ticks every active
+            # slot has budget and cache headroom for (no slot would retire
+            # mid-pipeline for a non-EOS reason)
+            p = self.pipeline_ticks
+            while p > 1 and not all(
+                    req.pos + p * n <= self.ecfg.max_seq_len - 1
+                    and len(req.out) + (p - 1) * n < req.max_new_tokens
+                    for req in self.active.values()):
+                p -= 1
             effs = [self._eff_sampler(r) for r in self.active.values()]
             if self._chunk_ok and all(e == self.sampler for e in effs):
-                return self._step_chunked(n)            # homogeneous default
-            if all(self._plain(e) for e in effs):       # mixed temperatures
-                return self._step_chunked(n, per_slot_temps=True)
+                return self._step_chunked(n, pipeline=p)  # homogeneous
+            if all(self._plain(e) for e in effs):         # mixed temperatures
+                return self._step_chunked(n, per_slot_temps=True, pipeline=p)
 
         pos = np.zeros((self.B,), np.int32)
         valid = np.ones((self.B,), np.int32)
@@ -371,27 +392,40 @@ class ContinuousBatcher:
                 self._retire(slot)
         return len(self.active)
 
-    def _step_chunked(self, n: int, per_slot_temps: bool = False) -> int:
-        """Advance every active slot by n tokens in ONE in-graph scan."""
+    def _step_chunked(self, n: int, per_slot_temps: bool = False,
+                      pipeline: int = 1) -> int:
+        """Advance every active slot by n·pipeline tokens: `pipeline` chained
+        in-graph scans dispatched back to back (chunk i+1 consumes chunk i's
+        last-token column ON DEVICE), then ONE host sync for all of them."""
         pos = np.zeros((self.B,), np.int32)
         for slot, req in self.active.items():
             pos[slot] = req.pos
-        self.key, sk = jax.random.split(self.key)
+        temps = None
         if per_slot_temps:
             temps = np.zeros((self.B,), np.float32)
             for slot, req in self.active.items():
                 e = self._eff_sampler(req)
                 temps[slot] = 0.0 if e.greedy else e.temperature
-            toks, k, v = self._decode_chunk_temps_fn(
-                self.packed, jnp.asarray(self._last_tokens[:, None]),
-                self.cache.k, self.cache.v, n, jnp.asarray(pos), sk,
-                jnp.asarray(temps))
-        else:
-            toks, k, v = self._decode_chunk_fn(
-                self.packed, jnp.asarray(self._last_tokens[:, None]),
-                self.cache.k, self.cache.v, n, jnp.asarray(pos), sk)
+
+        tok_dev = jnp.asarray(self._last_tokens[:, None])
+        k, v = self.cache.k, self.cache.v
+        pieces = []
+        pos_j = jnp.asarray(pos)
+        for _ in range(max(pipeline, 1)):
+            self.key, sk = jax.random.split(self.key)
+            if per_slot_temps:
+                toks, k, v = self._decode_chunk_temps_fn(
+                    self.packed, tok_dev, k, v, n, pos_j, sk,
+                    jnp.asarray(temps))
+            else:
+                toks, k, v = self._decode_chunk_fn(
+                    self.packed, tok_dev, k, v, n, pos_j, sk)
+            pieces.append(toks)
+            tok_dev = toks[:, -1:]
+            pos_j = pos_j + n
         self.cache = self._kvc(k=k, v=v)
-        toks = np.asarray(toks)                         # (B, n)
+        toks = np.concatenate([np.asarray(t) for t in pieces], axis=1)
+        n = n * max(pipeline, 1)                        # toks: (B, n)
 
         for slot in list(self.active):
             req = self.active[slot]

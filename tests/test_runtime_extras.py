@@ -526,6 +526,48 @@ def test_continuous_batching_chunked_decode_matches_single_step():
     assert cb.stats["ticks"] < ref.stats["ticks"]
 
 
+def test_continuous_batching_pipelined_ticks_match():
+    """pipeline_ticks=3 (chained chunk dispatches, one host sync per 3
+    chunks) must reproduce pipeline_ticks=1 greedy outputs exactly —
+    including requests whose EOS lands mid-pipeline (tail rows wasted,
+    output truncated at EOS)."""
+    from mobilequant_tpu.runtime.serve import ContinuousBatcher
+    from mobilequant_tpu.runtime.sampling import SamplerConfig
+
+    cfg, policy, ecfg, packed = _engine_setup()
+    rng = np.random.default_rng(12)
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int32)
+               for n in (5, 9, 7, 4)]
+
+    outs = {}
+    for p_ticks in (1, 3):
+        cb = ContinuousBatcher(packed, cfg, policy, ecfg, batch_slots=2,
+                               prefill_buckets=(16,),
+                               sampler=SamplerConfig(greedy=True),
+                               chunk_decode=2, pipeline_ticks=p_ticks)
+        rids = [cb.submit(p, 12) for p in prompts]
+        got = cb.run()
+        outs[p_ticks] = [got[r] for r in rids]
+    assert outs[1] == outs[3]
+
+    # an eos the greedy chains actually produce: rerun with it set — outputs
+    # must truncate identically in both modes
+    flat = [t for seq in outs[1] for t in seq[2:]]
+    if flat:
+        eos = flat[0]
+        trunc = {}
+        for p_ticks in (1, 3):
+            cb = ContinuousBatcher(packed, cfg, policy, ecfg, batch_slots=2,
+                                   prefill_buckets=(16,),
+                                   sampler=SamplerConfig(greedy=True),
+                                   eos_token_id=eos,
+                                   chunk_decode=2, pipeline_ticks=p_ticks)
+            rids = [cb.submit(p, 12) for p in prompts]
+            got = cb.run()
+            trunc[p_ticks] = [got[r] for r in rids]
+        assert trunc[1] == trunc[3]
+
+
 def test_online_server_rejects_oversized_prompt_and_survives():
     """A prompt the batcher cannot prefill must fail ITS request (ValueError /
     HTTP 400), not kill the worker loop — later requests still complete."""
