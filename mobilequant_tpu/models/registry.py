@@ -50,6 +50,22 @@ MODEL_CONFIGS: dict[str, ModelConfig] = {
         hidden_act="silu", rope_theta=1000000.0, max_position_embeddings=32768,
         use_qkv_bias_only=True, tie_word_embeddings=True,
     ),
+    # Production-scale targets beyond the reference's mobile set: a W4 pack
+    # of either fits one v5e's 16 GB HBM (7B ≈ 3.4 GB, 8B ≈ 4 GB + bf16
+    # embed/head) — single-chip serving at shapes the NPU never could.
+    "llama-2-7b": ModelConfig(
+        vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+        num_layers=32, num_heads=32, num_kv_heads=32, head_dim=128,
+        norm_class="rmsnorm", norm_eps=1e-5, num_linears_per_mlp=3,
+        hidden_act="silu", rope_theta=10000.0, max_position_embeddings=4096,
+    ),
+    "llama-3-8b": ModelConfig(
+        vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+        num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+        norm_class="rmsnorm", norm_eps=1e-5, num_linears_per_mlp=3,
+        hidden_act="silu", rope_theta=500000.0,
+        max_position_embeddings=8192,
+    ),
     # Small configs for tests / CI (same knob coverage, tiny shapes).
     "test-qwen2": ModelConfig(
         vocab_size=256, hidden_size=64, intermediate_size=128,
