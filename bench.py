@@ -526,6 +526,37 @@ def main():
                 except Exception as e:
                     log(f"prefill {key} failed: {e!r}")
 
+    # --- 8b. production-scale models (MQTPU_BENCH_BIG=1): Llama-2-7B /
+    # Llama-3-8B W4A8+h4 on one chip — ~90-95% of the HBM floor
+    # (BENCHMARKS.md "production-scale models") ---
+    if os.environ.get("MQTPU_BENCH_BIG") == "1" and not smoke and not on_cpu:
+        for mname in ("llama-2-7b", "llama-3-8b"):
+            try:
+                packed, bcfg, bpolicy, becfg = _build_base(
+                    max_seq_len=seq, w_bits=4, model_name=mname, head_bits=4)
+                bpolicy = relax_16bit(bpolicy)
+
+                def make_chunk_b(n, _c=bcfg, _p=bpolicy):
+                    @jax.jit
+                    def chunk(packed, token, cache, pos):
+                        toks, _, _ = E.decode_loop(packed, token, cache, pos,
+                                                   n, _c, _p, use_pallas=True)
+                        return toks
+                    return chunk
+
+                o1, o2 = N1, N2
+                N1, N2 = 32, 160          # big-model steps are ~6 ms each
+                tps = time_decode_loop(make_chunk_b, packed,
+                                       lambda: E.init_kv_cache(becfg, 1), 1,
+                                       bcfg.vocab_size)
+                N1, N2 = o1, o2
+                results[f"{mname}_w4a8_h4_decode_tok_s"] = tps
+                log(f"{mname} w4a8+h4 decode: {tps:.1f} tok/s (bs=1, marginal)")
+                emit(results, fp_tps)
+                del packed
+            except Exception as e:
+                log(f"{mname} failed: {e!r}")
+
     # --- 9. other reference target models (gemma-2b, stablelm-2-1.6b):
     # gated — each adds several minutes of compile+run ---
     if os.environ.get("MQTPU_BENCH_ALL_MODELS") == "1" and not smoke:
