@@ -229,10 +229,18 @@ def _verify_packed(output_dir, packed, cfg, policy, ecfg, sim_logits_fn,
     n1, n2 = 8, 8 + n_decode
     run_chunk(n1, 1); run_chunk(n2, 2)          # compile + warm
     d1, d2 = run_chunk(n1, 3), run_chunk(n2, 4)
-    ms_per_tok = max(d2 - d1, 0.0) / n_decode * 1e3
+    if d2 - d1 > 1e-4:
+        ms_per_tok = (d2 - d1) / n_decode * 1e3
+        method = "marginal"
+    else:
+        # fixed dispatch overhead swallowed the marginal (tiny model over a
+        # remote runtime): report the raw chunk as an upper bound instead
+        ms_per_tok = d2 / n2 * 1e3
+        method = "raw_upper_bound"
 
     rec = {"engine_sim_max_abs": max_abs, "engine_sim_max_rel": max_rel,
            "ok": ok, "decode_ms_per_token": round(ms_per_tok, 4),
+           "latency_method": method,
            "backend": jax.default_backend(), "n_check_tokens": T,
            "n_decode_tokens": n_decode}
     meta_path = Path(output_dir) / "engine.json"
