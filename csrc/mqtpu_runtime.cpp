@@ -367,14 +367,19 @@ bool build_template_ids(const Tokenizer& tok, const std::string& family,
                         std::vector<int32_t>& out) {
     TemplateSpec spec = template_spec(family);
     if (!encode_segments(tok, spec.prefix, out)) return false;
-    out.insert(out.end(), prompt_ids, prompt_ids + n_prompt);
+    if (n_prompt > 0)
+        out.insert(out.end(), prompt_ids, prompt_ids + n_prompt);
     return encode_segments(tok, spec.suffix, out);
 }
 
 int32_t session_run_ids(Session* s, const int32_t* prompt_ids,
                         int32_t n_prompt, char** text_out,
                         int32_t max_new_tokens, int32_t* last_pos_out) {
-    if (!prompt_ids || n_prompt <= 0 || !text_out || max_new_tokens <= 0) {
+    // n_prompt == 0 is allowed: a chat template alone can prime generation
+    // (the string path encodes "" to zero ids); emptiness after templating
+    // is still rejected below
+    if ((!prompt_ids && n_prompt > 0) || n_prompt < 0 || !text_out
+        || max_new_tokens <= 0) {
         s->fail(MQTPU_BAD_ARGS, "bad arguments to mqtpu_session_run_ids");
         return MQTPU_BAD_ARGS;
     }

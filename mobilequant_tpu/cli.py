@@ -309,9 +309,21 @@ def cmd_pack(args):
                 return out
 
             fqp = _fq_params()
+
+            def _wsim(t):
+                logits, _ = M.forward(fqp, t, cfg)
+                if "head_q" not in packed:
+                    return logits
+                # quantized head: run the fq-weight model's hidden through
+                # the SAME packed head (see the int-engine branch note)
+                h, _, _ = M.forward_hidden(fqp, t, cfg)
+                return E.quantized_head_logits(h, packed["head_q"],
+                                               cfg.vocab_size,
+                                               use_kernel=False)
+
             _verify_packed(
                 args.output_dir, packed, cfg, policy, ecfg,
-                sim_logits_fn=lambda t: M.forward(fqp, t, cfg)[0],
+                sim_logits_fn=_wsim,
                 eng_logits_fn=lambda t: wonly.forward(packed, t, cfg)[0],
                 decode_loop_fn=lambda p, tok, cache, pos, n: wonly.decode_loop(
                     p, tok, cache, pos, n, cfg, None),
@@ -341,10 +353,23 @@ def cmd_pack(args):
         from mobilequant_tpu.quant import qmodel
 
         qst = {"ranges": qstate["ranges"]}
+        if "head_q" in packed:
+            # quantized head: the sim's lm_head is FP by policy (the head
+            # quantizer is an engine-side feature with its own accuracy
+            # characterization) — route the sim's final hidden through the
+            # SAME packed head so the parity record isolates BODY divergence
+            # instead of measuring head-quantization error
+            def sim_fn(t):
+                h, _, _ = qmodel.qforward_hidden(params, qst, t, cfg, policy)
+                return E.quantized_head_logits(h, packed["head_q"],
+                                               cfg.vocab_size,
+                                               use_kernel=False)
+        else:
+            def sim_fn(t):
+                return qmodel.qforward(params, qst, t, cfg, policy)[0]
         _verify_packed(
             args.output_dir, packed, cfg, policy, ecfg,
-            sim_logits_fn=lambda t: qmodel.qforward(params, qst, t, cfg,
-                                                    policy)[0],
+            sim_logits_fn=sim_fn,
             eng_logits_fn=lambda t: E.forward(packed, t, cfg, policy)[0],
             decode_loop_fn=lambda p, tok, cache, pos, n: E.decode_loop(
                 p, tok, cache, pos, n, cfg, policy),

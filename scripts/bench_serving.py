@@ -48,12 +48,14 @@ def main():
             pass
     else:
         try:
-            jax.config.update("jax_compilation_cache_dir",
-                              "/root/repo/.jax_cache")
+            import os
+            cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache")
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
             jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        except Exception:
-            pass
+        except Exception as e:
+            print(f"compile cache unavailable: {e!r}", file=sys.stderr)
 
     from __graft_entry__ import _build_packed_tinyllama
     from mobilequant_tpu.quant.policy import relax_16bit
@@ -69,21 +71,28 @@ def main():
         max_seq_len=seq, w_bits=args.w_bits, model_name=model)
     policy = relax_16bit(policy)
     rng = np.random.default_rng(0)
-    lens = rng.integers(seq // 8, seq // 2, args.requests)
-    prompts = [rng.integers(0, cfg.vocab_size, (int(l),)).astype(np.int32)
-               for l in lens]
+
+    def make_prompts(n):
+        lens = rng.integers(seq // 8, seq // 2, n)
+        return [rng.integers(0, cfg.vocab_size, (int(l),)).astype(np.int32)
+                for l in lens]
+
+    prompts = make_prompts(args.requests)
 
     results = {}
 
     # --- offline batcher throughput at bs=8 and bs=32 ------------------
     for slots in ((4,) if args.smoke else (8, 32)):
+        # enough requests to keep every slot occupied for several waves
+        slot_prompts = prompts if len(prompts) >= 3 * slots \
+            else make_prompts(3 * slots)
         cb = ContinuousBatcher(packed, cfg, policy, ecfg, batch_slots=slots,
                                chunk_prefill=max(seq // 8, 16),
                                chunk_decode=args.chunk_decode,
                                sampler=SamplerConfig(greedy=True))
 
         def run(n_mnt, salt):
-            for p in prompts:
+            for p in slot_prompts:
                 cb.submit((p + salt) % cfg.vocab_size, n_mnt)
             t0 = time.perf_counter()
             out = cb.run()
@@ -142,10 +151,14 @@ def main():
         with ThreadPoolExecutor(max_workers=args.slots) as ex:
             lat = list(ex.map(lambda i: request(i, 1), range(args.requests)))
         wall = time.perf_counter() - t0
+        import math
         times = sorted(d for d, _ in lat)
         total = sum(n for _, n in lat)
         p50 = times[len(times) // 2]
-        p95 = times[int(len(times) * 0.95) - 1]
+        # nearest-rank p95 (ceil), never below the median index
+        p95 = times[min(len(times) - 1,
+                        max(len(times) // 2,
+                            math.ceil(0.95 * len(times)) - 1))]
         results["http_p50_s"] = round(p50, 3)
         results["http_p95_s"] = round(p95, 3)
         results["http_tok_s"] = round(total / wall, 1)
