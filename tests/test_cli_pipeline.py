@@ -56,6 +56,14 @@ def test_cli_full_pipeline(hf_ckpt, tmp_path):
     assert vrec["ok"] and vrec["engine_sim_max_rel"] < 5e-2
     assert vrec["decode_ms_per_token"] >= 0
 
+    # quantized-head pack: verify must isolate BODY divergence (the sim's
+    # hidden goes through the SAME packed head), not fail on head error
+    engine_h4 = tmp_path / "engine_h4"
+    cli.main(["pack", "--model_dir", str(work), "--output_dir", str(engine_h4),
+              "--max_seq_len", "32", "--head_bits", "4", "--verify"])
+    vrec4 = _json.loads((engine_h4 / "engine.json").read_text())["verify"]
+    assert vrec4["ok"] and vrec4["engine_sim_max_rel"] < 5e-2
+
     # load back and generate
     from mobilequant_tpu.export import artifacts
     from mobilequant_tpu.runtime import engine as E
