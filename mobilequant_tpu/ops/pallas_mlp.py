@@ -743,6 +743,196 @@ def w13_gate_stacked(h8: jax.Array, w13sp: dict, meta: jax.Array, layer_idx,
     )(idx, meta, h8, w13sp["wq"], w13sp["wq"], a)
 
 
+# ---------------------------------------------------------------------------
+# Attention-tail + MLP-block kernel (batched decode): o-proj -> o output fq ->
+# resid_add_1 -> the whole stacked MLP block in ONE dispatch. Removes the
+# o-proj custom-call boundary and the resid/fq fusions between it and the MLP
+# kernel (per-layer op-boundary gaps were ~15 us/layer of the bs=32 step,
+# BENCHMARKS.md round-3 staging section). The o pack rides as one full block
+# fetched during kernel startup (~2 MB W4 = ~3 us of stream).
+# Meta = engine._mlp_block_meta (0..31) + the OTAIL extension (32..45):
+#   [32] a8 scale  [33] a8 offset  (pv_bmm output quant of the attention out)
+#   [34-36] o output fq (s, o, qmax)   [37-39] resid_add_1 input
+#   [40-42] resid_add_1 input2         [43-45] resid_add_1 output
+# ---------------------------------------------------------------------------
+
+
+def _otail_block_kernel(idx_ref, meta_ref, a8_ref, xin_ref, ow_ref, oaux_ref,
+                        nw_ref, nb_ref,
+                        w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
+                        w2p_ref, w2b_ref, aux2_ref, out_ref,
+                        acc_ref, rsum_ref, h_ref, resid_ref,
+                        *, act_kind: str, norm_kind: str, half_f: int,
+                        wbits: int, site_on: tuple,
+                        osite_on: tuple = (True,) * 4):
+    del idx_ref
+    j = pl.program_id(0)
+    nj = pl.num_programs(0)
+    s_oo, s_r1, s_r2, s_ro = osite_on
+
+    def m(i):
+        return meta_ref[i]
+
+    def fq_on(x, i0, on):
+        return _fq(x, m(i0), m(i0 + 1), m(i0 + 2)) if on else x
+
+    @pl.when(j == 0)
+    def _():
+        # o-projection of the (M,Ko) shifted-int8 attention output
+        a = a8_ref[:]
+        M, Ko = a.shape
+        Ko2 = Ko // 2
+        if wbits == 8:
+            acc = jax.lax.dot_general(
+                a, ow_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        else:
+            wp = ow_ref[0]
+            lo = wp & 0x0F
+            hi = ((wp.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                a[:, :Ko2], lo, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc = acc + jax.lax.dot_general(
+                a[:, Ko2:], hi, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        acc = acc.astype(jnp.float32)
+        ox_a = m(33) - 128.0
+        rs_a = jnp.sum(a.astype(jnp.int32), axis=1,
+                       keepdims=True).astype(jnp.float32)
+        s_ = oaux_ref[0, 0:1, :]
+        o_ = oaux_ref[0, 1:2, :]
+        cs = oaux_ref[0, 2:3, :]
+        b_ = oaux_ref[0, 3:4, :]
+        o = (acc - ox_a * cs - o_ * rs_a + Ko * ox_a * o_) * (m(32) * s_) + b_
+        o = fq_on(o, 34, s_oo)
+        x = fq_on(xin_ref[:], 37, s_r1)
+        o = fq_on(o, 40, s_r2)
+        resid_ref[:] = fq_on(x + o, 43, s_ro)
+
+    def out_set(y):
+        out_ref[:] = y
+
+    _w4_mlp_phase(j, nj, m, lambda: resid_ref[:], out_set,
+                  nw_ref, nb_ref, w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref,
+                  aux13_ref,
+                  (w2p_ref,) if wbits == 4 else (w2p_ref, w2b_ref),
+                  aux2_ref, acc_ref, rsum_ref, h_ref,
+                  act_kind=act_kind, norm_kind=norm_kind, half_f=half_f,
+                  wbits=wbits, site_on=site_on)
+
+
+@functools.partial(jax.jit, static_argnames=("act_kind", "norm_kind",
+                                             "site_on", "osite_on",
+                                             "interpret"))
+def fused_otail_block_stacked(a8: jax.Array, x_in: jax.Array, osp: dict,
+                              nw_L, nb_L, w13sp: dict, w2sp: dict,
+                              meta: jax.Array, layer_idx,
+                              act_kind: str = "silu",
+                              norm_kind: str = "rmsnorm", *,
+                              site_on: tuple = (True,) * 9,
+                              osite_on: tuple = (True,) * 4,
+                              interpret: bool = False):
+    """a8 (M,Ko) shifted-int8 attention output + x_in (M,K) fp32 layer input
+    → x_in ⊕ o-proj(a8) ⊕ MLP(norm(resid)) for layer `layer_idx` of the
+    stacked packs, ONE dispatch. osp: the stacked o_proj pack {wq (L,Ko/2,K)
+    W4 | (L,Ko,K) W8, scale/offset/colsum/bias}; the rest as
+    fused_mlp_block_w4_stacked."""
+    M, K = x_in.shape
+    Ma, Ko = a8.shape
+    assert Ma == M
+    L, K2, F2 = w13sp["wq"].shape
+    wbits = 4 if K2 * 2 == K else 8
+    Lo, Ko2w, Kw = osp["wq"].shape
+    assert Kw == K and (Ko2w * 2 == Ko if wbits == 4 else Ko2w == Ko)
+    F = F2 // 2
+    F2h = w2sp["wq"].shape[1]
+    assert (F2h * 2 == F if wbits == 4 else F2h == F), (wbits, F2h, F)
+    half_f = F // 2
+    TFh = _pick_block_fh(K, half_f, wbits)
+    assert TFh, (K, F)
+    nh = half_f // TFh
+
+    def aux(spd, n):
+        def row(v):
+            return jnp.broadcast_to(jnp.reshape(v, (L, 1, -1)),
+                                    (L, 1, n)).astype(jnp.float32)
+        return jnp.concatenate([row(spd["scale"]), row(spd["offset"]),
+                                row(spd["colsum"]), row(spd["bias"])], axis=1)
+
+    aux13 = aux(w13sp, F2)
+    aux2 = aux(w2sp, K)
+    oaux = aux(osp, K)
+    nw3 = jnp.reshape(nw_L, (L, 1, K)).astype(jnp.float32)
+    nb3 = jnp.reshape(nb_L, (L, 1, K)).astype(jnp.float32)
+    idx = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
+
+    kernel = functools.partial(_otail_block_kernel, act_kind=act_kind,
+                               norm_kind=norm_kind, half_f=half_f,
+                               wbits=wbits, site_on=site_on,
+                               osite_on=osite_on)
+    w2blk = nh if wbits == 8 else 0
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nh,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # meta
+            pl.BlockSpec((M, Ko), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),                 # a8
+            pl.BlockSpec((M, K), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),                 # x_in
+            pl.BlockSpec((1, Ko2w, K), lambda j, i: (i[0], 0, 0),
+                         memory_space=pltpu.VMEM),                 # o pack
+            pl.BlockSpec((1, 4, K), lambda j, i: (i[0], 0, 0),
+                         memory_space=pltpu.VMEM),                 # o aux
+            pl.BlockSpec((1, 1, K), lambda j, i: (i[0], 0, 0),
+                         memory_space=pltpu.VMEM),                 # norm w
+            pl.BlockSpec((1, 1, K), lambda j, i: (i[0], 0, 0),
+                         memory_space=pltpu.VMEM),                 # norm b
+            pl.BlockSpec((1, K2, TFh), lambda j, i: (i[0], 0, j),
+                         memory_space=pltpu.VMEM),                 # w1 lo
+            pl.BlockSpec((1, K2, TFh), lambda j, i: (i[0], 0, nh + j),
+                         memory_space=pltpu.VMEM),                 # w1 hi
+            pl.BlockSpec((1, K2, TFh), lambda j, i: (i[0], 0, 2 * nh + j),
+                         memory_space=pltpu.VMEM),                 # w3 lo
+            pl.BlockSpec((1, K2, TFh), lambda j, i: (i[0], 0, 3 * nh + j),
+                         memory_space=pltpu.VMEM),                 # w3 hi
+            pl.BlockSpec((1, 4, F2), lambda j, i: (i[0], 0, 0),
+                         memory_space=pltpu.VMEM),                 # aux13
+            pl.BlockSpec((1, TFh, K), lambda j, i: (i[0], j, 0),
+                         memory_space=pltpu.VMEM),                 # w2 pack
+            pl.BlockSpec((1, TFh if wbits == 8 else 32, K),
+                         lambda j, i: (i[0], w2blk + j
+                                       if wbits == 8 else 0, 0),
+                         memory_space=pltpu.VMEM),          # w2 seg_hi (W8)
+            pl.BlockSpec((1, 4, K), lambda j, i: (i[0], 0, 0),
+                         memory_space=pltpu.VMEM),                 # aux2
+        ],
+        out_specs=pl.BlockSpec((M, K), lambda j, i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((M, K), jnp.int32),
+            pltpu.VMEM((M, 1), jnp.int32),
+            pltpu.VMEM((M, K), jnp.int8),
+            pltpu.VMEM((M, K), jnp.float32),          # resid (o + x_in)
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, K), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * (Ko * K + K * F2 + F * K),
+            bytes_accessed=M * (Ko + 5 * K) + Ko2w * K + K2 * F2 + F2h * K,
+            transcendentals=M * F),
+        interpret=interpret,
+    )(idx, meta, a8, x_in, osp["wq"], oaux, nw3, nb3,
+      w13sp["wq"], w13sp["wq"], w13sp["wq"], w13sp["wq"], aux13,
+      w2sp["wq"], w2sp["wq"], aux2)
+
+
 # NOTE on prefill-sized M (two negative results, 2026-08-19):
 # 1. Lifting the stacked-block gate to M=1024 measured WORSE than the split
 #    path (523 vs 344 us/layer, TinyLlama W4 T=1024, even with static site_on

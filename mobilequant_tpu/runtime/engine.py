@@ -487,6 +487,49 @@ def _mlp_block_meta(lr, policy, c):
     ]).astype(jnp.float32)
 
 
+def _otail_meta_ext(lr, policy):
+    """(14,) extension of _mlp_block_meta for the attention-tail kernel
+    (ops/pallas_mlp._otail_block_kernel header documents the layout):
+    a8 quant (pv_bmm output), o output fq, resid_add_1 in/in2/out."""
+    def qm(site, role):
+        sq = policy.get(site)
+        return jnp.float32(_qmax(getattr(sq, role, None))
+                           if sq is not None else 0.0)
+
+    def rngb(site, role):
+        entry = lr.get(site, {})
+        if role in entry:
+            return entry[role]["scale"], entry[role]["offset"]
+        return jnp.float32(1.0), jnp.float32(0.0)
+
+    pv = lr["self_attn.pv_bmm"]["output"]
+    oos, ooo = rngb("self_attn.o_proj", "output")
+    r1s, r1o = rngb("resid_add_1", "input")
+    r2s, r2o = rngb("resid_add_1", "input2")
+    ros, roo = rngb("resid_add_1", "output")
+    return jnp.stack([
+        pv["scale"], pv["offset"],
+        oos, ooo, qm("self_attn.o_proj", "output"),
+        r1s, r1o, qm("resid_add_1", "input"),
+        r2s, r2o, qm("resid_add_1", "input2"),
+        ros, roo, qm("resid_add_1", "output"),
+    ]).astype(jnp.float32)
+
+
+def _otail_site_on(policy) -> tuple:
+    """STATIC enables for the attention-tail kernel's optional fq sites:
+    (o_proj output, resid_add_1 input, input2, output)."""
+    def on(site, role):
+        sq = policy.get(site)
+        cfg = getattr(sq, role, None) if sq is not None else None
+        return bool(cfg is not None and cfg.enabled)
+
+    return (on("self_attn.o_proj", "output"),
+            on("resid_add_1", "input"),
+            on("resid_add_1", "input2"),
+            on("resid_add_1", "output"))
+
+
 def _mlp_block_site_on(policy) -> tuple:
     """STATIC enable flags for the MLP-block kernel's optional fake-quant
     sites (ops/pallas_mlp._w4_mlp_phase site_on order). Mirrors the meta
@@ -935,6 +978,39 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         attn = attn.reshape(B, Hkv, G, T, hd)
         attn = jnp.transpose(attn, (0, 3, 1, 2, 4)).reshape(B, T, Hq * hd)
     a8, ar = out_q8(attn, "self_attn.pv_bmm")
+
+    if (kc.otail_kernel and sp is not None and li is not None
+            and "o_proj" in sp and "w13_proj" in sp and "mlp_norm" in lp
+            and tp_mesh is None and not c.parallel_residual
+            and c.hidden_act in ("silu", "gelu_tanh") and B * T <= 64
+            and sp["w13_proj"]["wq"].shape[1] in (x.shape[-1],
+                                                  x.shape[-1] // 2)):
+        # attention-tail kernel: o-proj -> o fq -> resid_add_1 -> whole MLP
+        # block in ONE dispatch (removes the o custom-call boundary + the
+        # resid/fq fusions between it and the MLP kernel)
+        from mobilequant_tpu.ops import pallas_mlp as _PMLP
+        Dm = x.shape[-1]
+        Fm = sp["w13_proj"]["wq"].shape[2] // 2
+        w4p = sp["w13_proj"]["wq"].shape[1] * 2 == Dm
+        w2_rows = Fm // 2 if w4p else Fm
+        o_rows = (Hq * hd) // 2 if w4p else Hq * hd
+        supported = (_PMLP.w4_mlp_block_supported(Dm, Fm) if w4p
+                     else _PMLP.w8_mlp_block_supported(Dm, Fm))
+        if (supported and sp["w2"]["wq"].shape[1] == w2_rows
+                and sp["o_proj"]["wq"].shape[1] == o_rows):
+            meta = jnp.concatenate([
+                _mlp_block_meta(lr, policy, c),
+                _otail_meta_ext(lr, policy)])
+            out = _PMLP.fused_otail_block_stacked(
+                a8.reshape(-1, Hq * hd),
+                x.reshape(-1, Dm).astype(jnp.float32),
+                sp["o_proj"], sp["mlp_norm"]["w"], sp["mlp_norm"]["b"],
+                sp["w13_proj"], sp["w2"], meta, li, c.hidden_act,
+                "layernorm" if c.norm_class == "layernorm" else "rmsnorm",
+                site_on=_mlp_block_site_on(policy),
+                osite_on=_otail_site_on(policy))
+            return out.reshape(B, T, Dm).astype(x.dtype), (k_all, v_all)
+
     o = _row_parallel_linear(a8, ar["scale"], ar["offset"], lp["o_proj"],
                              lp["o_proj"]["bias"], _sp("o_proj"))
     o = _fq16(o, lr["self_attn.o_proj"]["output"], policy["self_attn.o_proj"].output)

@@ -42,6 +42,9 @@ class KernelConfig:
     gate_kernel: bool = False      # prefill w13+gate epilogue kernel
                                    # (w13 matmul -> act chain -> w2-input
                                    # int8, no (M,2F) fp32 HBM round trip)
+    otail_kernel: bool = False     # batched-decode o-proj+resid_add_1+MLP
+                                   # block in one dispatch (attention-tail
+                                   # edition of the stacked MLP kernel)
     layer_kernel: bool = False     # whole-decoder-layer megakernel
     model_kernel: bool = False     # whole-model megakernel (decode, B<=8)
     interpret: bool = False        # run every Pallas kernel in interpret mode
@@ -52,14 +55,16 @@ class KernelConfig:
         return (self.w4_matmul or self.w8_matmul or self.attn_kernel
                 or self.mlp_kernel or self.mlp_block_kernel
                 or self.stacked_mlp_kernel or self.layer_kernel
-                or self.model_kernel or self.gate_kernel)
+                or self.model_kernel or self.gate_kernel
+                or self.otail_kernel)
 
     @property
     def use_stacked(self) -> bool:
         """Whether forward() should hand the layer-stacked packs (sp) to the
         layer body (scalar-prefetch weight reads instead of scan slices)."""
         return (self.w4_matmul or self.stacked_mlp_kernel or self.layer_kernel
-                or self.model_kernel or self.gate_kernel)
+                or self.model_kernel or self.gate_kernel
+                or self.otail_kernel)
 
     def replace(self, **kw) -> "KernelConfig":
         return dataclasses.replace(self, **kw)
@@ -100,6 +105,7 @@ class KernelConfig:
             mlp_kernel=mlp_kernel,
             mlp_block_kernel=mlp_block,
             gate_kernel="gatek" in s,
+            otail_kernel="otail" in s,
             vpu_matvec="vpu" in s,
             stacked_mlp_kernel=("nomlpk" not in s and not mlp_kernel
                                 and not mlp_block),

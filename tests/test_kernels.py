@@ -684,3 +684,70 @@ def test_staged_append_matches_dus():
         np.testing.assert_array_equal(np.asarray(gk), np.asarray(rk))
         np.testing.assert_array_equal(np.asarray(gv), np.asarray(rv))
     jax.clear_caches()
+
+
+@pytest.mark.parametrize("wb", [4, 8])
+def test_otail_block_kernel_matches_engine(wb):
+    """The attention-tail kernel (o-proj -> o fq -> resid_add_1 -> whole MLP
+    block, one dispatch) == the XLA engine path through a batched staged
+    decode chain — logits to fp32 rounding, flushed caches bit-exact."""
+    import dataclasses
+    import mobilequant_tpu.ops.pallas_mlp as PMLP
+    from mobilequant_tpu.models import get_config
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant import calibrate
+    from mobilequant_tpu.quant.policy import default_policy, relax_16bit
+    from mobilequant_tpu.runtime import engine as E
+    from mobilequant_tpu.runtime.kernel_config import KernelConfig
+
+    cfg = dataclasses.replace(get_config("test-llama"), hidden_size=256,
+                              intermediate_size=512, num_heads=4,
+                              num_kv_heads=2, head_dim=64, num_layers=2)
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    base = default_policy(cfg,
+                          QuantConfig(bitwidth=wb, is_per_channel=(wb == 4),
+                                      is_symmetric=(wb == 4)),
+                          QuantConfig(bitwidth=8))
+    tokens = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 8)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, base, batch_size=2)
+    ranges = calibrate.stats_to_ranges(stats, base)
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=64, weight_bits=wb)
+    packed = E.pack(params, ranges, cfg, base, ecfg)
+    kc = KernelConfig(otail_kernel=True)
+
+    ob = PMLP.fused_otail_block_stacked
+    PMLP.fused_otail_block_stacked = functools.partial(ob, interpret=True)
+    try:
+        for policy in (base, relax_16bit(base)):
+            # prefill-style forward (M=16 through the kernel)
+            t = jnp.asarray(tokens)
+            ref, _ = E.forward(packed, t, cfg, policy)
+            out, _ = E.forward(packed, t, cfg, policy, use_pallas=kc)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-4, atol=2e-4)
+
+        # staged batched decode chain (the serving shape it targets)
+        policy = relax_16bit(base)
+        B, Tp, n = 3, 4, 6
+        t = jnp.asarray(tokens[:1]).repeat(B, 0)[:, :Tp]
+        ca = E.init_kv_cache(ecfg, B)
+        pos0 = jnp.zeros((B,), jnp.int32)
+        logits, ca = E.forward(packed, t, cfg, policy, kv_cache=ca,
+                               cache_position=pos0,
+                               kv_valid_len=jnp.full((B,), Tp, jnp.int32))
+        first = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+        cb = E.EngineKVCache(k=ca.k, v=ca.v)
+        pos = jnp.full((B,), Tp, jnp.int32)
+        _, c_ref, l_ref = E.decode_loop(packed, first, ca, pos, n, cfg,
+                                        policy, use_pallas=False,
+                                        staging_chunk=4)
+        _, c_k, l_k = E.decode_loop(packed, first, cb, pos, n, cfg,
+                                    policy, use_pallas=kc, staging_chunk=4)
+        np.testing.assert_allclose(np.asarray(l_k), np.asarray(l_ref),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(c_k.k), np.asarray(c_ref.k))
+        np.testing.assert_array_equal(np.asarray(c_k.v), np.asarray(c_ref.v))
+    finally:
+        PMLP.fused_otail_block_stacked = ob
+    jax.clear_caches()
