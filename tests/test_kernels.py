@@ -687,6 +687,7 @@ def test_staged_append_matches_dus():
 
 
 @pytest.mark.parametrize("wb", [4, 8])
+@pytest.mark.slow
 def test_otail_block_kernel_matches_engine(wb):
     """The attention-tail kernel (o-proj -> o fq -> resid_add_1 -> whole MLP
     block, one dispatch) == the XLA engine path through a batched staged
