@@ -982,7 +982,8 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
     if (kc.otail_kernel and sp is not None and li is not None
             and "o_proj" in sp and "w13_proj" in sp and "mlp_norm" in lp
             and tp_mesh is None and not c.parallel_residual
-            and c.hidden_act in ("silu", "gelu_tanh") and B * T <= 64
+            and c.hidden_act in ("silu", "gelu_tanh")
+            and B * T <= kc.stacked_bt_max
             and sp["w13_proj"]["wq"].shape[1] in (x.shape[-1],
                                                   x.shape[-1] // 2)):
         # attention-tail kernel: o-proj -> o fq -> resid_add_1 -> whole MLP
@@ -1035,7 +1036,7 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         # decode-sized only: at prefill M the narrow-segment dots + in-program
         # VPU serialization lose to the split stacked matmuls + gate_quant
         # (523 vs ~300 µs/layer at M=1024 — see ops/pallas_mlp.py NOTE)
-        if (B * T <= 64
+        if (B * T <= kc.stacked_bt_max
                 and sp["w2"]["wq"].shape[1] == w2_rows
                 and supported):
             # whole W4/W8 MLP block (norm→quant→w13→act→w2→requant→residual)

@@ -45,6 +45,11 @@ class KernelConfig:
     otail_kernel: bool = False     # batched-decode o-proj+resid_add_1+MLP
                                    # block in one dispatch (attention-tail
                                    # edition of the stacked MLP kernel)
+    stacked_bt_max: int = 64       # max B*T the stacked MLP-block/otail
+                                   # kernels accept (decode-sized gate; at
+                                   # prefill M the split matmuls win — see
+                                   # ops/pallas_mlp.py NOTE). 128 admits
+                                   # bs=128 decode (one full MXU tile of rows)
     layer_kernel: bool = False     # whole-decoder-layer megakernel
     model_kernel: bool = False     # whole-model megakernel (decode, B<=8)
     interpret: bool = False        # run every Pallas kernel in interpret mode

@@ -1,0 +1,103 @@
+"""Batch-scaling decode bench: tok/s vs batch size on the chunked-staging path.
+
+Produces the BENCHMARKS.md batch-curve rows (bs ∈ {16,32,64,128,...}) with the
+marginal method (n1/n2 in-graph chunks, fresh cache + distinct first token per
+run so the relay cannot memoize). The stacked MLP-block/otail kernels admit
+rows up to `--btmax` (KernelConfig.stacked_bt_max; 128 = one full MXU tile of
+rows); above that the engine falls back to the XLA mlp path.
+
+Usage (real chip; scripts insert "." so no PYTHONPATH override needed):
+  python scripts/bench_batch.py --batches 64,128 --wbits 4,8 --btmax 128
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+_counter = [0]
+
+
+def time_marginal(make_chunk, packed, cache_fn, batch, vocab, n1, n2):
+    import jax.numpy as jnp
+
+    def run(n, fn):
+        _counter[0] += 1
+        tok = jnp.full((batch, 1), _counter[0] % vocab, jnp.int32)
+        t0 = time.perf_counter()
+        toks = fn(packed, tok, cache_fn(), jnp.full((batch,), 0, jnp.int32))
+        np.asarray(toks)
+        return time.perf_counter() - t0
+
+    f1, f2 = make_chunk(n1), make_chunk(n2)
+    run(n1, f1); run(n2, f2)            # compile + first exec
+    d1 = run(n1, f1)
+    d2 = run(n2, f2)
+    return (n2 - n1) / max(d2 - d1, 1e-9)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="64,128")
+    ap.add_argument("--wbits", default="4,8")
+    ap.add_argument("--btmax", type=int, default=128)
+    ap.add_argument("--n1", type=int, default=64)
+    ap.add_argument("--n2", type=int, default=320)
+    ap.add_argument("--seq", type=int, default=1024)
+    ap.add_argument("--xla", action="store_true",
+                    help="also measure the pure-XLA engine at each point")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _build_packed_tinyllama
+    from mobilequant_tpu.quant.policy import relax_16bit
+    from mobilequant_tpu.runtime import engine as E
+    from mobilequant_tpu.runtime.kernel_config import KernelConfig
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:
+        print(f"compile cache unavailable: {e!r}", flush=True)
+
+    print(f"devices: {jax.devices()}", flush=True)
+    for wb in [int(w) for w in args.wbits.split(",")]:
+        hb = 4 if wb == 4 else 8
+        packed, cfg, policy, ecfg = _build_packed_tinyllama(
+            max_seq_len=args.seq, w_bits=wb, head_bits=hb)
+        policy = relax_16bit(policy)
+        kcs = [("kernel", KernelConfig.default().replace(
+            stacked_bt_max=args.btmax))]
+        if args.xla:
+            kcs.append(("xla", False))
+        for B in [int(b) for b in args.batches.split(",")]:
+            for tag, kc in kcs:
+                def make_chunk(n, _kc=kc):
+                    @jax.jit
+                    def chunk(packed, token, cache, pos):
+                        toks, _, _ = E.decode_loop(packed, token, cache, pos,
+                                                   n, cfg, policy,
+                                                   use_pallas=_kc)
+                        return toks
+                    return chunk
+
+                try:
+                    tps = time_marginal(
+                        make_chunk, packed, lambda: E.init_kv_cache(ecfg, B),
+                        B, cfg.vocab_size, args.n1, args.n2) * B
+                    print(f"W{wb}A8+h{hb} bs={B} [{tag}, btmax={args.btmax}]: "
+                          f"{tps:.1f} tok/s total "
+                          f"({1000.0 * B / tps:.3f} ms/step, marginal "
+                          f"{args.n1}/{args.n2})", flush=True)
+                except Exception as e:
+                    print(f"W{wb} bs={B} [{tag}] failed: {e!r}", flush=True)
+        del packed
+
+
+if __name__ == "__main__":
+    main()
