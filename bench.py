@@ -74,8 +74,12 @@ def emit(results: dict, fp_tps: float | None):
     headline JSON line to stdout. Called after every row so a timeout at any
     point leaves the last-printed line correct and parseable."""
     log("RESULTS " + json.dumps(results))
+    # physical ceiling: no bs=1 decode config on this chip can exceed ~1e5
+    # tok/s — anything above is a degenerate marginal (d2<=d1 under relay
+    # variance) that must never become the headline
     cands = [(t, results[f"{t}_decode_tok_s"]) for t in HEADLINE_ORDER
-             if f"{t}_decode_tok_s" in results]
+             if f"{t}_decode_tok_s" in results
+             and results[f"{t}_decode_tok_s"] < 1e5]
     if not cands:
         return
     tag, headline = max(cands, key=lambda kv: kv[1])
@@ -108,9 +112,18 @@ def time_decode_loop(make_chunk, packed, cache_fn, batch, vocab):
 
     f1, f2 = make_chunk(N1), make_chunk(N2)
     run(N1, f1); run(N2, f2)          # compile + first exec
-    d1 = run(N1, f1)
-    d2 = run(N2, f2)
-    return (N2 - N1) / max(d2 - d1, 1e-9)
+    # a physical step cannot be faster than ~20 µs (bs=1 floor is ~0.9 ms);
+    # d2<=d1 means relay timing variance swallowed the marginal — retry the
+    # pair rather than report a degenerate number (BENCH_r03 guard)
+    for attempt in range(3):
+        d1 = run(N1, f1)
+        d2 = run(N2, f2)
+        if d2 - d1 > (N2 - N1) * 20e-6:
+            return (N2 - N1) / (d2 - d1)
+        log(f"  marginal degenerate (d1={d1:.3f}s d2={d2:.3f}s), retry "
+            f"{attempt + 1}/3")
+    raise RuntimeError(f"non-physical marginal after 3 tries "
+                       f"(d1={d1:.3f}s d2={d2:.3f}s)")
 
 
 def main():
@@ -229,10 +242,13 @@ def main():
             return M.KVCache(k=jnp.zeros(kvshape, jnp.bfloat16),
                              v=jnp.zeros(kvshape, jnp.bfloat16))
 
-        fp_tps = time_decode_loop(make_fp_chunk, params, fp_cache_fn, 1,
-                                  cfg.vocab_size)
-        results["bf16_decode_tok_s"] = fp_tps
-        log(f"bf16 FP decode: {fp_tps:.1f} tok/s (bs=1, S={seq}, marginal)")
+        try:
+            fp_tps = time_decode_loop(make_fp_chunk, params, fp_cache_fn, 1,
+                                      cfg.vocab_size)
+            results["bf16_decode_tok_s"] = fp_tps
+            log(f"bf16 FP decode: {fp_tps:.1f} tok/s (bs=1, S={seq}, marginal)")
+        except Exception as e:
+            log(f"bf16 baseline failed: {e!r}")   # emit() falls back
         emit(results, fp_tps)
         fp_params, fp_cfg = params, cfg   # reused by the wonly section
 
@@ -385,7 +401,11 @@ def main():
                 run(chunk, 1); run(chunk2, 2)      # compile + warm
                 n1, d1 = run(chunk, 3)
                 n2, d2 = run(chunk2, 4)
-                tps = (n2 - n1) / max(d2 - d1, 1e-9)
+                if d2 - d1 <= (n2 - n1) * 20e-6:
+                    log(f"speculative ({tag}): degenerate marginal "
+                        f"(d1={d1:.3f}s d2={d2:.3f}s), row dropped")
+                    return
+                tps = (n2 - n1) / (d2 - d1)
                 tpv = (n2 - n1) / (R2 - R1)
                 results[f"spec_{tag}_decode_tok_s"] = tps
                 results[f"spec_{tag}_tok_per_verify"] = tpv
