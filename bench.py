@@ -281,6 +281,20 @@ def main():
         except Exception as e:
             log(f"{bname} bs=8 failed: {e!r}")
 
+    # --- 4b. batch-scaling tail: bs=64 (B*T=64, gate-exact) and bs=128 (one
+    # full MXU tile of rows — decode_loop raises the stacked-kernel gate to
+    # 128 for T=1 steps; measured +27% over the XLA fallback) ---
+    for bname, bw, bhb, Bb in (("w4a8_kernel", 4, 4, 64),
+                               ("w8a8_kernel", 8, 8, 64),
+                               ("w4a8_kernel", 4, 4, 128),
+                               ("w8a8_kernel", 8, 8, 128)):
+        if on_cpu or past_budget():
+            continue
+        try:
+            decode_row(bname, bw, True, True, bhb, B=Bb)
+        except Exception as e:
+            log(f"{bname} bs={Bb} failed: {e!r}")
+
     if bs8_only:
         log(json.dumps(results))
         tag, best = max(results.items(), key=lambda kv: kv[1])

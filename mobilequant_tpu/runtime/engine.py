@@ -1606,6 +1606,11 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
     from mobilequant_tpu.runtime.sampling import loop_next_token
 
     kc = KernelConfig.coerce(use_pallas)
+    # decode steps are always T=1, so the stacked MLP-block kernel's
+    # decode-sized gate can safely admit up to 128 rows (one full MXU tile)
+    # here: measured 21,971 vs 17,260 tok/s (XLA fallback) at bs=128 W4A8.
+    # No-op for B<=64 (same traced program); B>128 still falls back to XLA.
+    kc = kc.replace(stacked_bt_max=max(kc.stacked_bt_max, 128))
     use_staging = (not kc.attn_kernel
                    and (B > 8 or not (kc.layer_kernel or kc.model_kernel)))
 
