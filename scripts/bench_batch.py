@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--seq", type=int, default=1024)
     ap.add_argument("--xla", action="store_true",
                     help="also measure the pure-XLA engine at each point")
+    ap.add_argument("--otail", action="store_true",
+                    help="also measure with the attention-tail kernel "
+                         "(o-proj+resid_add_1 folded into the MLP block)")
     args = ap.parse_args()
 
     import jax
@@ -73,6 +76,9 @@ def main():
         policy = relax_16bit(policy)
         kcs = [("kernel", KernelConfig.default().replace(
             stacked_bt_max=args.btmax))]
+        if args.otail:
+            kcs.append(("otail", KernelConfig.default().replace(
+                stacked_bt_max=args.btmax, otail_kernel=True)))
         if args.xla:
             kcs.append(("xla", False))
         for B in [int(b) for b in args.batches.split(",")]:
