@@ -1610,7 +1610,12 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
     # decode-sized gate can safely admit up to 128 rows (one full MXU tile)
     # here: measured 21,971 vs 17,260 tok/s (XLA fallback) at bs=128 W4A8.
     # No-op for B<=64 (same traced program); B>128 still falls back to XLA.
-    kc = kc.replace(stacked_bt_max=max(kc.stacked_bt_max, 128))
+    # Only legacy bool/string callers get the auto-raise — an explicit
+    # KernelConfig (e.g. bench_batch --btmax) keeps its own gate. The raised
+    # kc is what the scan bodies below pass to forward(); passing the
+    # original use_pallas would silently re-coerce back to the default gate.
+    if not isinstance(use_pallas, KernelConfig):
+        kc = kc.replace(stacked_bt_max=max(kc.stacked_bt_max, 128))
     use_staging = (not kc.attn_kernel
                    and (B > 8 or not (kc.layer_kernel or kc.model_kernel)))
 
@@ -1681,7 +1686,7 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
                                      kv_cache=st._replace(kcs=kcs0),
                                      cache_position=pos0,
                                      kv_valid_len=pos + 1,
-                                     use_pallas=use_pallas,
+                                     use_pallas=kc,
                                      layer_unroll=layer_unroll)
                 last = logits[:, -1]
                 nxt = loop_next_token(last, k_step, temperature)[:, None]
@@ -1714,7 +1719,7 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
         logits, cache = forward(packed, token, config, policy,
                                 positions=pos[:, None], kv_cache=cache,
                                 cache_position=pos, kv_valid_len=pos + 1,
-                                use_pallas=use_pallas, layer_unroll=layer_unroll)
+                                use_pallas=kc, layer_unroll=layer_unroll)
         last = logits[:, -1]
         nxt = loop_next_token(last, k_step, temperature)[:, None]
         return (nxt, cache, pos + 1, last), nxt[:, 0]

@@ -34,9 +34,18 @@ def time_marginal(make_chunk, packed, cache_fn, batch, vocab, n1, n2):
 
     f1, f2 = make_chunk(n1), make_chunk(n2)
     run(n1, f1); run(n2, f2)            # compile + first exec
-    d1 = run(n1, f1)
-    d2 = run(n2, f2)
-    return (n2 - n1) / max(d2 - d1, 1e-9)
+    # same guard as bench.py time_decode_loop: a physical step cannot be
+    # faster than ~20 µs, so d2<=d1 means relay variance swallowed the
+    # marginal — retry the pair, raise rather than print a 1e11-scale row
+    for attempt in range(3):
+        d1 = run(n1, f1)
+        d2 = run(n2, f2)
+        if d2 - d1 > (n2 - n1) * 20e-6:
+            return (n2 - n1) / (d2 - d1)
+        print(f"  marginal degenerate (d1={d1:.3f}s d2={d2:.3f}s), retry "
+              f"{attempt + 1}/3", flush=True)
+    raise RuntimeError(f"non-physical marginal after 3 tries "
+                       f"(d1={d1:.3f}s d2={d2:.3f}s)")
 
 
 def main():
