@@ -143,10 +143,22 @@ def cmd_quantize(args):
     ranges = calibrate.stats_to_ranges(stats, policy)
 
     qstate = train.init_qstate(params, cfg, policy, tc, ranges, let=let0)
+    resume_state, resume_layers = None, 0
     if args.resume:
+        import numpy as _np
         import orbax.checkpoint as ocp
-        qstate = ocp.PyTreeCheckpointer().restore(Path(args.resume).resolve())
-        logger.info(f"resumed quant state from {args.resume}")
+        restored = ocp.PyTreeCheckpointer().restore(Path(args.resume).resolve())
+        if isinstance(restored, dict) and "layers_done" in restored:
+            # omniquant per-layer checkpoint (ref quant_parameters.pth +
+            # --resume, algorithm.py:498-500,555-556): completed layers skip
+            # training, propagation re-runs -> bit-identical final state
+            resume_state = restored["qstate"]
+            resume_layers = int(_np.asarray(restored["layers_done"]))
+            logger.info(f"resuming omniquant from {args.resume} "
+                        f"({resume_layers} layers done)")
+        else:
+            qstate = restored
+            logger.info(f"resumed quant state from {args.resume}")
 
     ckpt_dir = Path(args.output_dir or args.model_dir) / "checkpoints"
 
@@ -156,6 +168,16 @@ def cmd_quantize(args):
         ocp.PyTreeCheckpointer().save((ckpt_dir / "qstate_latest.orbax").resolve(),
                                       qs, force=True)
 
+    def checkpoint_cb_layer(li, qs):
+        # per-layer quant-state checkpoint for the layerwise loop (ref
+        # quant_parameters.pth, algorithm.py:555-556)
+        import numpy as _np
+        import orbax.checkpoint as ocp
+        ocp.PyTreeCheckpointer().save(
+            (ckpt_dir / "qstate_latest.orbax").resolve(),
+            {"qstate": qs, "layers_done": _np.asarray(li + 1, _np.int32)},
+            force=True)
+
     if args.epochs > 0:
         t0 = time.time()
         if args.mode == "e2e":
@@ -163,7 +185,10 @@ def cmd_quantize(args):
                                           logger=logger, checkpoint_cb=checkpoint_cb)
         else:
             qstate, hist = train.omniquant(params, qstate, tokens, cfg, policy, tc,
-                                           logger=logger)
+                                           logger=logger,
+                                           checkpoint_cb=checkpoint_cb_layer,
+                                           resume_state=resume_state,
+                                           resume_layers=resume_layers)
         logger.info(f"optimization took {time.time()-t0:.1f}s")
 
     params, qstate = train.finalize(params, qstate, cfg, policy)
@@ -339,10 +364,24 @@ def cmd_pack(args):
     ecfg = E.EngineConfig(model=cfg, max_seq_len=args.max_seq_len,
                           weight_bits=wb, head_bits=args.head_bits,
                           global_kv_encoding=args.global_kv)
-    packed = E.pack(params, qstate["ranges"], cfg, policy, ecfg)
+    s_last = None
+    if args.smooth_last is not None:
+        # final-norm -> lm_head SmoothQuant fold before head quantization
+        # (ref device/convert_sim.py:114-128, --smooth_last)
+        import jax.numpy as jnp
+        from mobilequant_tpu.quant import calibrate
+        toks = _calib_tokens(args, cfg)
+        am = calibrate.head_input_absmax(params, toks, cfg)
+        head_w = (params["embed"]["w"].T if cfg.tie_word_embeddings
+                  else params["lm_head"]["w"])
+        s_last = calibrate.smooth_last_scales(am, jnp.asarray(head_w),
+                                              alpha=args.smooth_last)
+    packed = E.pack(params, qstate["ranges"], cfg, policy, ecfg,
+                    smooth_last=s_last)
     artifacts.save_packed(args.output_dir, packed, cfg, policy,
                           {"max_seq_len": args.max_seq_len, "act_bits": 8,
-                           "weight_bits": wb, "head_bits": args.head_bits})
+                           "weight_bits": wb, "head_bits": args.head_bits,
+                           "smooth_last": args.smooth_last})
     if args.export_hlo:
         artifacts.export_decode_step(packed, cfg, policy, args.max_seq_len,
                                      Path(args.output_dir) / "decode_step.stablehlo")
@@ -361,6 +400,11 @@ def cmd_pack(args):
             # instead of measuring head-quantization error
             def sim_fn(t):
                 h, _, _ = qmodel.qforward_hidden(params, qst, t, cfg, policy)
+                if s_last is not None:
+                    # the engine's final norm carries the smooth_last fold;
+                    # rescale the sim's head input to match (equivalent in
+                    # real arithmetic: (n(x)w+b)/s == n(x)(w/s)+(b/s))
+                    h = h / s_last
                 return E.quantized_head_logits(h, packed["head_q"],
                                                cfg.vocab_size,
                                                use_kernel=False)
@@ -780,6 +824,14 @@ def build_parser():
     q.add_argument("--group_size", type=int, default=128,
                    help="weight-only input-axis group size (-1=per-channel)")
     q.add_argument("--global_kv", action="store_true")
+    q.add_argument("--smooth_last", type=float, default=None, metavar="ALPHA",
+                   help="SmoothQuant-fold the final norm into the quantized "
+                        "lm_head before packing (needs --head_bits 4/8; "
+                        "alpha as in the reference's --smooth_alpha)")
+    q.add_argument("--calib", default="synthetic",
+                   help="calibration source for --smooth_last act stats")
+    q.add_argument("--nsamples", type=int, default=32)
+    q.add_argument("--seqlen", type=int, default=512)
     q.add_argument("--export_hlo", action="store_true")
     q.add_argument("--warm_cache", action="store_true",
                    help="pre-compile the decode executable into "

@@ -146,3 +146,41 @@ def ranges_to_act_dict(ranges: dict, policy: QPolicy, config: ModelConfig) -> di
             out.setdefault(f"model.layers.{i}.{site}", {})[role] = \
                 [float(mn[i]), float(mx[i])]
     return out
+
+
+# ---------------------------------------------------------------------------
+# smooth_last: final-norm -> lm_head SmoothQuant fold (ref device/convert_sim.py
+# :114-128 — equalize the head input's per-channel envelope against the head
+# weight's per-row envelope before the head is per-channel quantized)
+# ---------------------------------------------------------------------------
+
+def head_input_absmax(params, tokens, config, batch_size: int = 4):
+    """Per-channel absmax of the final-norm OUTPUT (the lm_head input) over a
+    calibration corpus — the `act_scales` of the reference's --smooth_last
+    (`get_last_act_scales(...)["lm_head_input"]`, device/convert_sim.py:123)."""
+    from mobilequant_tpu.models import model as M
+
+    @jax.jit
+    def one(p, t):
+        h, _, _ = M.forward_hidden(p, t, config, apply_final_norm=True)
+        return jnp.max(jnp.abs(h.reshape(-1, h.shape[-1])), axis=0)
+
+    am = None
+    n = tokens.shape[0]
+    for i in range(0, n, batch_size):
+        t = jnp.asarray(tokens[i:i + batch_size], jnp.int32)
+        cur = np.asarray(one(params, t))
+        am = cur if am is None else np.maximum(am, cur)
+    return jnp.asarray(am)
+
+
+def smooth_last_scales(act_absmax, head_w, alpha: float = 0.5):
+    """s = clamp(act^alpha / w^(1-alpha), 1e-5): divide into the final norm's
+    weight/bias, multiply into the head's input rows — FP-output-preserving,
+    shifts quantization difficulty from head input outlier channels into the
+    per-channel-quantized head weights (ref device/convert_sim.py:124-127).
+    head_w: (D, vocab)."""
+    w_absmax = jnp.max(jnp.abs(head_w), axis=1)
+    s = (jnp.asarray(act_absmax, jnp.float32) ** alpha
+         / jnp.maximum(w_absmax.astype(jnp.float32), 1e-8) ** (1.0 - alpha))
+    return jnp.clip(s, 1e-5, None)

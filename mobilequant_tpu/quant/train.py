@@ -249,13 +249,23 @@ def finalize(params, qstate, config: ModelConfig, policy: QPolicy) -> tuple[dict
 # ---------------------------------------------------------------------------
 
 def omniquant(params, qstate, tokens: np.ndarray, config: ModelConfig,
-              policy: QPolicy, tc: TrainConfig = TrainConfig(), logger=None):
+              policy: QPolicy, tc: TrainConfig = TrainConfig(), logger=None,
+              checkpoint_cb: Optional[Callable[[int, dict], None]] = None,
+              resume_state: Optional[dict] = None, resume_layers: int = 0):
     """Layer-by-layer optimization: each layer's quant params are trained against
     that layer's FP outputs, then the quantized activations propagate to the next
     layer (ref Catcher + per-layer loop, algorithm.py:413-584).
 
     Functionally we never materialize a Catcher: layer-0 inputs are just the
     embedding outputs (+ rope/mask recomputed per layer call).
+
+    checkpoint_cb(layer_idx, full_qstate): called after each layer finishes
+    training (the reference's per-layer quant_parameters.pth,
+    algorithm.py:555-556). resume_state/resume_layers: restart a killed run —
+    the first `resume_layers` layers take their trained state from
+    resume_state and skip training; activation propagation re-runs for them
+    (deterministic given the trained state), so the final qstate is
+    bit-identical to an uninterrupted run (ref --resume, algorithm.py:498-500).
     """
     c = config
     n = tokens.shape[0]
@@ -307,7 +317,11 @@ def omniquant(params, qstate, tokens: np.ndarray, config: ModelConfig,
 
     trainable_keys = [k for k in ("let", "lwc", "ranges") if k in qstate
                       and (k != "ranges" or tc.use_lrl)]
-    final_state = jax.tree.map(lambda a: a, qstate)
+    if resume_state is None:
+        resume_layers = 0
+    resume_layers = min(resume_layers, c.num_layers)
+    final_state = jax.tree.map(
+        lambda a: a, resume_state if resume_layers > 0 else qstate)
 
     opt = _make_optimizer(tc, total_steps)
 
@@ -323,32 +337,43 @@ def omniquant(params, qstate, tokens: np.ndarray, config: ModelConfig,
 
     for li in range(c.num_layers):
         lp = jax.tree.map(lambda a: a[li], params["layers"])
-        layer_state = {k: jax.tree.map(lambda a: a[li], qstate[k]) for k in qstate}
+        # completed layers (resume) read their TRAINED state from final_state
+        src = final_state if li < resume_layers else qstate
+        layer_state = {k: jax.tree.map(lambda a: a[li], src[k]) for k in src}
         trainable = {k: layer_state[k] for k in trainable_keys}
         static_state = {k: v for k, v in layer_state.items() if k not in trainable_keys}
 
         # FP teacher outputs for this layer (batched)
         fp_out = batched(lambda x: fp_apply(lp, x), fp_inps)
 
-        opt_state = opt.init(trainable)
-        last = None
-        for epoch in range(tc.epochs):
-            for i in range(0, n, tc.batch_size):
-                x = jnp.asarray(quant_inps[i:i + tc.batch_size])
-                y = jnp.asarray(fp_out[i:i + tc.batch_size])
-                trainable, opt_state, loss = step(lp, static_state, trainable,
-                                                  opt_state, x, y)
-                last = float(loss)
-                if not math.isfinite(last):
-                    raise FloatingPointError(f"non-finite loss, layer {li}")
-        if logger is not None:
-            logger.info(f"[omniquant] layer {li} final loss {last:.6e}")
+        if li < resume_layers:
+            merged = layer_state
+            if logger is not None:
+                logger.info(f"[omniquant] layer {li} resumed (training skipped)")
+        else:
+            opt_state = opt.init(trainable)
+            last = None
+            for epoch in range(tc.epochs):
+                for i in range(0, n, tc.batch_size):
+                    x = jnp.asarray(quant_inps[i:i + tc.batch_size])
+                    y = jnp.asarray(fp_out[i:i + tc.batch_size])
+                    trainable, opt_state, loss = step(lp, static_state,
+                                                      trainable,
+                                                      opt_state, x, y)
+                    last = float(loss)
+                    if not math.isfinite(last):
+                        raise FloatingPointError(f"non-finite loss, layer {li}")
+            if logger is not None:
+                logger.info(f"[omniquant] layer {li} final loss {last:.6e}")
 
-        # write the layer's trained state back into the stacked tree
-        merged = {**static_state, **trainable}
-        for k in merged:
-            final_state[k] = jax.tree.map(
-                lambda full, one: full.at[li].set(one), final_state[k], merged[k])
+            # write the layer's trained state back into the stacked tree
+            merged = {**static_state, **trainable}
+            for k in merged:
+                final_state[k] = jax.tree.map(
+                    lambda full, one: full.at[li].set(one),
+                    final_state[k], merged[k])
+            if checkpoint_cb is not None:
+                checkpoint_cb(li, final_state)
 
         # propagate quantized activations (ref algorithm.py:569-573, batched)
         extras = merged

@@ -133,10 +133,21 @@ _PROJ_SITES = {
 
 
 def pack(params: dict, ranges: dict, config: ModelConfig, policy: QPolicy,
-         ecfg: Optional[EngineConfig] = None) -> dict:
-    """Finalized (LET-folded, LWC-clamped) params + learned ranges → packed model."""
+         ecfg: Optional[EngineConfig] = None,
+         smooth_last: Optional[jax.Array] = None) -> dict:
+    """Finalized (LET-folded, LWC-clamped) params + learned ranges → packed model.
+
+    smooth_last: optional (D,) per-channel equalization vector for the
+    quantized head (calibrate.smooth_last_scales — the reference's
+    --smooth_last, device/convert_sim.py:114-128): the packed final norm's
+    weight/bias are divided by it and the head's input rows multiplied before
+    per-channel quantization — FP-output-preserving, requires head_bits 4/8
+    (a tied fp head shares the embedding table and cannot be rescaled)."""
     ecfg = ecfg or EngineConfig(model=config)
     c = config
+    if smooth_last is not None and ecfg.head_bits not in (4, 8):
+        raise ValueError("smooth_last requires a quantized head "
+                         "(head_bits 4 or 8)")
 
     def pack_proj(pkey, site):
         wq_cfg = policy[site].weight
@@ -257,13 +268,18 @@ def pack(params: dict, ranges: dict, config: ModelConfig, policy: QPolicy,
     # 0.3 µs/slice × 40 × 22 layers ≈ 0.27 ms/token)
     rvec = build_rvec(rr)                     # (L, 2R)
 
+    norm_w = params["norm"]["w"].astype(jnp.float32)
+    norm_b = params["norm"]["b"].astype(jnp.float32)
+    if smooth_last is not None:
+        s_last = jnp.asarray(smooth_last, jnp.float32)
+        norm_w = norm_w / s_last
+        norm_b = norm_b / s_last
     packed = {
         "embed": params["embed"]["w"].astype(ecfg.act_dtype),
         "layers": layers,
         "ranges": rr,
         "rvec": rvec,
-        "norm": {"w": params["norm"]["w"].astype(jnp.float32),
-                 "b": params["norm"]["b"].astype(jnp.float32)},
+        "norm": {"w": norm_w, "b": norm_b},
     }
     if qkv_seg is not None:
         packed["qkv_seg"] = qkv_seg
@@ -275,9 +291,12 @@ def pack(params: dict, ranges: dict, config: ModelConfig, policy: QPolicy,
         # reference keeps the embedding fp on host too, capp export_bin.py).
         head_w = params["embed"]["w"].T if c.tie_word_embeddings \
             else params["lm_head"]["w"]
+        head_w = jnp.asarray(head_w)
+        if smooth_last is not None:
+            head_w = head_w * s_last[:, None]
         hcfg = QuantConfig(bitwidth=ecfg.head_bits, is_symmetric=True,
                            is_per_channel=True)
-        packed["head_q"] = pack_head(jnp.asarray(head_w), hcfg)
+        packed["head_q"] = pack_head(head_w, hcfg)
     elif not c.tie_word_embeddings:
         packed["lm_head"] = {"w": params["lm_head"]["w"].astype(ecfg.act_dtype)}
     return packed
@@ -350,6 +369,17 @@ def _fq16(x, r, cfg: QuantConfig):
     if cfg is None or not cfg.enabled:
         return x
     return fake_quant(x, r["scale"], r["offset"], cfg)
+
+
+def _site_role_cfg(policy, site, role):
+    """QuantConfig for a site/role, or None (site absent / role absent)."""
+    sq = policy.get(site)
+    return getattr(sq, role, None) if sq is not None else None
+
+
+def _chunk_supported(c, max_seq_len: int, B: int) -> bool:
+    from mobilequant_tpu.ops.pallas_chunk import chunk_kernel_supported
+    return chunk_kernel_supported(c, max_seq_len, B)
 
 
 def _fq_site(x, lr, policy, site, role):
@@ -1385,10 +1415,12 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
     # them the per-layer HBM->HBM copies a custom call otherwise forces
     # (see _int_linear)
     sp = packed["layers"] if kc.use_stacked else None
-    if (sp is not None and kv_cache is not None and T == 1 and B <= 8
-            and staging is None
+    if (sp is not None and kv_cache is not None and T == 1
             and cache_position is not None and cp_mesh is None
-            and "qkvp" in sp and (kc.layer_kernel or kc.model_kernel)):
+            and "qkvp" in sp
+            and (B <= 8 and staging is None
+                 and (kc.layer_kernel or kc.model_kernel)
+                 or staging is not None and B > 8 and kc.chunk_kernel)):
         # whole-layer kernel extras: the FULL stacked cache (read by layer
         # index inside the kernel — the per-layer xs slices are DCE'd) and
         # the step's RoPE cos/sin vectors
@@ -1418,8 +1450,55 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
                     jnp.zeros((c.num_layers, B, c.num_kv_heads, T, c.head_dim_), jnp.int8))
         cache_position = jnp.zeros((B,), jnp.int32)
 
+    pv_in_cfg = _site_role_cfg(policy, "self_attn.pv_bmm", "input")
+    qk_out_cfg = _site_role_cfg(policy, "self_attn.qk_bmm", "output")
     if (sp is not None and "kcache" in sp and "rvec" in packed
-            and kc.model_kernel and not c.is_moe
+            and staging is not None and kc.chunk_kernel and not c.is_moe
+            and not c.parallel_residual
+            and c.hidden_act in ("silu", "gelu_tanh")
+            and "mlp_norm" in packed["layers"]
+            and _chunk_supported(c, kv_cache.k.shape[3], B)):
+        # batched whole-model CHUNK kernel (serving batches, B=16..128): the
+        # entire decode step — every layer, staged-column decode-light
+        # attention with the exact partwise full-row softmax, optional
+        # quantized head — in one dispatch (ops/pallas_chunk.py). The 16-bit
+        # attention fq sites are trace-time static flags (skipped VPU work
+        # under the relaxed serving policy, exact under strict).
+        from mobilequant_tpu.ops import pallas_chunk as _PC
+        from mobilequant_tpu.ops import pallas_layer as _PL
+        ly = packed["layers"]
+        meta_L = jax.vmap(
+            lambda rv: _layer_meta(_lr_from_rvec(rv, packed["ranges"]),
+                                   policy, c))(packed["rvec"])
+        ofq_L = _qkv_ofq_rows_stacked(packed, policy, c)
+        hfold = ("head_q" in packed
+                 and _PL.head_kernel_supported(packed["head_q"], c.hidden_size))
+        hargs = (packed["head_q"], packed["norm"]["w"],
+                 packed["norm"]["b"]) if hfold else (None, None, None)
+        res = _PC.fused_model_w4_chunk(
+            x.reshape(B, -1).astype(jnp.float32), cache_position,
+            sp["rope_cs"], ofq_L, ly["attn_norm"]["w"], ly["attn_norm"]["b"],
+            ly["qkvp"], ly["op"], ly["mlp_norm"]["w"], ly["mlp_norm"]["b"],
+            ly["w13_proj"], ly["w2"], kv_cache.k, kv_cache.v,
+            staging.sk, staging.sv, staging.m, meta_L, *hargs,
+            num_q_heads=c.num_heads, num_kv_heads=c.num_kv_heads,
+            head_dim=c.head_dim_, rotary_dim=c.rotary_dim,
+            act_kind=c.hidden_act,
+            norm_kind="layernorm" if c.norm_class == "layernorm" else "rmsnorm",
+            qk_fq_on=bool(qk_out_cfg is not None and qk_out_cfg.enabled),
+            pv_fq_on=bool(pv_in_cfg is not None and pv_in_cfg.enabled))
+        if hfold:
+            hm, kvnew, lg = res
+            logits = lg[:, :c.vocab_size].reshape(B, T, c.vocab_size)
+        else:
+            hm, kvnew = res
+            logits = None
+        h = hm.reshape(B, T, -1).astype(x.dtype)
+        Hkv_, hd_ = c.num_kv_heads, c.head_dim_
+        kv_out = (kvnew[:, :, :Hkv_].reshape(c.num_layers, B, Hkv_, 1, hd_),
+                  kvnew[:, :, Hkv_:].reshape(c.num_layers, B, Hkv_, 1, hd_))
+    elif (sp is not None and "kcache" in sp and "rvec" in packed
+            and staging is None and kc.model_kernel and not c.is_moe
             and not c.parallel_residual and c.hidden_act in ("silu", "gelu_tanh")
             and "mlp_norm" in packed["layers"]):
         # whole-MODEL kernel: the entire decode layer stack in ONE dispatch

@@ -52,6 +52,9 @@ class KernelConfig:
                                    # bs=128 decode (one full MXU tile of rows)
     layer_kernel: bool = False     # whole-decoder-layer megakernel
     model_kernel: bool = False     # whole-model megakernel (decode, B<=8)
+    chunk_kernel: bool = False     # batched whole-model kernel for the
+                                   # chunked-staging decode path (B=16..128,
+                                   # relaxed policy; ops/pallas_chunk.py)
     interpret: bool = False        # run every Pallas kernel in interpret mode
                                    # (CPU tests)
 
@@ -61,7 +64,7 @@ class KernelConfig:
                 or self.mlp_kernel or self.mlp_block_kernel
                 or self.stacked_mlp_kernel or self.layer_kernel
                 or self.model_kernel or self.gate_kernel
-                or self.otail_kernel)
+                or self.otail_kernel or self.chunk_kernel)
 
     @property
     def use_stacked(self) -> bool:
@@ -69,7 +72,7 @@ class KernelConfig:
         layer body (scalar-prefetch weight reads instead of scan slices)."""
         return (self.w4_matmul or self.stacked_mlp_kernel or self.layer_kernel
                 or self.model_kernel or self.gate_kernel
-                or self.otail_kernel)
+                or self.otail_kernel or self.chunk_kernel)
 
     def replace(self, **kw) -> "KernelConfig":
         return dataclasses.replace(self, **kw)
@@ -111,6 +114,7 @@ class KernelConfig:
             mlp_block_kernel=mlp_block,
             gate_kernel="gatek" in s,
             otail_kernel="otail" in s,
+            chunk_kernel="chunkk" in s,
             vpu_matvec="vpu" in s,
             stacked_mlp_kernel=("nomlpk" not in s and not mlp_kernel
                                 and not mlp_block),

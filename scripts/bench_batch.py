@@ -61,6 +61,11 @@ def main():
     ap.add_argument("--otail", action="store_true",
                     help="also measure with the attention-tail kernel "
                          "(o-proj+resid_add_1 folded into the MLP block)")
+    ap.add_argument("--chunk", action="store_true",
+                    help="also measure the batched whole-model chunk kernel "
+                         "(ops/pallas_chunk.py)")
+    ap.add_argument("--chunk_only", action="store_true",
+                    help="measure ONLY the chunk kernel row")
     args = ap.parse_args()
 
     import jax
@@ -85,6 +90,11 @@ def main():
         policy = relax_16bit(policy)
         kcs = [("kernel", KernelConfig.default().replace(
             stacked_bt_max=args.btmax))]
+        if args.chunk_only:
+            kcs = []
+        if args.chunk or args.chunk_only:
+            kcs.append(("chunk", KernelConfig.default().replace(
+                stacked_bt_max=args.btmax, chunk_kernel=True)))
         if args.otail:
             kcs.append(("otail", KernelConfig.default().replace(
                 stacked_bt_max=args.btmax, otail_kernel=True)))

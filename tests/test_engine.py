@@ -475,3 +475,56 @@ def test_self_draft_speculative_matches_greedy():
     full_chain = want[1:4] if want[0] == cur else None
     if full_chain is not None:
         assert props == full_chain
+
+
+def test_smooth_last_head_fold():
+    """smooth_last (the reference's final-norm -> lm_head SmoothQuant fold,
+    device/convert_sim.py:114-128): FP-output-preserving by construction, and
+    with an injected outlier channel in the head input it must REDUCE the
+    quantized-head error vs the un-smoothed pack."""
+    import dataclasses
+    cfg = get_config("test-llama")
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    # inject an outlier channel into the final-norm weight: channel 3 of the
+    # head input blows up 40x — the per-token dynamic A8 scale is then set by
+    # that channel and every other channel loses resolution (the SmoothQuant
+    # failure mode the fold addresses)
+    nw = np.array(params["norm"]["w"])
+    nw[3] *= 40.0
+    params = dict(params)
+    params["norm"] = {"w": jnp.asarray(nw), "b": params["norm"]["b"]}
+    policy = default_policy(cfg, QuantConfig(bitwidth=8), QuantConfig(bitwidth=8))
+    tokens = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (4, 12)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, policy, batch_size=2)
+    ranges = calibrate.stats_to_ranges(stats, policy)
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=32, head_bits=4)
+
+    am = calibrate.head_input_absmax(params, tokens, cfg, batch_size=2)
+    head_w = (params["embed"]["w"].T if cfg.tie_word_embeddings
+              else params["lm_head"]["w"])
+    s = calibrate.smooth_last_scales(am, jnp.asarray(head_w), alpha=0.5)
+    assert float(s[3]) > float(jnp.median(s)) * 2  # outlier channel shrinks
+
+    packed_fp = E.pack(params, ranges, cfg, policy,
+                       E.EngineConfig(model=cfg, max_seq_len=32))
+    packed_q = E.pack(params, ranges, cfg, policy, ecfg)
+    packed_s = E.pack(params, ranges, cfg, policy, ecfg, smooth_last=s)
+    # identity fold == no fold, bit-exact
+    packed_1 = E.pack(params, ranges, cfg, policy, ecfg,
+                      smooth_last=jnp.ones_like(s))
+    np.testing.assert_array_equal(np.asarray(packed_1["head_q"]["wq"]),
+                                  np.asarray(packed_q["head_q"]["wq"]))
+    np.testing.assert_array_equal(np.asarray(packed_1["norm"]["w"]),
+                                  np.asarray(packed_q["norm"]["w"]))
+
+    t = jnp.asarray(tokens)
+    ref = np.asarray(E.forward(packed_fp, t, cfg, policy)[0])
+    err_q = np.abs(np.asarray(E.forward(packed_q, t, cfg, policy)[0]) - ref).max()
+    err_s = np.abs(np.asarray(E.forward(packed_s, t, cfg, policy)[0]) - ref).max()
+    assert err_s < err_q, (err_s, err_q)
+
+    # fp-head pack must reject the fold (tied head cannot be rescaled)
+    with pytest.raises(ValueError):
+        E.pack(params, ranges, cfg, policy,
+               E.EngineConfig(model=cfg, max_seq_len=32), smooth_last=s)

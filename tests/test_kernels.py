@@ -880,3 +880,112 @@ def test_decode_loop_auto_raises_bt_gate_at_b128():
     finally:
         PMLP.fused_mlp_block_w4_stacked = ob
     jax.clear_caches()
+
+
+@pytest.mark.parametrize("variant", ["w4_h4", "w8_h16"])
+@pytest.mark.slow
+def test_chunk_kernel_matches_staged_engine(variant):
+    """The batched whole-model CHUNK kernel (ops/pallas_chunk.py) == the
+    staged XLA engine over a chunked decode chain at a serving batch (B=16):
+    per-step logits allclose, flushed int8 caches bit-exact. Covers the
+    folded quantized head (w4_h4) and the unfolded bf16 head (w8_h16), BOTH
+    policies (the 16-bit qk/pv attention fq sites are static trace-time
+    flags — the strict policy dispatches the kernel too)."""
+    import dataclasses
+    import mobilequant_tpu.ops.pallas_chunk as PC
+    from mobilequant_tpu.models import get_config
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant import calibrate
+    from mobilequant_tpu.quant.policy import default_policy, relax_16bit
+    from mobilequant_tpu.runtime import engine as E
+    from mobilequant_tpu.runtime.kernel_config import KernelConfig
+
+    wb = 4 if variant.startswith("w4") else 8
+    hb = 4 if variant.endswith("h4") else 16
+    cfg = dataclasses.replace(
+        get_config("test-llama"), hidden_size=256, intermediate_size=512,
+        num_heads=8, num_kv_heads=4, head_dim=64, num_layers=2)
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    base = default_policy(cfg,
+                          QuantConfig(bitwidth=wb, is_per_channel=True,
+                                      is_symmetric=(wb == 4)),
+                          QuantConfig(bitwidth=8))
+    tokens = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 8)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, base, batch_size=2)
+    ranges = calibrate.stats_to_ranges(stats, base)
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=128, weight_bits=wb,
+                          head_bits=hb)
+    packed = E.pack(params, ranges, cfg, base, ecfg)
+    assert "qkvp" in packed["layers"]
+    assert PC.chunk_kernel_supported(cfg, 128, 16)
+
+    import mobilequant_tpu.ops.pallas_matmul as PM
+    oc = PC.fused_model_w4_chunk
+    om = PM.w4a8_matmul                 # the W4 quantized head (XLA path)
+    PM.w4a8_matmul = functools.partial(om, interpret=True)
+    kc = KernelConfig(chunk_kernel=True)
+    calls = [0]
+
+    def spy(*a, **kw):
+        calls[0] += 1
+        return functools.partial(oc, interpret=True)(*a, **kw)
+
+    PC.fused_model_w4_chunk = spy
+    try:
+        B, Tp, n = 16, 5, 4
+        t = jnp.asarray(np.tile(tokens[:2], (8, 1)))[:, :Tp]
+        relax = relax_16bit(base)
+        for policy, expect_kernel in ((relax, True), (base, True)):
+            calls[0] = 0
+            ca, cb = E.init_kv_cache(ecfg, B), E.init_kv_cache(ecfg, B)
+            pos0 = jnp.zeros((B,), jnp.int32)
+            lg, ca = E.forward(packed, t, cfg, policy, kv_cache=ca,
+                               cache_position=pos0,
+                               kv_valid_len=jnp.full((B,), Tp, jnp.int32))
+            _, cb = E.forward(packed, t, cfg, policy, kv_cache=cb,
+                              cache_position=pos0,
+                              kv_valid_len=jnp.full((B,), Tp, jnp.int32))
+            first = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)[:, None]
+            pos = jnp.full((B,), Tp, jnp.int32)
+            tk_r, c_ref, l_ref = E.decode_loop(packed, first, ca, pos, n,
+                                               cfg, policy, use_pallas=False,
+                                               staging_chunk=2)
+            tk_k, c_k, l_k = E.decode_loop(packed, first, cb, pos, n,
+                                           cfg, policy, use_pallas=kc,
+                                           staging_chunk=2)
+            assert (calls[0] > 0) == expect_kernel, (calls[0], expect_kernel)
+            np.testing.assert_allclose(np.asarray(l_k), np.asarray(l_ref),
+                                       rtol=2e-4, atol=2e-4)
+            np.testing.assert_array_equal(np.asarray(c_k.k),
+                                          np.asarray(c_ref.k))
+            np.testing.assert_array_equal(np.asarray(c_k.v),
+                                          np.asarray(c_ref.v))
+
+        # staggered per-sequence positions (ContinuousBatcher slots): the
+        # per-sequence pos/RoPE handling must hold off the uniform case
+        calls[0] = 0
+        ca, cb = E.init_kv_cache(ecfg, B), E.init_kv_cache(ecfg, B)
+        pos0 = jnp.zeros((B,), jnp.int32)
+        lg, ca = E.forward(packed, t, cfg, relax, kv_cache=ca,
+                           cache_position=pos0,
+                           kv_valid_len=jnp.full((B,), Tp, jnp.int32))
+        _, cb = E.forward(packed, t, cfg, relax, kv_cache=cb,
+                          cache_position=pos0,
+                          kv_valid_len=jnp.full((B,), Tp, jnp.int32))
+        first = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)[:, None]
+        pos = jnp.asarray([Tp, Tp - 1, Tp - 2, Tp] * 4, jnp.int32)
+        _, c_ref, l_ref = E.decode_loop(packed, first, ca, pos, 2, cfg,
+                                        relax, use_pallas=False,
+                                        staging_chunk=2)
+        _, c_k, l_k = E.decode_loop(packed, first, cb, pos, 2, cfg,
+                                    relax, use_pallas=kc, staging_chunk=2)
+        assert calls[0] > 0
+        np.testing.assert_allclose(np.asarray(l_k), np.asarray(l_ref),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(c_k.k), np.asarray(c_ref.k))
+        np.testing.assert_array_equal(np.asarray(c_k.v), np.asarray(c_ref.v))
+    finally:
+        PC.fused_model_w4_chunk = oc
+        PM.w4a8_matmul = om
+    jax.clear_caches()

@@ -125,3 +125,31 @@ def test_e2equant_checkpoint_resume():
     err_resumed = _qerr(params, resumed, tokens, cfg, policy)
     # resumed training must be in the same ballpark as uninterrupted training
     assert err_resumed < err_full * 3 + 1e-6
+
+
+def test_omniquant_checkpoint_resume_bit_identical():
+    """Kill a layerwise run after layer k, resume from its per-layer
+    checkpoint: the final qstate must be BIT-identical to an uninterrupted
+    run (ref quant_parameters.pth + --resume, algorithm.py:498-500,555-556 —
+    propagation re-runs deterministically for completed layers)."""
+    cfg, params, policy, tokens, ranges = _setup(w_bits=4)
+    tc = train.TrainConfig(epochs=2, batch_size=4)
+    qstate0 = train.init_qstate(params, cfg, policy, tc, ranges)
+
+    saved = {}
+
+    def cb(li, qs):
+        saved[li] = jax.tree.map(lambda a: np.asarray(a), qs)
+
+    full, _ = train.omniquant(params, qstate0, tokens, cfg, policy, tc,
+                              checkpoint_cb=cb)
+    assert set(saved) == set(range(cfg.num_layers))
+
+    # "killed" after layer 0: resume from its checkpoint
+    mid = jax.tree.map(jnp.asarray, saved[0])
+    resumed, _ = train.omniquant(params, qstate0, tokens, cfg, policy, tc,
+                                 resume_state=mid, resume_layers=1)
+    flat_f, _ = jax.tree.flatten(jax.tree.map(np.asarray, full))
+    flat_r, _ = jax.tree.flatten(jax.tree.map(np.asarray, resumed))
+    for a, b in zip(flat_f, flat_r):
+        np.testing.assert_array_equal(a, b)
