@@ -113,6 +113,13 @@ class Ops:
             return jnp.einsum("btd,edf->btef", x, w) + b
         return jnp.einsum("btef,efd->bted", x, w) + b
 
+    def moe_dispatch(self, combine):
+        """Hook: the (B,T,E) combine weights of the current MoE block, called
+        before the expert sites run. The fake-quant sim uses it to apply /
+        collect PER-EXPERT activation ranges over each expert's routed tokens
+        (the reference's per-expert QLinear instances, hf_model.py:1065-1162);
+        plain-FP ops ignore it."""
+
 
 # ---------------------------------------------------------------------------
 # Parameter initialization
@@ -308,6 +315,7 @@ def moe_block(ops: Ops, lp: Params, x: jax.Array, config: ModelConfig):
         jax.nn.one_hot(top_idx, c.num_local_experts, dtype=top_vals.dtype)
         * top_vals[..., None], axis=-2)                          # (B,T,E)
     combine = combine.astype(x.dtype)
+    ops.moe_dispatch(combine)
 
     h = ops.expert_linear("mlp.w1", x, lp["w1"]["w"], lp["w1"]["b"])   # (B,T,E,F)
     h = ops.act_fn("mlp.act_fn", h, c.hidden_act)

@@ -55,11 +55,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mobilequant_tpu.ops.pallas_mlp import (
-    _fq, _quant_u8s, _pick_block_fh, _w4_mlp_phase,
+    _fq, _quant_u8s, _w4_mlp_phase,
 )
 from mobilequant_tpu.ops.pallas_layer import (
     ATTN_META_LEN, _fqv, _head_phase, _pick_block_nq, _pick_block_v,
 )
+
+
+def _pick_block_fh_chunk(K: int, half_f: int, wbits: int = 4) -> int:
+    """MLP F-segment width for the CHUNK kernel: as FEW, LARGE phases as VMEM
+    allows (each grid step costs ~1.2 us of fixed overhead x 22 layers — the
+    all-compute-stubbed skeleton measured 0.5 ms over the DMA floor at the
+    shared picker's nh=11). Largest 128-multiple dividing F/2 with per-phase
+    weight bytes <= ~20 MB (double-buffered blocks stay well under the
+    100 MB VMEM limit)."""
+    per_tfh = 3 * K if wbits == 4 else 6 * K
+    cap = (20 * 1024 * 1024) // per_tfh
+    for t in range(min(cap, half_f) // 128 * 128, 127, -128):
+        if half_f % t == 0:
+            return t
+    from mobilequant_tpu.ops.pallas_mlp import _pick_block_fh
+    return _pick_block_fh(K, half_f, wbits)
 
 
 def _pick_attn_bblk(B: int, Hkv: int, S: int, hd: int,
@@ -86,7 +102,7 @@ def chunk_kernel_supported(c, max_seq_len: int, B: int) -> bool:
 def _chunk_kernel(meta_ref, pos_ref, mst_ref,
                   x_ref, cs_ref, ofq_ref,
                   anw_ref, anb_ref, qkvw_ref, qaux_ref,
-                  k_ref, v_ref, sk_ref, sv_ref, ow_ref, oaux_ref,
+                  k_ref, v_ref, kcs_ref, sk_ref, sv_ref, ow_ref, oaux_ref,
                   mnw_ref, mnb_ref,
                   w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
                   w2p_ref, w2b_ref, aux2_ref,
@@ -99,11 +115,11 @@ def _chunk_kernel(meta_ref, pos_ref, mst_ref,
     if nv:
         (hnw_ref, hnb_ref, hwq_ref, haux_ref,
          out_ref, kvnew_ref, lout_ref,
-         x_scr, v2_scr, q8_scr, macc_scr,
+         x_scr, v2_scr, q8_scr, qsum_scr, macc_scr,
          flat_scr, resid_scr, h_ref, acc_ref, rsum_ref, hs_scr) = rest
     else:
         (out_ref, kvnew_ref,
-         x_scr, v2_scr, q8_scr, macc_scr,
+         x_scr, v2_scr, q8_scr, qsum_scr, macc_scr,
          flat_scr, resid_scr, h_ref, acc_ref, rsum_ref) = rest
 
     K = h_ref.shape[1]
@@ -145,7 +161,7 @@ def _chunk_kernel(meta_ref, pos_ref, mst_ref,
         y = y * anw_ref[0] + anb_ref[0]
         h_ref[:] = _quant_u8s(y, m(4), m(5))
 
-    @pl.when(j < nq)
+    @pl.when(jnp.logical_and(j < nq, jnp.bool_("noqkvc" not in dbg)))
     def _():
         h = h_ref[:]
         ox = m(5) - 128.0
@@ -180,9 +196,8 @@ def _chunk_kernel(meta_ref, pos_ref, mst_ref,
             start = 0 if nq == 1 else j * rows
             v2_scr[:, pl.ds(start, rows), :] = yq.reshape(B, rows, hd)
 
-    # ---- phase nq: head transform + RoPE + segment quant (vectorized) +
-    # staged-column / self-term online-softmax INIT (fori over sequences) ----
-    @pl.when(j == nq)
+    # ---- phase nq: head transform + RoPE + segment quant (vectorized) ------
+    @pl.when(jnp.logical_and(j == nq, jnp.bool_("noprep" not in dbg)))
     def _():
         if perm:
             # lane-split the (B, R/2, 128) matmul view into head-major
@@ -215,6 +230,7 @@ def _chunk_kernel(meta_ref, pos_ref, mst_ref,
         q8f = jnp.clip(jnp.round(xq / s_row) + o_row, 0.0, 255.0) - 128.0
         q8_scr[:] = q8f
         kvnew_ref[0] = q8f[:, Hq:R, :].astype(jnp.int8)
+        qsum_scr[:] = jnp.sum(q8f[:, :Hq, :], axis=2, keepdims=True)
 
     # ---- phases (nq, nq+nab]: full-row attention, a batch tile per phase ---
     @pl.when(jnp.logical_and(j > nq, j <= nq + nab)
@@ -228,34 +244,42 @@ def _chunk_kernel(meta_ref, pos_ref, mst_ref,
         neg_inf = m(18)
         mst = mst_ref[0]
 
+        # cf folds the sqrt(hd) into the score scale when no qk fq sits
+        # between them (relaxed); with qk_fq_on the fq must see raw scores
+        cf = (sq * skk) if qk_fq_on else (sq * skk * inv)
+
         def seq_blk(bb, _):
             gb = bbl0 + bb
             pos_b = pos_ref[gb]
+            # per-sequence causal masks, hoisted out of the kv-head loop
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, S_c), 1)
+            mask_c = jnp.where(col < pos_b, 0.0, neg_inf)
+            col2 = jax.lax.broadcasted_iota(jnp.int32, (1, cs_staged), 1)
+            mask_st = jnp.where(col2 < mst, 0.0, neg_inf)
             for hkv in range(Hkv):
                 sl = hkv * G
                 qf = q8_scr[gb, sl:sl + G, :]              # (G, hd) f32
                 qi = qf.astype(jnp.int8)
-                qs = jnp.sum(qi.astype(jnp.int32), axis=1,
-                             keepdims=True).astype(jnp.float32)
+                qs = qsum_scr[gb, sl:sl + G, :]            # (G, 1)
 
-                def part_scores(kpart):                    # (n, hd) i8
+                def part_scores(kpart, ksT):               # (n,hd) i8, (1,n)
                     accp = jax.lax.dot_general(
                         qi, kpart, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.int32).astype(jnp.float32)
-                    ksp = jnp.sum(kpart.astype(jnp.int32), axis=1,
-                                  keepdims=True).astype(jnp.float32)
-                    sc = (accp - okv * qs - oqv * ksp.reshape(1, -1)
-                          + hd * oqv * okv) * (sq * skk)
-                    return _fq(sc, m(12), m(13), m(14)) if qk_fq_on else sc
+                    sc = (accp - okv * qs - oqv * ksT
+                          + hd * oqv * okv) * cf
+                    if qk_fq_on:
+                        sc = _fq(sc, m(12), m(13), m(14)) * inv
+                    return sc
 
-                # cache part (stale rows, masked to < chunk-start position)
-                col = jax.lax.broadcasted_iota(jnp.int32, (G, S_c), 1)
-                lg_c = part_scores(k_ref[0, bb, hkv]) * inv \
-                    + jnp.where(col < pos_b, 0.0, neg_inf)
-                # staged part (this chunk's earlier steps, masked to < m)
-                col2 = jax.lax.broadcasted_iota(jnp.int32, (G, cs_staged), 1)
-                lg_st = part_scores(sk_ref[0, gb, hkv]) * inv \
-                    + jnp.where(col2 < mst, 0.0, neg_inf)
+                # cache part: chunk-constant K colsums ride as a host-side
+                # input in (1, n) layout — no in-kernel colsum or transpose
+                lg_c = part_scores(k_ref[0, bb, hkv],
+                                   kcs_ref[0, bb, hkv]) + mask_c
+                kst = sk_ref[0, gb, hkv]                   # (cs, hd) i8
+                kss = jnp.sum(kst.astype(jnp.int32), axis=1,
+                              keepdims=True).astype(jnp.float32)
+                lg_st = part_scores(kst, kss.reshape(1, -1)) + mask_st
                 # self term on the step's own K row (still f32 in q8_scr)
                 kn = q8_scr[gb, Hq + hkv:Hq + hkv + 1, :]  # (1, hd)
                 s_self = jnp.sum((qf - oqv) * (kn - okv), axis=1,
@@ -275,25 +299,40 @@ def _chunk_kernel(meta_ref, pos_ref, mst_ref,
                 den = (jnp.sum(e_c, axis=1, keepdims=True) + e_self) \
                     + jnp.sum(e_st, axis=1, keepdims=True)
 
-                def pvfq(x):
-                    return _fq(x, m(15), m(16), m(17)) if pv_fq_on else x
-
-                p_c = pvfq(e_c / den)
-                p_self = pvfq(e_self / den)
-                p_st = pvfq(e_st / den)
                 vc = v_ref[0, bb, hkv].astype(jnp.float32)
-                pv = jax.lax.dot_general(
-                    p_c, vc, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                att = (pv - ovv * jnp.sum(p_c, axis=1, keepdims=True)) * sv
                 vst = sv_ref[0, gb, hkv].astype(jnp.float32)
-                pv2 = jax.lax.dot_general(
-                    p_st, vst, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                att = att + (pv2 - ovv * jnp.sum(p_st, axis=1,
-                                                 keepdims=True)) * sv
                 vn = q8_scr[gb, Hq + Hkv + hkv:Hq + Hkv + hkv + 1, :]
-                att = att + p_self * ((vn + 128.0 - m(11)) * sv)
+                if pv_fq_on:
+                    # strict: the 16-bit fq applies to the normalized probs
+                    def pvfq(x):
+                        return _fq(x, m(15), m(16), m(17))
+
+                    p_c = pvfq(e_c / den)
+                    p_self = pvfq(e_self / den)
+                    p_st = pvfq(e_st / den)
+                    pv = jax.lax.dot_general(
+                        p_c, vc, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    att = (pv - ovv * jnp.sum(p_c, axis=1,
+                                              keepdims=True)) * sv
+                    pv2 = jax.lax.dot_general(
+                        p_st, vst, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    att = att + (pv2 - ovv * jnp.sum(p_st, axis=1,
+                                                     keepdims=True)) * sv
+                    att = att + p_self * ((vn + 128.0 - m(11)) * sv)
+                else:
+                    # relaxed: accumulate UNNORMALIZED (A = sum e*v), divide
+                    # once — sum(e)/den == 1 exactly absorbs every zero-point
+                    # correction: att = sv*(A/den - ovv)
+                    A = jax.lax.dot_general(
+                        e_c, vc, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    A = A + jax.lax.dot_general(
+                        e_st, vst, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    A = A + e_self * vn
+                    att = (A / den - ovv) * sv
                 # pv_bmm output quantize (the o_proj input quantizer)
                 macc_scr[gb, sl:sl + G, :] = jnp.clip(
                     jnp.round(att / m(19)) + m(20), 0.0, 255.0) - 128.0
@@ -302,7 +341,8 @@ def _chunk_kernel(meta_ref, pos_ref, mst_ref,
         jax.lax.fori_loop(0, Bblk, seq_blk, 0, unroll=False)
 
     # ---- phase nq+nab+1: flatten attention heads + o-proj + resid_add_1 ----
-    @pl.when(j == nq + nab + 1)
+    @pl.when(jnp.logical_and(j == nq + nab + 1,
+                             jnp.bool_("noflat" not in dbg)))
     def _():
         def flat8(g, _):
             g0 = pl.multiple_of(g * 8, 8)
@@ -356,7 +396,8 @@ def _chunk_kernel(meta_ref, pos_ref, mst_ref,
         def _():
             out_ref[:] = yv
 
-    @pl.when(jnp.logical_and(j > nqa, jj < LP))
+    @pl.when(jnp.logical_and(jnp.logical_and(j > nqa, jj < LP),
+                              jnp.bool_("nomlpc" not in dbg)))
     def _():
         _w4_mlp_phase(j - (nqa + 1), nh, lambda i: m(ATTN_META_LEN + i),
                       lambda: resid_scr[:], out_set,
@@ -382,7 +423,7 @@ def _chunk_kernel(meta_ref, pos_ref, mst_ref,
 def fused_model_w4_chunk(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
                          qkv_ofq_L: jax.Array, anw_L, anb_L, qkvsp: dict,
                          osp: dict, mnw_L, mnb_L, w13sp: dict, w2sp: dict,
-                         kcache: jax.Array, vcache: jax.Array,
+                         kcache: jax.Array, vcache: jax.Array, kcsT: jax.Array,
                          sk: jax.Array, sv: jax.Array, m_staged,
                          meta_L: jax.Array, head: dict = None,
                          hnorm_w=None, hnorm_b=None, *,
@@ -394,8 +435,10 @@ def fused_model_w4_chunk(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
     the chunked-staging path, in ONE dispatch (see module docstring).
 
     x (B,K) fp32 residual (embedding rows); pos (B,) int32 per-sequence
-    CHUNK-START cache positions; rope_cs (B,2,hd); sk/sv (L,B,Hkv,cs,hd) int8
-    staged chunk columns; m_staged () int32 count of valid staged columns.
+    CHUNK-START cache positions; rope_cs (B,2,hd); kcsT (L,B,Hkv,1,S) fp32
+    chunk-constant K-cache column sums (StagedKVCache.kcs, row layout so the
+    kernel reads (1,S) slices directly); sk/sv (L,B,Hkv,cs,hd) int8 staged
+    chunk columns; m_staged () int32 count of valid staged columns.
     Other operands as ops/pallas_layer.fused_model_w4_stacked.
     Returns (x_out (B,K) fp32, kv_new (L,B,2*Hkv,hd) int8[, logits (B,Vp)]).
     """
@@ -414,7 +457,7 @@ def fused_model_w4_chunk(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
     Kor = osp["wq"].shape[1]            # Ko/2 (W4 nibble) or Ko (W8)
     F = w13sp["wq"].shape[2] // 2
     half_f = F // 2
-    TFh = _pick_block_fh(K, half_f)
+    TFh = _pick_block_fh_chunk(K, half_f, wbits)
     assert TFh, (K, F)
     nh = half_f // TFh
     TNq = _pick_block_nq(K2w, Nq, hd)
@@ -519,6 +562,9 @@ def fused_model_w4_chunk(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
         pl.BlockSpec((1, Bblk, Hkv, S, hd),
                      lambda j: (lyr(j), acl(j), 0, 0, 0),
                      memory_space=pltpu.VMEM),                    # v cache
+        pl.BlockSpec((1, Bblk, Hkv, 1, S),
+                     lambda j: (lyr(j), acl(j), 0, 0, 0),
+                     memory_space=pltpu.VMEM),                    # K colsums
         pl.BlockSpec((1, B, Hkv, cs_staged, hd),
                      lambda j: (lyr(j), 0, 0, 0, 0),
                      memory_space=pltpu.VMEM),                    # staged k
@@ -566,6 +612,7 @@ def fused_model_w4_chunk(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
         pltpu.VMEM((B, K), jnp.float32),                          # x carry
         pltpu.VMEM((B, R2rows, v2_last), jnp.float32),            # v2/qk3
         pltpu.VMEM((B, R, hd), jnp.float32),                      # q8 (f32)
+        pltpu.VMEM((B, Hq, 1), jnp.float32),                      # q row sums
         pltpu.VMEM((B, Hq, hd), jnp.float32),                     # attn a8
         pltpu.VMEM((B, Ko), jnp.float32),                         # flat
         pltpu.VMEM((B, K), jnp.float32),                          # resid
@@ -577,7 +624,8 @@ def fused_model_w4_chunk(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
             jnp.reshape(jnp.asarray(m_staged, jnp.int32), (1,)),
             x.astype(jnp.float32), rope_cs.astype(jnp.float32),
             qkv_ofq_L.astype(jnp.float32),
-            anw3, anb3, qkvsp["wq"], qaux, kcache, vcache, sk, sv,
+            anw3, anb3, qkvsp["wq"], qaux, kcache, vcache,
+            kcsT.astype(jnp.float32), sk, sv,
             osp["wq"], oaux, mnw3, mnb3, w13sp["wq"], w13sp["wq"],
             w13sp["wq"], w13sp["wq"], aux13, w2sp["wq"], w2sp["wq"], aux2]
     hbytes = 0

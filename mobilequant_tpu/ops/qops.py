@@ -286,8 +286,9 @@ def int_expert_linear(x_q, x_scale, x_offset, pack: dict, bias,
     if pack["offset"].ndim == 3:      # per-channel (E, 1, N): broadcast as (E, N)
         ow, sw = pack["offset"][:, 0], pack["scale"][:, 0]
     else:                             # per-tensor scalar across the expert stack
-        ow = jnp.reshape(pack["offset"], (-1,))
-        sw = jnp.reshape(pack["scale"], (-1,))
+        # (E,1) so per-expert x offsets/scales ((E,1) ox) broadcast cleanly
+        ow = jnp.reshape(pack["offset"], (-1, 1))
+        sw = jnp.reshape(pack["scale"], (-1, 1))
     acc = acc - ox * pack["colsum"] - ow * rowsum + K * ox * ow
     out = acc * (x_scale * sw)
     if bias is not None:

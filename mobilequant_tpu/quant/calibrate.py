@@ -64,6 +64,9 @@ def run_calibration(params, tokens: np.ndarray, config: ModelConfig, policy: QPo
                     m = merged[s][r]
                     m["min"] = np.minimum(m["min"], e["min"])
                     m["max"] = np.maximum(m["max"], e["max"])
+                    if "emin" in e:   # per-expert MoE envelopes
+                        m["emin"] = np.minimum(m["emin"], e["emin"])
+                        m["emax"] = np.maximum(m["emax"], e["emax"])
                     if "cmin" in e:
                         cab = np.maximum(np.abs(e["cmin"]), np.abs(e["cmax"]))
                         m["cabsmax"] = np.maximum(m["cabsmax"], cab)
@@ -79,8 +82,23 @@ def run_calibration(params, tokens: np.ndarray, config: ModelConfig, policy: QPo
 # ---------------------------------------------------------------------------
 
 def stats_to_ranges(stats: dict, policy: QPolicy) -> dict:
-    """Static activation ranges (LRL-learnable scale/offset leaves)."""
-    mm = {s: {r: (jnp.asarray(e["min"]), jnp.asarray(e["max"]))
+    """Static activation ranges (LRL-learnable scale/offset leaves).
+
+    MoE sites with per-expert envelopes ("emin"/"emax", (L,E)) produce
+    per-expert (L,E) scale/offset leaves — the reference's one-QLinear-per-
+    expert quantizers (hf_model.py:1065-1162). An expert never routed during
+    calibration has +-inf envelopes and falls back to the per-stack range."""
+    def mnmx(e):
+        if "emin" in e:
+            emn, emx = np.asarray(e["emin"]), np.asarray(e["emax"])
+            mn = np.where(np.isfinite(emn), emn,
+                          np.asarray(e["min"])[..., None])
+            mx = np.where(np.isfinite(emx), emx,
+                          np.asarray(e["max"])[..., None])
+            return jnp.asarray(mn), jnp.asarray(mx)
+        return jnp.asarray(e["min"]), jnp.asarray(e["max"])
+
+    mm = {s: {r: mnmx(e)
               for r, e in roles.items()} for s, roles in stats.items()}
     return ranges_from_stats(mm, policy)
 
@@ -125,6 +143,15 @@ def act_dict_to_stats(act_dict: dict, config: ModelConfig) -> dict:
         site = ".".join(parts[3:])
         for role, (mn, mx) in roles.items():
             e = stats.setdefault(site, {}).setdefault(role, {})
+            if isinstance(mn, (list, tuple)):   # per-expert MoE entry
+                E = len(mn)
+                e.setdefault("emin", np.zeros((config.num_layers, E),
+                                              np.float32))
+                e.setdefault("emax", np.zeros((config.num_layers, E),
+                                              np.float32))
+                e["emin"][layer] = mn
+                e["emax"][layer] = mx
+                mn, mx = min(mn), max(mx)
             e.setdefault("min", np.zeros(config.num_layers, np.float32))
             e.setdefault("max", np.zeros(config.num_layers, np.float32))
             e["min"][layer] = mn
@@ -143,8 +170,11 @@ def ranges_to_act_dict(ranges: dict, policy: QPolicy, config: ModelConfig) -> di
                                            jnp.asarray(r["offset"]), cfg)
         mn, mx = np.asarray(mn), np.asarray(mx)
         for i in range(config.num_layers):
-            out.setdefault(f"model.layers.{i}.{site}", {})[role] = \
-                [float(mn[i]), float(mx[i])]
+            if mn.ndim == 2:   # per-expert MoE entry -> per-expert lists
+                val = [mn[i].tolist(), mx[i].tolist()]
+            else:
+                val = [float(mn[i]), float(mx[i])]
+            out.setdefault(f"model.layers.{i}.{site}", {})[role] = val
     return out
 
 

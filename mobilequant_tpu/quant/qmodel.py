@@ -102,6 +102,7 @@ class QuantOps(M.Ops):
         self.lwc = None
         self.let = None
         self._stats: dict = {}
+        self._expert_mask = None   # (B,T,E) bool, set by moe_dispatch
 
     # scan slices the stacked quant state and hands it over before each layer
     def begin_layer(self, extras: Optional[dict]):
@@ -109,6 +110,15 @@ class QuantOps(M.Ops):
         self.ranges = extras.get("ranges")
         self.lwc = extras.get("lwc")
         self.let = extras.get("let")
+        self._expert_mask = None
+
+    def moe_dispatch(self, combine):
+        """Per-expert activation ranges (ref: one QLinear PER EXPERT, each
+        with its own quantizers, hf_model.py:1065-1162): remember which tokens
+        route where so collect mode records each expert's stats over ITS
+        routed tokens only, and sim mode has the expert axis to broadcast
+        per-expert scale/offset vectors over."""
+        self._expert_mask = combine > 0
 
     def pop_stats(self) -> dict:
         s, self._stats = self._stats, {}
@@ -133,6 +143,15 @@ class QuantOps(M.Ops):
             axes = tuple(range(x.ndim - 1))
             entry["cmin"] = jnp.min(xf, axis=axes)
             entry["cmax"] = jnp.max(xf, axis=axes)
+        mask = self._expert_mask
+        if (mask is not None and x.ndim == 4 and site.startswith("mlp.")
+                and x.shape[2] == mask.shape[2]):
+            # per-expert envelopes over each expert's ROUTED tokens (an
+            # unrouted expert's +-inf merges away; stats_to_ranges falls back
+            # to the per-stack envelope if an expert is never routed)
+            mk = mask[..., None]
+            entry["emin"] = jnp.min(jnp.where(mk, xf, jnp.inf), axis=(0, 1, 3))
+            entry["emax"] = jnp.max(jnp.where(mk, xf, -jnp.inf), axis=(0, 1, 3))
         self._stats.setdefault(site, {})[role] = entry
 
     def _fq_act(self, site: str, role: str, x):
@@ -153,6 +172,10 @@ class QuantOps(M.Ops):
         else:
             r = self.ranges[site][role]
             scale, offset = r["scale"], r["offset"]
+        if getattr(scale, "ndim", 0) == 1 and x.ndim == 4 \
+                and scale.shape[0] == x.shape[2]:
+            # per-expert (E,) ranges broadcast over the (B,T,E,·) expert axis
+            scale, offset = scale[:, None], offset[:, None]
         return fake_quant(x, scale, offset, cfg)
 
     def _fq_weight(self, site: str, w):

