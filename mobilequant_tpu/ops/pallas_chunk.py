@@ -275,7 +275,7 @@ def _chunk_kernel(meta_ref, pos_ref, mst_ref,
                 # cache part: chunk-constant K colsums ride as a host-side
                 # input in (1, n) layout — no in-kernel colsum or transpose
                 lg_c = part_scores(k_ref[0, bb, hkv],
-                                   kcs_ref[0, bb, hkv]) + mask_c
+                                   kcs_ref[0, gb, hkv]) + mask_c
                 kst = sk_ref[0, gb, hkv]                   # (cs, hd) i8
                 kss = jnp.sum(kst.astype(jnp.int32), axis=1,
                               keepdims=True).astype(jnp.float32)
@@ -399,6 +399,15 @@ def _chunk_kernel(meta_ref, pos_ref, mst_ref,
     @pl.when(jnp.logical_and(jnp.logical_and(j > nqa, jj < LP),
                               jnp.bool_("nomlpc" not in dbg)))
     def _():
+        if "mlp2x" in dbg:   # overlap probe: run the phase body twice
+            _w4_mlp_phase(j - (nqa + 1), nh, lambda i: m(ATTN_META_LEN + i),
+                          lambda: resid_scr[:], lambda yv: None,
+                          mnw_ref, mnb_ref,
+                          w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
+                          (w2p_ref,) if wbits == 4 else (w2p_ref, w2b_ref),
+                          aux2_ref, acc_ref, rsum_ref, h_ref,
+                          act_kind=act_kind, norm_kind=norm_kind,
+                          half_f=half_f, wbits=wbits)
         _w4_mlp_phase(j - (nqa + 1), nh, lambda i: m(ATTN_META_LEN + i),
                       lambda: resid_scr[:], out_set,
                       mnw_ref, mnb_ref,
@@ -464,7 +473,11 @@ def fused_model_w4_chunk(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
     nq = Nq // TNq
     F2 = w13sp["wq"].shape[2]
     perm = hd % 128 != 0
-    Bblk = _pick_attn_bblk(B, Hkv, S, hd)
+    bblk_env = os.environ.get("MQTPU_CHUNK_BBLK")
+    if bblk_env:
+        Bblk = min(int(bblk_env), B)
+    else:
+        Bblk = _pick_attn_bblk(B, Hkv, S, hd)
     nab = B // Bblk
 
     def aux(spd, n):
@@ -510,20 +523,39 @@ def fused_model_w4_chunk(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
     def qcl(j):
         return jnp.minimum(ph(j), nq - 1)
 
-    # attention K/V batch-tile index: clamp the phase offset into [0, nab)
-    def acl(j):
-        return jnp.clip(ph(j) - (nq + 1), 0, nab - 1)
+    # ---- fetch staggering ----------------------------------------------
+    # Pallas prefetches ONE grid step ahead per operand, so each operand's
+    # index-map flip phase IS its fetch window. Without staggering, layer
+    # l's qkv pack + first K/V tiles + first MLP blocks all flip at the
+    # layer boundary and must stream during the short last-MLP phase of
+    # layer l-1 (the all-compute-stubbed skeleton measured 0.44 ms/step of
+    # exactly such stalls). Each operand therefore flips at its own phase
+    # `phi` (fetching during phase phi-1), spreading the ~60 us/layer of
+    # DMA across every window:
+    #   K/V batch-tile b0: 2-3 phases into the PREVIOUS layer's MLP tail;
+    #   w13/w2 block 0:    during prep / the attention phases;
+    #   o pack:            during prep;  qkv pack: at the layer boundary.
+    def lyr_at(j, phi):
+        # layer index that flips to l at within-layer phase phi (phi may be
+        # negative = flip during the previous layer's tail)
+        return jnp.minimum(jnp.maximum(j - phi, 0) // P, Lm1)
 
-    # MLP tile index (clamped, with the mlw/mlt delay pattern of the bs<=8
-    # model kernel so layer l+1's block 0 fetches during layer l's tail)
-    def mlu(j):
-        return jnp.maximum(j - (nq + nab + 2), 0)
+    def acl_at(j, phi):
+        lw = lyr_at(j, phi)
+        return lw, jnp.clip(j - lw * P - (nq + 1), 0, nab - 1)
 
-    def mlw(j):
-        return jnp.minimum(mlu(j) // P, Lm1)
+    def k_map(j):
+        return acl_at(j, -2)
 
-    def mlt(j):
-        return jnp.clip(mlu(j) - mlw(j) * P, 0, nh - 1)
+    def v_map(j):
+        return acl_at(j, -1)
+
+    first_mlp = nq + nab + 2
+
+    def ml_at(j, phi):
+        # flip phase must not pass the first consuming phase (small nab)
+        lw = lyr_at(j, min(phi, first_mlp))
+        return lw, jnp.clip(j - lw * P - first_mlp, 0, nh - 1)
 
     def hblk(j):
         return jnp.clip(j - L * P, 0, max(nv - 1, 0))
@@ -557,13 +589,13 @@ def fused_model_w4_chunk(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
         pl.BlockSpec((1, 4, TNq), lambda j: (lyr(j), 0, qcl(j)),
                      memory_space=pltpu.VMEM),                    # qkv aux
         pl.BlockSpec((1, Bblk, Hkv, S, hd),
-                     lambda j: (lyr(j), acl(j), 0, 0, 0),
+                     lambda j: (*k_map(j), 0, 0, 0),
                      memory_space=pltpu.VMEM),                    # k cache
         pl.BlockSpec((1, Bblk, Hkv, S, hd),
-                     lambda j: (lyr(j), acl(j), 0, 0, 0),
+                     lambda j: (*v_map(j), 0, 0, 0),
                      memory_space=pltpu.VMEM),                    # v cache
-        pl.BlockSpec((1, Bblk, Hkv, 1, S),
-                     lambda j: (lyr(j), acl(j), 0, 0, 0),
+        pl.BlockSpec((1, B, Hkv, 1, S),
+                     lambda j: (lyr(j), 0, 0, 0, 0),
                      memory_space=pltpu.VMEM),                    # K colsums
         pl.BlockSpec((1, B, Hkv, cs_staged, hd),
                      lambda j: (lyr(j), 0, 0, 0, 0),
@@ -571,7 +603,7 @@ def fused_model_w4_chunk(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
         pl.BlockSpec((1, B, Hkv, cs_staged, hd),
                      lambda j: (lyr(j), 0, 0, 0, 0),
                      memory_space=pltpu.VMEM),                    # staged v
-        pl.BlockSpec((1, Kor, K), lambda j: (lyr(j), 0, 0),
+        pl.BlockSpec((1, Kor, K), lambda j: (lyr_at(j, nq + 2), 0, 0),
                      memory_space=pltpu.VMEM),                    # o pack
         pl.BlockSpec((1, 4, K), lambda j: (lyr(j), 0, 0),
                      memory_space=pltpu.VMEM),                    # o aux
@@ -579,23 +611,30 @@ def fused_model_w4_chunk(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
                      memory_space=pltpu.VMEM),                    # mlp nw
         pl.BlockSpec((1, 1, K), lambda j: (lyr(j), 0, 0),
                      memory_space=pltpu.VMEM),                    # mlp nb
-        pl.BlockSpec((1, K2w, TFh), lambda j: (mlw(j), 0, mlt(j)),
+        pl.BlockSpec((1, K2w, TFh),
+                     lambda j: (lambda lw, t: (lw, 0, t))(*ml_at(j, nq + 1)),
                      memory_space=pltpu.VMEM),                    # w1 lo
-        pl.BlockSpec((1, K2w, TFh), lambda j: (mlw(j), 0, nh + mlt(j)),
+        pl.BlockSpec((1, K2w, TFh),
+                     lambda j: (lambda lw, t: (lw, 0, nh + t))(
+                         *ml_at(j, nq + 2)),
                      memory_space=pltpu.VMEM),                    # w1 hi
         pl.BlockSpec((1, K2w, TFh),
-                     lambda j: (mlw(j), 0, 2 * nh + mlt(j)),
+                     lambda j: (lambda lw, t: (lw, 0, 2 * nh + t))(
+                         *ml_at(j, nq + 3)),
                      memory_space=pltpu.VMEM),                    # w3 lo
         pl.BlockSpec((1, K2w, TFh),
-                     lambda j: (mlw(j), 0, 3 * nh + mlt(j)),
+                     lambda j: (lambda lw, t: (lw, 0, 3 * nh + t))(
+                         *ml_at(j, nq + 4)),
                      memory_space=pltpu.VMEM),                    # w3 hi
         pl.BlockSpec((1, 4, F2), lambda j: (lyr(j), 0, 0),
                      memory_space=pltpu.VMEM),                    # aux13
-        pl.BlockSpec((1, TFh, K), lambda j: (mlw(j), mlt(j), 0),
+        pl.BlockSpec((1, TFh, K),
+                     lambda j: (lambda lw, t: (lw, t, 0))(*ml_at(j, nq + 5)),
                      memory_space=pltpu.VMEM),                    # w2 pack
         pl.BlockSpec((1, TFh if wbits == 8 else 32, K),
-                     lambda j: (mlw(j), w2blk + mlt(j)
-                                if wbits == 8 else 0, 0),
+                     lambda j: (lambda lw, t: (lw, (w2blk + t)
+                                               if wbits == 8 else 0, 0))(
+                         *ml_at(j, nq + 5)),
                      memory_space=pltpu.VMEM),            # w2 seg_hi (W8)
         pl.BlockSpec((1, 4, K), lambda j: (lyr(j), 0, 0),
                      memory_space=pltpu.VMEM),                    # aux2
@@ -654,7 +693,7 @@ def fused_model_w4_chunk(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
         scratch_shapes=scratch_shapes,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=127 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * L * (B * K * Nq + B * Ko * K + B * K * F2 + B * F * K
                            + 2 * B * Hq * (S + cs_staged) * hd)

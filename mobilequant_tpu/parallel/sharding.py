@@ -234,10 +234,13 @@ def packed_pspecs(packed: dict, config: ModelConfig, mesh: Mesh) -> dict:
 
 def kv_cache_pspec(config: ModelConfig, mesh: Mesh):
     """Engine cache (L, B, Hkv, S, hd): batch over dp, kv heads over tp (if
-    divisible)."""
+    divisible), sequence over cp when the mesh carries a context-parallel
+    axis (long-context serving: GSPMD partitions the masked decode-attention
+    contractions over the S shards)."""
     tp = mesh.shape["tp"]
     head_axis = "tp" if _kv_heads_shardable(config, tp) else None
-    return P(None, "dp", head_axis, None, None)
+    seq_axis = "cp" if "cp" in mesh.axis_names else None
+    return P(None, "dp", head_axis, seq_axis, None)
 
 
 def shard_tree(tree, specs, mesh: Mesh):

@@ -1,6 +1,7 @@
 """TP/DP sharding on a virtual 8-device CPU mesh (SURVEY.md §4 distributed strategy):
 training step and integer-engine inference must compile, run, and match the
 single-device results."""
+import os
 
 import numpy as np
 import pytest
@@ -532,3 +533,19 @@ def test_engine_tp_ring_collective_matmul_path():
                 packed_sh, t[:, 8:9], cache_sh, pos)
     np.testing.assert_allclose(np.asarray(ring_d), np.asarray(ref_d),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_two_process_distributed_smoke():
+    """parallel/launch.init_distributed across TWO real processes (CPU Gloo
+    backend): global device enumeration + a cross-process psum — the actual
+    multi-host init path, not a virtual mesh (scripts/dist_smoke.py)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+    script = Path(__file__).resolve().parent.parent / "scripts" / "dist_smoke.py"
+    env = dict(os.environ, MQTPU_DIST_PORT="19753")
+    out = subprocess.run([sys.executable, str(script)], capture_output=True,
+                         timeout=240, env=env)
+    text = out.stdout.decode(errors="replace")
+    assert out.returncode == 0 and "PASSED" in text, text[-2000:]
