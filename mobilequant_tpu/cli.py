@@ -947,6 +947,13 @@ def build_parser():
 
 
 def main(argv=None):
+    import os
+    if os.environ.get("MQTPU_DEVICE"):
+        # force a backend BEFORE first use — the ambient axon sitecustomize
+        # imports jax and wins platform selection, so a plain JAX_PLATFORMS
+        # env var is too late (CLAUDE.md); jax.config still works here
+        import jax
+        jax.config.update("jax_platforms", os.environ["MQTPU_DEVICE"])
     args = build_parser().parse_args(argv)
     args.fn(args)
 

@@ -5,13 +5,25 @@ the old fork's BaseLM API).
 Targets the *current* harness API (`lm_eval.api.model.LM`) per SURVEY.md §7.4.
 Import is gated: lm_eval is not baked into this image; the adaptor activates when
 the package is available in the deployment environment.
+
+Version pin: the adaptor is written against lm-eval 0.4.x
+(TARGETED_LM_EVAL below, enforced at construction — the 0.3 fork the
+reference uses has a different BaseLM surface, and a future 0.5 may break
+Instance/arguments shapes). Set MQTPU_HARNESS_ANY_VERSION=1 to try an
+unpinned version anyway. tests/test_harness.py exercises the plumbing
+against a stub of this exact surface; the REAL-harness integration smoke
+(test_real_lm_eval_wikitext_smoke) self-activates wherever lm_eval is
+importable.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 import numpy as np
+
+TARGETED_LM_EVAL = (0, 4)     # major.minor the adaptor surface targets
 
 try:
     from lm_eval.api.model import LM
@@ -22,6 +34,23 @@ except Exception:  # pragma: no cover - optional dep
     HAS_LM_EVAL = False
 
 
+def check_harness_version() -> Optional[str]:
+    """None if the installed lm_eval matches the targeted major.minor (or is
+    a stub without metadata); else a human-readable mismatch description."""
+    if not HAS_LM_EVAL:
+        return "lm_eval not importable"
+    try:
+        from importlib.metadata import version
+        v = version("lm_eval")
+    except Exception:
+        return None          # test stub / editable install without metadata
+    parts = tuple(int(x) for x in v.split(".")[:2])
+    if parts != TARGETED_LM_EVAL:
+        return (f"lm_eval {v} installed; adaptor targets "
+                f"{TARGETED_LM_EVAL[0]}.{TARGETED_LM_EVAL[1]}.x")
+    return None
+
+
 class JaxCausalLM(LM):
     """Wrap any `forward_fn(tokens (B,T) int32) -> logits (B,T,V)` + HF tokenizer
     into the harness LM interface (loglikelihood / rolling / generate_until)."""
@@ -30,6 +59,10 @@ class JaxCausalLM(LM):
                  batch_size: int = 1, generator=None):
         if not HAS_LM_EVAL:
             raise ImportError("lm_eval is not installed in this environment")
+        mismatch = check_harness_version()
+        if mismatch and not os.environ.get("MQTPU_HARNESS_ANY_VERSION"):
+            raise ImportError(
+                f"{mismatch} — set MQTPU_HARNESS_ANY_VERSION=1 to override")
         super().__init__()
         self.forward_fn = forward_fn
         self.tokenizer = tokenizer

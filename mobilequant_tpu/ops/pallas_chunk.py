@@ -70,7 +70,8 @@ def _pick_block_fh_chunk(K: int, half_f: int, wbits: int = 4) -> int:
     weight bytes <= ~20 MB (double-buffered blocks stay well under the
     100 MB VMEM limit)."""
     per_tfh = 3 * K if wbits == 4 else 6 * K
-    cap = (20 * 1024 * 1024) // per_tfh
+    cap_mb = int(os.environ.get("MQTPU_CHUNK_MLPMB", "20"))
+    cap = (cap_mb * 1024 * 1024) // per_tfh
     for t in range(min(cap, half_f) // 128 * 128, 127, -128):
         if half_f % t == 0:
             return t
@@ -418,7 +419,7 @@ def _chunk_kernel(meta_ref, pos_ref, mst_ref,
                       wbits=wbits)
 
     if nv:
-        @pl.when(jj >= LP)
+        @pl.when(jnp.logical_and(jj >= LP, jnp.bool_("nohead" not in dbg)))
         def _():
             _head_phase(jj - LP, meta_ref[num_layers - 1, 3],
                         lambda: x_scr[:], hnw_ref, hnb_ref, hwq_ref, haux_ref,

@@ -6,6 +6,7 @@ import subprocess
 import sys
 
 import numpy as np
+import os
 import pytest
 import jax
 
@@ -219,3 +220,22 @@ def test_export_decode_step_wonly_stablehlo(tmp_path):
                                               path=tmp_path / "wstep.stablehlo")
     assert len(blob) > 1000
     assert (tmp_path / "wstep.stablehlo").stat().st_size == len(blob)
+
+
+@pytest.mark.slow
+def test_reproduce_reference_synthetic():
+    """PARITY_RUNBOOK.md CI: recipes/reproduce_reference.sh --synthetic runs
+    the exact reference-reproduction command sequence (convert -> FP ppl ->
+    e2e quantize -> pack --verify -> engine ppl -> eval-choice) on a tiny
+    random model — every flag the checkpoint-equipped run needs."""
+    import subprocess
+    from pathlib import Path
+    script = (Path(__file__).resolve().parent.parent / "recipes"
+              / "reproduce_reference.sh")
+    env = dict(os.environ, WORK=str(Path(os.environ.get("TMPDIR", "/tmp"))
+                                    / "repro_ref_test"))
+    out = subprocess.run(["bash", str(script), "--synthetic"],
+                         capture_output=True, timeout=900, env=env)
+    text = out.stdout.decode(errors="replace")
+    assert out.returncode == 0 and "PASSED" in text, \
+        (text[-1500:], out.stderr.decode(errors="replace")[-1500:])
