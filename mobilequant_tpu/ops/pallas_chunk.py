@@ -100,6 +100,131 @@ def chunk_kernel_supported(c, max_seq_len: int, B: int) -> bool:
             and layer_kernel_supported(c, max_seq_len))
 
 
+def _pick_tc(half_f: int) -> int:
+    """In-phase MLP compute-tile width: registers stay small regardless of the
+    DMA block size (the whole half_f streams as ONE block per quarter; at
+    TFh=half_f=2816 the monolithic _w4_mlp_phase body measured ~50 us/layer
+    of spill traffic at B=32)."""
+    for t in (512, 384, 256, 128):
+        if half_f % t == 0:
+            return t
+    return half_f
+
+
+def _chunk_mlp_phase(m, x_get, out_set, nw_ref, nb_ref,
+                     w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
+                     w2p_refs, aux2_ref, acc_ref, rsum_ref, h_ref,
+                     *, act_kind: str, norm_kind: str, half_f: int,
+                     wbits: int):
+    """Whole-MLP-block body for the chunk kernel's single MLP phase: the four
+    w13 quarters + w2 arrive as FULL half_f-wide blocks (5 DMAs/layer), and
+    the compute loops over _pick_tc-wide f-chunks so the (B, tc) gate-chain
+    intermediates stay in registers. Same math as pallas_mlp._w4_mlp_phase
+    (one fused norm->w13->act->w2->residual block, qmax-gated fq sites)."""
+    M, K = h_ref.shape
+    K2 = K // 2
+    tc = _pick_tc(half_f)
+    F = 2 * half_f
+
+    x = _fq(x_get(), m(16), m(17), m(18))
+    if norm_kind == "layernorm":
+        mu = jnp.mean(x, axis=1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=1, keepdims=True)
+        y = (x - mu) * jax.lax.rsqrt(var + m(19))
+    else:
+        y = x * jax.lax.rsqrt(jnp.mean(x * x, axis=1, keepdims=True) + m(19))
+    y = y * nw_ref[0] + nb_ref[0]
+    h8 = _quant_u8s(y, m(0), m(1))
+    h_ref[:] = h8
+    ox_h = m(1) - 128.0
+    rowsum_h = jnp.sum(h8.astype(jnp.int32), axis=1,
+                       keepdims=True).astype(jnp.float32)
+    h_lo, h_hi = h8[:, :K2], h8[:, K2:]
+
+    def w4_mm(wref, c0, a0):
+        """f-chunk matmul: wref (1, K2w, half_f) quarter block, cols
+        [c0, c0+tc); a0 = this chunk's column offset into aux13 (4, 2F)."""
+        if wbits == 8:
+            acc = jax.lax.dot_general(
+                h8, wref[0][:, c0:c0 + tc], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        else:
+            wp = wref[0][:, c0:c0 + tc]
+            lo = wp & 0x0F
+            hi = ((wp.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
+            acc = jax.lax.dot_general(h_lo, lo, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            acc = acc + jax.lax.dot_general(h_hi, hi, (((1,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.int32)
+        acc = acc.astype(jnp.float32)
+        sc = aux13_ref[0, 0:1, pl.ds(a0, tc)]
+        o = aux13_ref[0, 1:2, pl.ds(a0, tc)]
+        cs = aux13_ref[0, 2:3, pl.ds(a0, tc)]
+        b = aux13_ref[0, 3:4, pl.ds(a0, tc)]
+        acc = acc - ox_h * cs - o * rowsum_h + K * ox_h * o
+        return acc * (m(0) * sc) + b
+
+    def gate(g1, g3):
+        g1 = _fq(g1, m(2), m(3), m(4))
+        if act_kind == "silu":
+            sig = 1.0 / (1.0 + jnp.exp(-g1))
+            sig = _fq(sig, m(5), m(6), m(7))
+            act = g1 * sig
+        else:
+            t_ = 0.7978845608028654 * (g1 + 0.044715 * g1 * g1 * g1)
+            act = 0.5 * g1 * (1.0 + jnp.tanh(t_))
+        act = _fq(act, m(8), m(9), m(10))
+        g3 = _fq(g3, m(11), m(12), m(13))
+        return act * g3
+
+    for t in range(half_f // tc):
+        c0 = t * tc
+        act_lo = gate(w4_mm(w1lo_ref, c0, c0),
+                      w4_mm(w3lo_ref, c0, F + c0))
+        act_hi = gate(w4_mm(w1hi_ref, c0, half_f + c0),
+                      w4_mm(w3hi_ref, c0, F + half_f + c0))
+        g8_lo = _quant_u8s(act_lo, m(14), m(15))
+        g8_hi = _quant_u8s(act_hi, m(14), m(15))
+        if wbits == 8:
+            part = jax.lax.dot_general(
+                g8_lo, w2p_refs[0][0][c0:c0 + tc], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            part = part + jax.lax.dot_general(
+                g8_hi, w2p_refs[1][0][c0:c0 + tc], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        else:
+            w2p = w2p_refs[0][0][c0:c0 + tc]
+            lo2 = w2p & 0x0F
+            hi2 = ((w2p.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
+            part = jax.lax.dot_general(
+                g8_lo, lo2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            part = part + jax.lax.dot_general(
+                g8_hi, hi2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        rs_part = (jnp.sum(g8_lo.astype(jnp.int32), axis=1, keepdims=True)
+                   + jnp.sum(g8_hi.astype(jnp.int32), axis=1, keepdims=True))
+        if t == 0:
+            acc_ref[:] = part
+            rsum_ref[:] = rs_part
+        else:
+            acc_ref[:] = acc_ref[:] + part
+            rsum_ref[:] = rsum_ref[:] + rs_part
+
+    ox2 = m(15) - 128.0
+    s2 = aux2_ref[0, 0:1, :]
+    o2 = aux2_ref[0, 1:2, :]
+    c2 = aux2_ref[0, 2:3, :]
+    b2 = aux2_ref[0, 3:4, :]
+    yv = acc_ref[:].astype(jnp.float32)
+    yv = (yv - ox2 * c2 - o2 * rsum_ref[:].astype(jnp.float32)
+          + F * ox2 * o2) * (m(14) * s2) + b2
+    yv = _fq(yv, m(20), m(21), m(22))
+    xr = _fq(x_get(), m(23), m(24), m(25))
+    yv = _fq(yv, m(26), m(27), m(28))
+    out_set(_fq(xr + yv, m(29), m(30), m(31)))
+
+
 def _chunk_kernel(meta_ref, pos_ref, mst_ref,
                   x_ref, cs_ref, ofq_ref,
                   anw_ref, anb_ref, qkvw_ref, qaux_ref,
@@ -400,23 +525,27 @@ def _chunk_kernel(meta_ref, pos_ref, mst_ref,
     @pl.when(jnp.logical_and(jnp.logical_and(j > nqa, jj < LP),
                               jnp.bool_("nomlpc" not in dbg)))
     def _():
-        if "mlp2x" in dbg:   # overlap probe: run the phase body twice
+        if nh == 1:
+            # single MLP phase: full-width DMA blocks, tc-wide compute chunks
+            _chunk_mlp_phase(lambda i: m(ATTN_META_LEN + i),
+                             lambda: resid_scr[:], out_set,
+                             mnw_ref, mnb_ref,
+                             w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref,
+                             aux13_ref,
+                             (w2p_ref,) if wbits == 4
+                             else (w2p_ref, w2b_ref),
+                             aux2_ref, acc_ref, rsum_ref, h_ref,
+                             act_kind=act_kind, norm_kind=norm_kind,
+                             half_f=half_f, wbits=wbits)
+        else:
             _w4_mlp_phase(j - (nqa + 1), nh, lambda i: m(ATTN_META_LEN + i),
-                          lambda: resid_scr[:], lambda yv: None,
+                          lambda: resid_scr[:], out_set,
                           mnw_ref, mnb_ref,
                           w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
                           (w2p_ref,) if wbits == 4 else (w2p_ref, w2b_ref),
                           aux2_ref, acc_ref, rsum_ref, h_ref,
                           act_kind=act_kind, norm_kind=norm_kind,
                           half_f=half_f, wbits=wbits)
-        _w4_mlp_phase(j - (nqa + 1), nh, lambda i: m(ATTN_META_LEN + i),
-                      lambda: resid_scr[:], out_set,
-                      mnw_ref, mnb_ref,
-                      w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
-                      (w2p_ref,) if wbits == 4 else (w2p_ref, w2b_ref),
-                      aux2_ref, acc_ref, rsum_ref, h_ref,
-                      act_kind=act_kind, norm_kind=norm_kind, half_f=half_f,
-                      wbits=wbits)
 
     if nv:
         @pl.when(jnp.logical_and(jj >= LP, jnp.bool_("nohead" not in dbg)))

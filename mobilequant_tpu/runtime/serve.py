@@ -55,7 +55,7 @@ class ContinuousBatcher:
                  sampler: SamplerConfig = SamplerConfig(greedy=True),
                  eos_token_id: Optional[int] = None, seed: int = 0,
                  mesh=None, chunk_prefill: Optional[int] = None,
-                 chunk_decode: int = 1, pipeline_ticks: int = 2):
+                 chunk_decode: int = 1, pipeline_ticks: int = 0):
         """mesh: optional jax.sharding.Mesh — weights go tensor-parallel over
         "tp" and the slot axis of the KV cache shards over "dp"
         (parallel/sharding.packed_pspecs / kv_cache_pspec). batch_slots must be
@@ -75,10 +75,13 @@ class ContinuousBatcher:
         Greedy and plain-temperature sampling only; top-k/top-p fall back to
         per-token ticks.
 
-        pipeline_ticks: when every active slot has budget/headroom for P
-        chunks, dispatch P decode chunks back to back with the next chunk
-        consuming the previous one's last token ON DEVICE — one host sync
-        per P chunks instead of per chunk. On a tunneled/remote runtime the
+        pipeline_ticks: 0 (default) = ADAPTIVE — each wave pipelines as many
+        chunked decode ticks as the minimum remaining budget/headroom across
+        active slots allows (chunk i+1 consumes chunk i's last token ON
+        DEVICE), so one host sync serves the whole wave; slots that finish
+        inside the wave get the next request's prefill dispatched BEFORE the
+        sync (overlapped refill). An explicit P>0 caps the depth instead.
+        On a tunneled/remote runtime the
         per-tick round trip dominates serving throughput (BENCHMARKS.md
         "Serving"), so this roughly divides scheduler latency overhead by P.
         A slot that hits EOS mid-pipeline wastes its remaining rows (the
@@ -152,7 +155,7 @@ class ContinuousBatcher:
         self._decode = decode_step
 
         self.chunk_decode = max(int(chunk_decode), 1)
-        self.pipeline_ticks = max(int(pipeline_ticks), 1)
+        self.pipeline_ticks = max(int(pipeline_ticks), 0)   # 0 = adaptive
         self._chunk_ok = sampler.greedy or (sampler.top_k == 0
                                             and sampler.top_p >= 1.0)
         chunk_temp = 0.0 if sampler.greedy else float(sampler.temperature)
@@ -295,36 +298,44 @@ class ContinuousBatcher:
                 return b
         raise ValueError(f"prompt length {n} exceeds buckets {self.buckets}")
 
+    def _prefill_into(self, req: Request, slot: int):
+        """Dispatch a request's prefill + first-token sample into `slot`;
+        returns the first token as a DEVICE array (not fetched) so callers
+        can overlap the prefill with other in-flight work before syncing."""
+        req.slot = slot
+        T = len(req.prompt)
+        if self.chunk is not None:
+            last_logits = self._prefill_chunked(req, slot)
+        else:
+            bucket = self._bucket_for(T)
+            tok = np.zeros((1, bucket), np.int32)
+            tok[0, :T] = req.prompt
+            last_logits, k, v = self._prefill(
+                self.packed, jnp.asarray(tok), self.cache.k, self.cache.v,
+                bucket, jnp.asarray([slot]), jnp.asarray(T))
+            self.cache = self._kvc(k=k, v=v)
+        self.key, sk = jax.random.split(self.key)
+        eff = self._eff_sampler(req)
+        if eff == self.sampler:
+            first = sample(last_logits[None], sk, eff)[0]
+        else:   # one shared jit regardless of the request's params
+            t, p, k_, g = sampler_arrays([eff])
+            first = sample_batched(last_logits[None], sk, t, p, k_, g)[0]
+        req.pos = T
+        return first
+
+    def _install(self, req: Request, slot: int, first_dev):
+        first = int(jax.device_get(first_dev))
+        req.out.append(first)
+        self._last_tokens[slot] = first
+        self.active[slot] = req
+
     def _fill_free_slots(self):
         free = [s for s in range(self.B) if s not in self.active]
         while free and self.queue:
             slot = free.pop(0)
             req = self.queue.popleft()
-            req.slot = slot
-            T = len(req.prompt)
-            if self.chunk is not None:
-                last_logits = self._prefill_chunked(req, slot)
-            else:
-                bucket = self._bucket_for(T)
-                tok = np.zeros((1, bucket), np.int32)
-                tok[0, :T] = req.prompt
-                last_logits, k, v = self._prefill(
-                    self.packed, jnp.asarray(tok), self.cache.k, self.cache.v,
-                    bucket, jnp.asarray([slot]), jnp.asarray(T))
-                self.cache = self._kvc(k=k, v=v)
-            self.key, sk = jax.random.split(self.key)
-            eff = self._eff_sampler(req)
-            if eff == self.sampler:
-                first = int(jax.device_get(
-                    sample(last_logits[None], sk, eff))[0])
-            else:   # one shared jit regardless of the request's params
-                t, p, k_, g = sampler_arrays([eff])
-                first = int(jax.device_get(sample_batched(
-                    last_logits[None], sk, t, p, k_, g))[0])
-            req.out.append(first)
-            req.pos = T
-            self._last_tokens[slot] = first
-            self.active[slot] = req
+            self._install(req, slot, self._prefill_into(req, slot))
 
     def _retire(self, slot: int):
         req = self.active.pop(slot)
@@ -342,13 +353,24 @@ class ContinuousBatcher:
         if n > 1 and all(req.pos + n <= self.ecfg.max_seq_len - 1
                          and len(req.out) < req.max_new_tokens
                          for req in self.active.values()):
-            # pipeline depth: the largest P <= pipeline_ticks every active
-            # slot has budget and cache headroom for (no slot would retire
-            # mid-pipeline for a non-EOS reason)
-            p = self.pipeline_ticks
+            # pipeline depth: pipeline_ticks=0 (default) adapts P to the
+            # wave's MIN remaining budget/headroom across slots — every slot
+            # either finishes inside the pipelined batch (and its slot is
+            # refilled with an OVERLAPPED prefill, see _step_chunked) or
+            # uses all P chunks, so one host sync serves the whole wave with
+            # zero wasted tail compute. An explicit pipeline_ticks caps P.
+            S1 = self.ecfg.max_seq_len - 1
+            p = None
+            for req in self.active.values():
+                bud = -(-max(req.max_new_tokens - len(req.out), 1) // n)
+                head = max((S1 - req.pos) // n, 1)
+                pi = max(1, min(bud, head))
+                p = pi if p is None else min(p, pi)
+            p = max(p or 1, 1)
+            if self.pipeline_ticks > 0:
+                p = min(p, self.pipeline_ticks)
             while p > 1 and not all(
                     req.pos + p * n <= self.ecfg.max_seq_len - 1
-                    and len(req.out) + (p - 1) * n < req.max_new_tokens
                     for req in self.active.values()):
                 p -= 1
             effs = [self._eff_sampler(r) for r in self.active.values()]
@@ -424,8 +446,28 @@ class ContinuousBatcher:
             tok_dev = toks[:, -1:]
             pos_j = pos_j + n
         self.cache = self._kvc(k=k, v=v)
+        n = n * max(pipeline, 1)
+
+        # OVERLAPPED REFILL: slots whose requests are GUARANTEED to retire
+        # after this pipelined batch (budget/headroom exhaustion — EOS only
+        # retires earlier, never later) get their next request's prefill
+        # dispatched NOW, before the decode results are synced: the prefill
+        # compute rides the device queue behind the decode chunks while the
+        # host is still waiting on the token fetch below.
+        pending = []
+        if self.queue:
+            S1 = self.ecfg.max_seq_len - 1
+            for slot, req in list(self.active.items()):
+                if not self.queue:
+                    break
+                if (len(req.out) + n >= req.max_new_tokens
+                        or req.pos + n >= S1):
+                    nreq = self.queue.popleft()
+                    pending.append((slot, nreq,
+                                    self._prefill_into(nreq, slot)))
+
         toks = np.concatenate([np.asarray(t) for t in pieces], axis=1)
-        n = n * max(pipeline, 1)                        # toks: (B, n)
+        # toks: (B, n)
 
         for slot in list(self.active):
             req = self.active[slot]
@@ -441,6 +483,9 @@ class ContinuousBatcher:
                 self._retire(slot)       # tail rows past EOS are overwritten
             else:                         # by the next prefill into this slot
                 self._last_tokens[slot] = piece[-1]
+        for slot, nreq, first_dev in pending:
+            assert slot not in self.active    # guaranteed retirement above
+            self._install(nreq, slot, first_dev)
         return len(self.active)
 
     def run(self) -> dict[int, list[int]]:
