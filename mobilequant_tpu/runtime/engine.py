@@ -701,6 +701,45 @@ def _qkv_ofq_rows_stacked(packed: dict, policy: QPolicy, c) -> jax.Array:
     return jax.vmap(per_layer)(packed["rvec"])
 
 
+def _rope_cs_rows(cos, sin, hd: int, rot: int):
+    """(M, 2*hd) per-ROW [cos | sign-baked sin] for the prefill qkv epilogue
+    kernel (ops/pallas_qkv.py) — the M-row analogue of _rope_cs_vec."""
+    rd = cos.shape[-1]
+    c1 = cos.reshape(-1, rd)[:, :rot].astype(jnp.float32)
+    s1 = sin.reshape(-1, rd)[:, :rot].astype(jnp.float32)
+    Mr = c1.shape[0]
+    sgn = jnp.concatenate([jnp.full((rot // 2,), -1.0, jnp.float32),
+                           jnp.ones((rot // 2,), jnp.float32)])[None, :]
+    s1 = s1 * sgn
+    if rot < hd:
+        c1 = jnp.concatenate([c1, jnp.ones((Mr, hd - rot), jnp.float32)], 1)
+        s1 = jnp.concatenate([s1, jnp.zeros((Mr, hd - rot), jnp.float32)], 1)
+    return jnp.concatenate([c1, s1], axis=1)
+
+
+def _qkv_outq_rows(lr, c):
+    """(3, Nq) [segment quant scale, segment quant offset, rope mask] rows
+    for the prefill qkv epilogue kernel (canonical q|k|v column order):
+    q columns carry the qk_bmm input encoding, k the qk_bmm input2 (int8
+    K-cache), v the pv_bmm input2 (int8 V-cache); v columns don't rope."""
+    qk = lr["self_attn.qk_bmm"]
+    pv = lr["self_attn.pv_bmm"]
+    qd, kvd = c.q_dim, c.kv_dim
+
+    def seg(qv, kv_, vv):
+        return jnp.concatenate([jnp.broadcast_to(qv, (qd,)),
+                                jnp.broadcast_to(kv_, (kvd,)),
+                                jnp.broadcast_to(vv, (kvd,))])
+
+    sc = seg(qk["input"]["scale"], qk["input2"]["scale"],
+             pv["input2"]["scale"])
+    of = seg(qk["input"]["offset"], qk["input2"]["offset"],
+             pv["input2"]["offset"])
+    mask = jnp.concatenate([jnp.ones((qd + kvd,), jnp.float32),
+                            jnp.zeros((kvd,), jnp.float32)])
+    return jnp.stack([sc, of, mask]).astype(jnp.float32)
+
+
 def _rope_cs_vec(cos, sin, hd: int, rot: int):
     """(B, 2, hd) per-sequence [cos; sign-baked sin] rows for the layer/model
     kernels' in-VMEM RoPE (cos=1 / sin=0 outside the rotary dims; the
@@ -879,7 +918,44 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
                         kc, _sp(pkey), li)
         return _fq16(y, lr[site]["output"], policy[site].output)
 
-    if "qkv_proj" in lp:
+    qkv_done = False
+    if kc.gate_kernel and "qkv_proj" in lp and li is not None and T > 1:
+        # prefill qkv epilogue kernel: output fq + RoPE + joint segment
+        # quantization fold into the stacked qkv matmul (the attention-side
+        # twin of w13_gate_stacked; ops/pallas_qkv.py)
+        spq = _sp("qkv_proj")
+        if spq is not None:
+            from mobilequant_tpu.ops import pallas_qkv as _PQ
+            if _PQ.qkv_kernel_supported(c, spq["wq"].shape[2],
+                                        spq["wq"].shape[1]):
+                import numpy as _np
+                qd, kvd = Hq * hd, Hkv * hd
+                canon_seg = jnp.asarray(
+                    _np.repeat(_np.array([0] * Hq + [1] * Hkv + [2] * Hkv),
+                               hd), jnp.int32)
+                # canonical (unpermuted) pack + seg map: reuse the ofq-row
+                # builder with the qkv_proj entry standing in for qkvp
+                ofq = _qkv_ofq_rows({"qkvp": lp["qkv_proj"]},
+                                    {"qkv_seg": canon_seg}, lr, policy)
+                outq = _qkv_outq_rows(lr, c)
+                cs_rows = _rope_cs_rows(cos, sin, hd, c.rotary_dim)
+                meta2 = jnp.stack([lr["input_layernorm"]["output"]["scale"],
+                                   lr["input_layernorm"]["output"]["offset"]
+                                   ]).astype(jnp.float32)
+                q8kv = _PQ.qkv_rope_stacked(
+                    h8.reshape(B * T, D), spq, ofq, outq, cs_rows, meta2, li,
+                    head_dim=hd, rotary_dim=c.rotary_dim)
+                q8 = q8kv[:, :qd].reshape(B, T, Hq, hd)
+                k8_new = q8kv[:, qd:qd + kvd].reshape(B, T, Hkv, hd)
+                v8_new = q8kv[:, qd + kvd:].reshape(B, T, Hkv, hd)
+                k8_new = jnp.transpose(k8_new, (0, 2, 1, 3))
+                v8_new = jnp.transpose(v8_new, (0, 2, 1, 3))
+                qk = lr["self_attn.qk_bmm"]
+                pv = lr["self_attn.pv_bmm"]
+                qkv_done = True
+    if qkv_done:
+        pass
+    elif "qkv_proj" in lp:
         qkv = _int_linear(h8, hr["scale"], hr["offset"], lp["qkv_proj"],
                           lp["qkv_proj"]["bias"], kc, _sp("qkv_proj"), li)
         qd, kvd = Hq * hd, Hkv * hd
@@ -903,24 +979,28 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         k = proj("k_proj", "self_attn.k_proj").reshape(B, T, Hkv, hd)
         v = proj("v_proj", "self_attn.v_proj").reshape(B, T, Hkv, hd)
 
-    # joint RoPE over q‖k (same cos/sin, same head_dim) and joint quantization
-    # with per-head-segment scales: 2 ops instead of 4
-    qk = lr["self_attn.qk_bmm"]
-    pv = lr["self_attn.pv_bmm"]
-    qk_cat = jnp.concatenate([q, k], axis=2)            # (B,T,Hq+Hkv,hd)
-    qk_cat = M.apply_rope(qk_cat, cos, sin, c.rotary_dim)
-    seg_scale = jnp.concatenate([
-        jnp.broadcast_to(qk["input"]["scale"], (Hq,)),
-        jnp.broadcast_to(qk["input2"]["scale"], (Hkv,))])[None, None, :, None]
-    seg_off = jnp.concatenate([
-        jnp.broadcast_to(qk["input"]["offset"], (Hq,)),
-        jnp.broadcast_to(qk["input2"]["offset"], (Hkv,))])[None, None, :, None]
-    qk8 = qops.quantize_act(qk_cat, seg_scale, seg_off)
-    q8, k8_new = qk8[:, :, :Hq], qk8[:, :, Hq:]
-    v8_new = qops.quantize_act(v, pv["input2"]["scale"], pv["input2"]["offset"])
-    # → head-major (B,Hkv,T,hd) for the cache layout
-    k8_new = jnp.transpose(k8_new, (0, 2, 1, 3))
-    v8_new = jnp.transpose(v8_new, (0, 2, 1, 3))
+    if not qkv_done:
+        # joint RoPE over q‖k (same cos/sin, same head_dim) and joint
+        # quantization with per-head-segment scales: 2 ops instead of 4
+        qk = lr["self_attn.qk_bmm"]
+        pv = lr["self_attn.pv_bmm"]
+        qk_cat = jnp.concatenate([q, k], axis=2)        # (B,T,Hq+Hkv,hd)
+        qk_cat = M.apply_rope(qk_cat, cos, sin, c.rotary_dim)
+        seg_scale = jnp.concatenate([
+            jnp.broadcast_to(qk["input"]["scale"], (Hq,)),
+            jnp.broadcast_to(qk["input2"]["scale"],
+                             (Hkv,))])[None, None, :, None]
+        seg_off = jnp.concatenate([
+            jnp.broadcast_to(qk["input"]["offset"], (Hq,)),
+            jnp.broadcast_to(qk["input2"]["offset"],
+                             (Hkv,))])[None, None, :, None]
+        qk8 = qops.quantize_act(qk_cat, seg_scale, seg_off)
+        q8, k8_new = qk8[:, :, :Hq], qk8[:, :, Hq:]
+        v8_new = qops.quantize_act(v, pv["input2"]["scale"],
+                                   pv["input2"]["offset"])
+        # → head-major (B,Hkv,T,hd) for the cache layout
+        k8_new = jnp.transpose(k8_new, (0, 2, 1, 3))
+        v8_new = jnp.transpose(v8_new, (0, 2, 1, 3))
 
     k_cache, v_cache = kv
     decode_light = (cache_position is not None and T == 1

@@ -989,3 +989,78 @@ def test_chunk_kernel_matches_staged_engine(variant):
         PC.fused_model_w4_chunk = oc
         PM.w4a8_matmul = om
     jax.clear_caches()
+
+
+@pytest.mark.parametrize("variant", ["llama_w4", "llama_w8",
+                                     "stablelm_partial", "gemma_hd128"])
+def test_qkv_rope_kernel_matches_engine(variant):
+    """The prefill qkv epilogue kernel (stacked qkv matmul -> output fq ->
+    RoPE -> joint segment int8 quantization, ops/pallas_qkv.py) == the XLA
+    path through forward() at prefill M: logits allclose AND the written
+    int8 KV cache bit-exact (the cache rows come straight out of the
+    kernel). Covers GQA hd=64, W8, partial rotary + qkv bias (stablelm),
+    and hd=128 MQA (gemma)."""
+    import dataclasses
+    import mobilequant_tpu.ops.pallas_qkv as PQ
+    import mobilequant_tpu.ops.pallas_mlp as PMLP
+    from mobilequant_tpu.models import get_config
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant import calibrate
+    from mobilequant_tpu.quant.policy import default_policy, relax_16bit
+    from mobilequant_tpu.runtime import engine as E
+    from mobilequant_tpu.runtime.kernel_config import KernelConfig
+
+    wb = 8 if variant == "llama_w8" else 4
+    if variant.startswith("llama"):
+        cfg = dataclasses.replace(
+            get_config("test-llama"), hidden_size=256, intermediate_size=512,
+            num_heads=4, num_kv_heads=2, head_dim=64, num_layers=2)
+    elif variant == "stablelm_partial":
+        cfg = dataclasses.replace(
+            get_config("test-stablelm"), hidden_size=256,
+            intermediate_size=512, num_heads=4, num_kv_heads=4, head_dim=64,
+            num_layers=2)
+    else:
+        cfg = dataclasses.replace(
+            get_config("test-gemma"), hidden_size=256, intermediate_size=512,
+            num_heads=4, num_kv_heads=1, head_dim=128, num_layers=2)
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    base = default_policy(cfg,
+                          QuantConfig(bitwidth=wb, is_per_channel=(wb == 4),
+                                      is_symmetric=(wb == 4)),
+                          QuantConfig(bitwidth=8))
+    tokens = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 8)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, base, batch_size=2)
+    ranges = calibrate.stats_to_ranges(stats, base)
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=128, weight_bits=wb)
+    packed = E.pack(params, ranges, cfg, base, ecfg)
+    spq = packed["layers"]["qkv_proj"]
+    assert PQ.qkv_kernel_supported(cfg, spq["wq"].shape[2], spq["wq"].shape[1])
+    prefill = np.random.default_rng(1).integers(
+        0, cfg.vocab_size, (2, 48)).astype(np.int32)
+    kc = KernelConfig(gate_kernel=True)
+
+    oq = PQ.qkv_rope_stacked
+    og = PMLP.w13_gate_stacked
+    PQ.qkv_rope_stacked = functools.partial(oq, interpret=True)
+    PMLP.w13_gate_stacked = functools.partial(og, interpret=True)
+    try:
+        t = jnp.asarray(prefill)
+        for policy in (base, relax_16bit(base)):
+            ca, cb = E.init_kv_cache(ecfg, 2), E.init_kv_cache(ecfg, 2)
+            pos0 = jnp.zeros((2,), jnp.int32)
+            vl = jnp.full((2,), 48, jnp.int32)
+            ref, ca = E.forward(packed, t, cfg, policy, kv_cache=ca,
+                                cache_position=pos0, kv_valid_len=vl)
+            out, cb = E.forward(packed, t, cfg, policy, kv_cache=cb,
+                                cache_position=pos0, kv_valid_len=vl,
+                                use_pallas=kc)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-4, atol=2e-4)
+            np.testing.assert_array_equal(np.asarray(cb.k), np.asarray(ca.k))
+            np.testing.assert_array_equal(np.asarray(cb.v), np.asarray(ca.v))
+    finally:
+        PQ.qkv_rope_stacked = oq
+        PMLP.w13_gate_stacked = og
+    jax.clear_caches()
