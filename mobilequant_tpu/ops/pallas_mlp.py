@@ -1048,3 +1048,238 @@ def fused_mlp_block_w4_stacked(x: jax.Array, nw_L, nb_L, w13sp: dict,
     )(idx, meta, x, nw3, nb3,
       w13sp["wq"], w13sp["wq"], w13sp["wq"], w13sp["wq"], aux13,
       w2sp["wq"], w2sp["wq"], aux2)
+
+
+# ---------------------------------------------------------------------------
+# w13 + gate + w2 in one dispatch (prefill whole-MLP, round-4 verdict item 7:
+# the separate w2 stacked matmul regressed 79 -> 95 us/layer behind the gate
+# kernel's custom-call boundary, and the (M,F) int8 act made an HBM round
+# trip — fold w2 into the same grid's tail phases, act8 stays in VMEM)
+# ---------------------------------------------------------------------------
+
+def _w13_gate_w2_kernel(idx_ref, meta_ref, h_ref,
+                        w1_ref, w3_ref, aux13_ref, w2p_ref, w2b_ref, aux2_ref,
+                        out_ref, act_scr, acc_scr, rsum_scr, grs_scr,
+                        *, act_kind: str, nf: int, nw2: int, wbits: int,
+                        site_on: tuple, F: int):
+    """Grid phases [0, nf): gate phases — act8 block -> act_scr (VMEM).
+    Phases [nf, nf+nw2): w2 row blocks x act_scr -> int32 acc; the last
+    phase applies the w2 affine epilogue (scale/offset/colsum/bias) and
+    writes the fp32 (M, K) output."""
+    del idx_ref
+    j = pl.program_id(0)
+    M, K = h_ref.shape
+    K2 = K // 2
+    TF = w1_ref.shape[2]
+    F2h = w2p_ref.shape[1]               # packed w2 row-block height
+    s_w1, s_sig, s_act, s_w3 = site_on
+
+    def m(i):
+        return meta_ref[i]
+
+    def fq_on(x, i0, on):
+        return _fq(x, m(i0), m(i0 + 1), m(i0 + 2)) if on else x
+
+    @pl.when(j == 0)
+    def _():
+        rsum_scr[:] = jnp.sum(h_ref[:].astype(jnp.int32), axis=1,
+                              keepdims=True).astype(jnp.float32)
+        grs_scr[:] = jnp.zeros_like(grs_scr)
+
+    @pl.when(j < nf)
+    def _():
+        h = h_ref[:]
+        ox_h = m(1) - 128.0
+
+        def mm(wp_ref, col0):
+            if wbits == 8:
+                acc = jax.lax.dot_general(
+                    h, wp_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+            else:
+                wp = wp_ref[0]
+                lo = wp & 0x0F
+                hi = ((wp.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
+                acc = jax.lax.dot_general(
+                    h[:, :K2], lo, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                acc = acc + jax.lax.dot_general(
+                    h[:, K2:], hi, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+            acc = acc.astype(jnp.float32)
+            s = aux13_ref[0, 0:1, pl.ds(col0, TF)]
+            o = aux13_ref[0, 1:2, pl.ds(col0, TF)]
+            cs = aux13_ref[0, 2:3, pl.ds(col0, TF)]
+            b = aux13_ref[0, 3:4, pl.ds(col0, TF)]
+            acc = acc - ox_h * cs - o * rsum_scr[:] + K * ox_h * o
+            return acc * (m(0) * s) + b
+
+        g1 = fq_on(mm(w1_ref, 0), 2, s_w1)
+        if act_kind == "silu":
+            sig = 1.0 / (1.0 + jnp.exp(-g1))
+            sig = fq_on(sig, 5, s_sig)
+            act = g1 * sig
+        else:
+            t = 0.7978845608028654 * (g1 + 0.044715 * g1 * g1 * g1)
+            act = 0.5 * g1 * (1.0 + jnp.tanh(t))
+        act = fq_on(act, 8, s_act)
+        g3 = fq_on(mm(w3_ref, TF), 11, s_w3)
+        a8 = _quant_u8s(act * g3, m(14), m(15))
+        act_scr[:, pl.ds(j * TF, TF)] = a8
+        grs_scr[:] = grs_scr[:] + jnp.sum(a8.astype(jnp.int32), axis=1,
+                                          keepdims=True)
+
+    @pl.when(j >= nf)
+    def _():
+        t = j - nf
+        if wbits == 4:
+            # packed row block t covers the F-segment PAIR
+            # [t*F2h/nw2... ] — w2p_ref is the t-th (1, TR, K) block of the
+            # (F/2, K) nibble pack: lo nibbles = F rows [r], hi = [F/2 + r]
+            TR = F2h
+            a_lo = act_scr[:, pl.ds(t * TR, TR)].astype(jnp.int8)
+            a_hi = act_scr[:, pl.ds(F // 2 + t * TR, TR)].astype(jnp.int8)
+            wp = w2p_ref[0]
+            lo2 = wp & 0x0F
+            hi2 = ((wp.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
+            part = jax.lax.dot_general(
+                a_lo, lo2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            part = part + jax.lax.dot_general(
+                a_hi, hi2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        else:
+            TR = F2h
+            a_blk = act_scr[:, pl.ds(t * TR, TR)].astype(jnp.int8)
+            part = jax.lax.dot_general(
+                a_blk, w2p_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            part = part + jax.lax.dot_general(
+                act_scr[:, pl.ds(F // 2 + t * TR, TR)].astype(jnp.int8),
+                w2b_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        @pl.when(j == nf)
+        def _():
+            acc_scr[:] = part
+
+        @pl.when(j > nf)
+        def _():
+            acc_scr[:] = acc_scr[:] + part
+
+        @pl.when(j == nf + nw2 - 1)
+        def _():
+            ox2 = m(15) - 128.0
+            s2 = aux2_ref[0, 0:1, :]
+            o2 = aux2_ref[0, 1:2, :]
+            c2 = aux2_ref[0, 2:3, :]
+            b2 = aux2_ref[0, 3:4, :]
+            y = acc_scr[:].astype(jnp.float32)
+            y = (y - ox2 * c2 - o2 * grs_scr[:].astype(jnp.float32)
+                 + F * ox2 * o2) * (m(14) * s2) + b2
+            out_ref[:] = y
+
+
+def w13_gate_w2_supported(M: int, K: int, F: int, wbits: int) -> bool:
+    half = F // 2
+    return (w13_gate_supported(M, K, F, wbits) and F % 4 == 0
+            and M * (F + 4 * K) <= 24 * 1024 * 1024    # act8 + int32 acc VMEM
+            and any(half % t == 0      # 128-multiples only: the act8 lane
+                    for t in (1408, 1024, 512, 256, 128)))   # slices must
+                                                             # stay aligned
+
+
+@functools.partial(jax.jit, static_argnames=("act_kind", "site_on",
+                                             "interpret"))
+def w13_gate_w2_stacked(h8: jax.Array, w13sp: dict, w2sp: dict,
+                        meta: jax.Array, layer_idx, act_kind: str = "silu", *,
+                        site_on: tuple = (True,) * 4,
+                        interpret: bool = False):
+    """h8 (M,K) shifted-int8 -> w2 output (M,K) fp32 (pre-fq16, pre-bias-fq):
+    the whole prefill MLP — w13 matmul, gate chain, w2-input quant AND the w2
+    matmul + affine epilogue — in ONE dispatch; the (M,F) int8 act lives in
+    VMEM scratch (no HBM round trip, no custom-call boundary in front of
+    w2). Caller applies the 16-bit w2-output fq + residual (engine)."""
+    M, K = h8.shape
+    L, K2w, F2 = w13sp["wq"].shape
+    wbits = 4 if K2w * 2 == K else 8
+    F = F2 // 2
+    half = F // 2
+    TF = _pick_block_tf(K, F, wbits)
+    assert TF, (K, F)
+    nf = F // TF
+    # w2 row-block height: a divisor of the packed row count (F/2 both for
+    # W4's nibble pairs and W8's seg_lo/seg_hi split blocks)
+    TR = next(t for t in (1408, 1024, 512, 256, 128) if half % t == 0)
+    nw2 = half // TR
+
+    def aux(spd, n):
+        def row(v):
+            return jnp.broadcast_to(jnp.reshape(v, (L, 1, -1)),
+                                    (L, 1, n)).astype(jnp.float32)
+        return jnp.concatenate([row(spd["scale"]), row(spd["offset"]),
+                                row(spd["colsum"]), row(spd["bias"])], axis=1)
+
+    aux13 = aux(w13sp, F2)
+    a = aux13.reshape(L, 4, 2, nf, TF)
+    a = jnp.transpose(a, (0, 1, 3, 2, 4)).reshape(L, 4, F2)
+    aux2 = aux(w2sp, K)
+    idx = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
+    w2blk = nw2 if wbits == 8 else 0
+
+    def w2row(j, i):
+        t = jnp.clip(j - nf, 0, nw2 - 1)
+        return (i[0], t, 0)
+
+    def w2brow(j, i):
+        t = jnp.clip(j - nf, 0, nw2 - 1)
+        return (i[0], (w2blk + t) if wbits == 8 else 0, 0)
+
+    kernel = functools.partial(_w13_gate_w2_kernel, act_kind=act_kind, nf=nf,
+                               nw2=nw2, wbits=wbits, site_on=site_on, F=F)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nf + nw2,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # meta
+            pl.BlockSpec((M, K), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),                 # h8
+            pl.BlockSpec((1, K2w, TF),
+                         lambda j, i: (i[0], 0, jnp.minimum(j, nf - 1)),
+                         memory_space=pltpu.VMEM),                 # w1 block
+            pl.BlockSpec((1, K2w, TF),
+                         lambda j, i: (i[0], 0, nf + jnp.minimum(j, nf - 1)),
+                         memory_space=pltpu.VMEM),                 # w3 block
+            pl.BlockSpec((1, 4, 2 * TF),
+                         lambda j, i: (i[0], 0, jnp.minimum(j, nf - 1)),
+                         memory_space=pltpu.VMEM),                 # aux13 cols
+            pl.BlockSpec((1, TR, K), w2row,
+                         memory_space=pltpu.VMEM),                 # w2 rows
+            pl.BlockSpec((1, TR if wbits == 8 else 32, K), w2brow,
+                         memory_space=pltpu.VMEM),                 # w2 seg_hi
+            pl.BlockSpec((1, 4, K), lambda j, i: (i[0], 0, 0),
+                         memory_space=pltpu.VMEM),                 # aux2
+        ],
+        out_specs=pl.BlockSpec((M, K), lambda j, i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((M, F), jnp.int8),                          # act8
+            pltpu.VMEM((M, K), jnp.int32),                         # w2 acc
+            pltpu.VMEM((M, 1), jnp.float32),                       # h rowsums
+            pltpu.VMEM((M, 1), jnp.int32),                         # g8 rowsums
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, K), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * F2 + 2 * M * F * K,
+            bytes_accessed=M * K + K2w * F2 + w2sp["wq"].shape[1] * K
+            + M * K * 4,
+            transcendentals=M * F),
+        interpret=interpret,
+    )(idx, meta, h8, w13sp["wq"], w13sp["wq"], a,
+      w2sp["wq"], w2sp["wq"], aux2)

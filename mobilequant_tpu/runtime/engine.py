@@ -1394,9 +1394,22 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         m_flat = 1
         for d in h28.shape[:-1]:
             m_flat *= d
-        if _PMLP.w13_gate_supported(m_flat, Dm, Fm,
-                                    4 if sp["w13_proj"]["wq"].shape[1] * 2
-                                    == Dm else 8):
+        wb_ = 4 if sp["w13_proj"]["wq"].shape[1] * 2 == Dm else 8
+        if (kc.w2fold_kernel and tp_mesh is None and _sp("w2") is not None
+                and _PMLP.w13_gate_w2_supported(m_flat, Dm, Fm, wb_)):
+            # whole prefill MLP in ONE dispatch: w2 folds into the gate
+            # kernel's tail phases. MEASURED NEGATIVE on chip (2026-08-20):
+            # 555 us/layer vs the split path's ~294 — off by default, kept
+            # behind w2fold_kernel for re-evaluation
+            meta = _mlp_block_meta(lr, policy, c)
+            so = _mlp_block_site_on(policy)[1:5]
+            y = _PMLP.w13_gate_w2_stacked(
+                h28.reshape(m_flat, Dm), sp["w13_proj"], sp["w2"], meta, li,
+                c.hidden_act, site_on=so).reshape(*h28.shape[:-1], Dm)
+            y = _fq16(y, lr["mlp.w2"]["output"], policy["mlp.w2"].output)
+            return _resid_add(resid, y, lr, policy, "resid_add_2"), \
+                (k_all, v_all)
+        if _PMLP.w13_gate_supported(m_flat, Dm, Fm, wb_):
             meta = _mlp_block_meta(lr, policy, c)
             so = _mlp_block_site_on(policy)[1:5]
             act8 = _PMLP.w13_gate_stacked(
@@ -1817,6 +1830,15 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
     # original use_pallas would silently re-coerce back to the default gate.
     if not isinstance(use_pallas, KernelConfig):
         kc = kc.replace(stacked_bt_max=max(kc.stacked_bt_max, 128))
+        # W8 serving batches: the batched whole-model CHUNK kernel measured
+        # +12% at bs=32 (11,957 vs 10,662 tok/s, 89% of the W8 HBM floor,
+        # 2026-08-20) and LOSES at B>=64 and on W4 (where the staged path's
+        # fused-unpack kernels already sit closer to their deeper floor) —
+        # auto-enable exactly where it wins.
+        w13 = packed.get("layers", {}).get("w13_proj")
+        if (kc.model_kernel and w13 is not None and 8 < B <= 48
+                and w13["wq"].shape[1] == config.hidden_size):
+            kc = kc.replace(chunk_kernel=True)
     use_staging = (not kc.attn_kernel
                    and (B > 8 or not (kc.layer_kernel or kc.model_kernel)))
 

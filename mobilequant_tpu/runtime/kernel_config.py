@@ -42,6 +42,13 @@ class KernelConfig:
     gate_kernel: bool = False      # prefill w13+gate epilogue kernel
                                    # (w13 matmul -> act chain -> w2-input
                                    # int8, no (M,2F) fp32 HBM round trip)
+                                   # + the qkv epilogue kernel (output fq +
+                                   # RoPE + segment quant in-matmul)
+    w2fold_kernel: bool = False    # ALSO fold w2 into the gate kernel —
+                                   # measured NEGATIVE (555 vs 294 us/layer
+                                   # split, 2026-08-20): the in-VMEM (M,F)
+                                   # act8 round trip loses to XLA's overlap
+                                   # of the split matmuls; kept for re-eval
     otail_kernel: bool = False     # batched-decode o-proj+resid_add_1+MLP
                                    # block in one dispatch (attention-tail
                                    # edition of the stacked MLP kernel)
@@ -115,6 +122,7 @@ class KernelConfig:
             gate_kernel="gatek" in s,
             otail_kernel="otail" in s,
             chunk_kernel="chunkk" in s,
+            w2fold_kernel="w2fold" in s,
             vpu_matvec="vpu" in s,
             stacked_mlp_kernel=("nomlpk" not in s and not mlp_kernel
                                 and not mlp_block),

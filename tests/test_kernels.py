@@ -490,19 +490,39 @@ def test_w13_gate_kernel_matches_engine(wb):
                                    cfg.intermediate_size, wb)
     prefill = np.random.default_rng(1).integers(
         0, cfg.vocab_size, (1, 96)).astype(np.int32)
-    kc = KernelConfig(gate_kernel=True)
+    kc = KernelConfig(gate_kernel=True, w2fold_kernel=True)
 
+    import mobilequant_tpu.ops.pallas_qkv as PQk
     og = PMLP.w13_gate_stacked
+    og2 = PMLP.w13_gate_w2_stacked
+    ogs = PMLP.w13_gate_w2_supported
+    oqk = PQk.qkv_rope_stacked
     PMLP.w13_gate_stacked = functools.partial(og, interpret=True)
+    PMLP.w13_gate_w2_stacked = functools.partial(og2, interpret=True)
+    PQk.qkv_rope_stacked = functools.partial(oqk, interpret=True)
     try:
         t = jnp.asarray(prefill)
         for policy in (base, relax_16bit(base)):
             ref, _ = E.forward(packed, t, cfg, policy)
+            # w2-FOLDED variant (the default dispatch when supported)
+            assert PMLP.w13_gate_w2_supported(96, cfg.hidden_size,
+                                              cfg.intermediate_size, wb)
             out, _ = E.forward(packed, t, cfg, policy, use_pallas=kc)
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                        rtol=2e-4, atol=2e-4)
+            # split variant (TP / unsupported-shape fallback)
+            PMLP.w13_gate_w2_supported = lambda *a: False
+            try:
+                out2, _ = E.forward(packed, t, cfg, policy, use_pallas=kc)
+            finally:
+                PMLP.w13_gate_w2_supported = ogs
+            np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                                       rtol=2e-4, atol=2e-4)
     finally:
         PMLP.w13_gate_stacked = og
+        PMLP.w13_gate_w2_stacked = og2
+        PMLP.w13_gate_w2_supported = ogs
+        PQk.qkv_rope_stacked = oqk
     jax.clear_caches()
 
 
@@ -962,6 +982,29 @@ def test_chunk_kernel_matches_staged_engine(variant):
             np.testing.assert_array_equal(np.asarray(c_k.v),
                                           np.asarray(c_ref.v))
 
+        if wb == 8:
+            # the shipped entry point auto-enables the chunk kernel for W8
+            # serving batches (decode_loop 8 < B <= 48 heuristic) — prove
+            # use_pallas=True dispatches it; the stacked-MLP kernel the
+            # default set also engages needs an interpret patch on CPU
+            import mobilequant_tpu.ops.pallas_mlp as PMLPc
+            omb = PMLPc.fused_mlp_block_w4_stacked
+            PMLPc.fused_mlp_block_w4_stacked = functools.partial(
+                omb, interpret=True)
+            try:
+                calls[0] = 0
+                ca2 = E.init_kv_cache(ecfg, B)
+                _, ca2 = E.forward(packed, t, cfg, relax, kv_cache=ca2,
+                                   cache_position=jnp.zeros((B,), jnp.int32),
+                                   kv_valid_len=jnp.full((B,), Tp, jnp.int32))
+                E.decode_loop(packed, first, ca2, jnp.full((B,), Tp,
+                                                          jnp.int32),
+                              2, cfg, relax, use_pallas=True,
+                              staging_chunk=2)
+                assert calls[0] > 0, "W8 auto-enable did not dispatch"
+            finally:
+                PMLPc.fused_mlp_block_w4_stacked = omb
+
         # staggered per-sequence positions (ContinuousBatcher slots): the
         # per-sequence pos/RoPE handling must hold off the uniform case
         calls[0] = 0
@@ -1043,8 +1086,10 @@ def test_qkv_rope_kernel_matches_engine(variant):
 
     oq = PQ.qkv_rope_stacked
     og = PMLP.w13_gate_stacked
+    og2 = PMLP.w13_gate_w2_stacked
     PQ.qkv_rope_stacked = functools.partial(oq, interpret=True)
     PMLP.w13_gate_stacked = functools.partial(og, interpret=True)
+    PMLP.w13_gate_w2_stacked = functools.partial(og2, interpret=True)
     try:
         t = jnp.asarray(prefill)
         for policy in (base, relax_16bit(base)):
@@ -1063,4 +1108,5 @@ def test_qkv_rope_kernel_matches_engine(variant):
     finally:
         PQ.qkv_rope_stacked = oq
         PMLP.w13_gate_stacked = og
+        PMLP.w13_gate_w2_stacked = og2
     jax.clear_caches()
