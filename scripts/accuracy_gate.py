@@ -242,6 +242,22 @@ def main():
         tol = 0.01 * ppl_rel if hb == 8 else 0.02 * ppl_rel
         assert ppl_h <= ppl_rel + max(tol, 0.05), \
             f"W{hb} head must stay accuracy-neutral ({ppl_h} vs {ppl_rel})"
+        if hb == 4:
+            # --smooth_last (final-norm -> lm_head SmoothQuant fold, ref
+            # device/convert_sim.py:114-128): must not hurt, and should
+            # recover part of the W4-head cost
+            am = calibrate.head_input_absmax(fparams, calib, cfg,
+                                             batch_size=16)
+            head_w = (fparams["embed"]["w"].T if cfg.tie_word_embeddings
+                      else fparams["lm_head"]["w"])
+            s_last = calibrate.smooth_last_scales(am, jnp.asarray(head_w))
+            packed_s = E.pack(fparams, fstate["ranges"], cfg, policy, ecfg_h,
+                              smooth_last=s_last)
+            ppl_s = ppl_of(lambda t: E.forward(packed_s, t, cfg, rpolicy)[0])
+            print(f"engine (relaxed + W4 head + smooth_last) ppl: "
+                  f"{ppl_s:.3f} (Δ {ppl_s - ppl_fp:+.3f})")
+            assert ppl_s <= ppl_h + max(0.005 * ppl_h, 0.02), \
+                f"smooth_last must not hurt the W4 head ({ppl_s} vs {ppl_h})"
 
     # weight-only serving mode (W4A16 g-grouped; the reference's auto_gptq
     # path): fp activations, so ppl must land between FP and the A8 engine —

@@ -101,13 +101,25 @@ def main():
             return n, time.perf_counter() - t0
 
         run(mnt // 2, 0)                              # warmup/compile
-        n1, t1 = run(mnt // 2, 1)
-        n2, t2 = run(mnt * 2, 2)
-        if t2 - t1 > 0.05:
-            tps = (n2 - n1) / (t2 - t1)
-            results[f"offline_bs{slots}_tok_s"] = round(tps, 1)
-            print(f"offline batcher bs={slots}: {tps:.1f} tok/s "
-                  f"(marginal over {n2 - n1} tokens)", flush=True)
+        # marginal pairs are relay-noise-prone on ~1 s runs (one hiccup in
+        # t1 doubles the apparent rate): take the median of 3 pairs and
+        # refuse rates above the in-graph ceiling (SKILL.md guard pattern)
+        vals = []
+        for rep in range(3):
+            n1, t1 = run(mnt // 2, 1 + 2 * rep)
+            n2, t2 = run(mnt * 2, 2 + 2 * rep)
+            if t2 - t1 > (n2 - n1) * 20e-6:
+                vals.append((n2 - n1) / (t2 - t1))
+        if vals:
+            tps = float(np.median(vals))
+            if tps > 1e5:
+                print(f"offline bs={slots}: non-physical marginal "
+                      f"({vals}), dropped", flush=True)
+            else:
+                results[f"offline_bs{slots}_tok_s"] = round(tps, 1)
+                print(f"offline batcher bs={slots}: {tps:.1f} tok/s "
+                      f"(median of {len(vals)} marginal pairs: "
+                      f"{[round(v, 1) for v in vals]})", flush=True)
         del cb
 
     # --- online HTTP: concurrent requests, per-request wall latency -----
@@ -118,10 +130,14 @@ def main():
         from mobilequant_tpu.runtime.server import (InferenceServer,
                                                     make_http_server)
 
+        # ONLINE serving: cap the pipeline depth — adaptive (0) maximizes
+        # throughput but holds every wave's tokens until one big sync, which
+        # is the wrong tradeoff for per-request latency
         cb = ContinuousBatcher(packed, cfg, policy, ecfg,
                                batch_slots=args.slots,
                                chunk_prefill=max(seq // 8, 16),
                                chunk_decode=args.chunk_decode,
+                               pipeline_ticks=2,
                                sampler=SamplerConfig(greedy=True))
         srv = InferenceServer(cb)
         srv.start()
