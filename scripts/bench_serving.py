@@ -101,25 +101,21 @@ def main():
             return n, time.perf_counter() - t0
 
         run(mnt // 2, 0)                              # warmup/compile
-        # marginal pairs are relay-noise-prone on ~1 s runs (one hiccup in
-        # t1 doubles the apparent rate): take the median of 3 pairs and
-        # refuse rates above the in-graph ceiling (SKILL.md guard pattern)
-        vals = []
-        for rep in range(3):
-            n1, t1 = run(mnt // 2, 1 + 2 * rep)
-            n2, t2 = run(mnt * 2, 2 + 2 * rep)
-            if t2 - t1 > (n2 - n1) * 20e-6:
-                vals.append((n2 - n1) / (t2 - t1))
-        if vals:
-            tps = float(np.median(vals))
-            if tps > 1e5:
-                print(f"offline bs={slots}: non-physical marginal "
-                      f"({vals}), dropped", flush=True)
-            else:
-                results[f"offline_bs{slots}_tok_s"] = round(tps, 1)
-                print(f"offline batcher bs={slots}: {tps:.1f} tok/s "
-                      f"(median of {len(vals)} marginal pairs: "
-                      f"{[round(v, 1) for v in vals]})", flush=True)
+        # HEADLINE = absolute end-to-end throughput of the long run (all
+        # prefills, refills and syncs included — an honest lower bound the
+        # relay cannot inflate). The marginal pair is kept as a secondary
+        # diagnostic: on ~1 s runs a single relay hiccup in t1 makes it
+        # exceed even the in-graph ceiling (26.7k observed for a bs=32 W8
+        # batcher whose raw decode rate is ~12k), so it is reported but
+        # never the recorded metric.
+        n1, t1 = run(mnt // 2, 1)
+        n2, t2 = run(mnt * 2, 2)
+        abs_tps = n2 / t2
+        results[f"offline_bs{slots}_tok_s"] = round(abs_tps, 1)
+        marg = (n2 - n1) / (t2 - t1) if t2 - t1 > (n2 - n1) * 20e-6 else None
+        print(f"offline batcher bs={slots}: {abs_tps:.1f} tok/s absolute "
+              f"({n2} tokens in {t2:.2f}s incl prefills/refills; marginal "
+              f"diagnostic {marg and round(marg, 1)})", flush=True)
         del cb
 
     # --- online HTTP: concurrent requests, per-request wall latency -----
