@@ -127,8 +127,17 @@ def stats_to_act_dict(stats: dict, config: ModelConfig) -> dict:
             name = f"model.layers.{i}.{site}"
             entry = out.setdefault(name, {})
             for role, e in roles.items():
-                entry[role] = [float(np.asarray(e["min"])[i]),
-                               float(np.asarray(e["max"])[i])]
+                if "emin" in e:    # per-expert MoE envelopes -> lists
+                    emn = np.asarray(e["emin"])[i]
+                    emx = np.asarray(e["emax"])[i]
+                    fb_n = float(np.asarray(e["min"])[i])
+                    fb_x = float(np.asarray(e["max"])[i])
+                    entry[role] = [
+                        [float(v) if np.isfinite(v) else fb_n for v in emn],
+                        [float(v) if np.isfinite(v) else fb_x for v in emx]]
+                else:
+                    entry[role] = [float(np.asarray(e["min"])[i]),
+                                   float(np.asarray(e["max"])[i])]
     return out
 
 

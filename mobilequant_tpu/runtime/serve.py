@@ -324,18 +324,27 @@ class ContinuousBatcher:
         req.pos = T
         return first
 
-    def _install(self, req: Request, slot: int, first_dev):
-        first = int(jax.device_get(first_dev))
-        req.out.append(first)
-        self._last_tokens[slot] = first
-        self.active[slot] = req
+    def _install_many(self, pending):
+        """Install prefilled requests into their slots with ONE host fetch
+        for all first tokens (each individual device_get is a full relay
+        round trip — measured ~15-25 ms; a 32-slot refill wave paid it 32x)."""
+        if not pending:
+            return
+        firsts = jax.device_get(jnp.stack([f for _, _, f in pending]))
+        for (slot, req, _), first in zip(pending, firsts):
+            first = int(first)
+            req.out.append(first)
+            self._last_tokens[slot] = first
+            self.active[slot] = req
 
     def _fill_free_slots(self):
         free = [s for s in range(self.B) if s not in self.active]
+        pending = []
         while free and self.queue:
             slot = free.pop(0)
             req = self.queue.popleft()
-            self._install(req, slot, self._prefill_into(req, slot))
+            pending.append((slot, req, self._prefill_into(req, slot)))
+        self._install_many(pending)
 
     def _retire(self, slot: int):
         req = self.active.pop(slot)
@@ -485,7 +494,7 @@ class ContinuousBatcher:
                 self._last_tokens[slot] = piece[-1]
         for slot, nreq, first_dev in pending:
             assert slot not in self.active    # guaranteed retirement above
-            self._install(nreq, slot, first_dev)
+        self._install_many([(slot, nreq, f) for slot, nreq, f in pending])
         return len(self.active)
 
     def run(self) -> dict[int, list[int]]:
