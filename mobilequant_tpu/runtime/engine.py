@@ -924,7 +924,10 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         # quantization fold into the stacked qkv matmul (the attention-side
         # twin of w13_gate_stacked; ops/pallas_qkv.py)
         spq = _sp("qkv_proj")
-        if spq is not None:
+        # W4 packs only: measured -0.88 ms/pass there (16.41 -> 15.53 at
+        # T=1024); on W8 the custom-call boundary unfuses two ~54 us/layer
+        # reduce fusions and the net is slightly NEGATIVE (15.05 -> 15.34)
+        if spq is not None and spq["wq"].shape[1] * 2 == D:
             from mobilequant_tpu.ops import pallas_qkv as _PQ
             if _PQ.qkv_kernel_supported(c, spq["wq"].shape[2],
                                         spq["wq"].shape[1]):

@@ -1080,6 +1080,8 @@ def test_qkv_rope_kernel_matches_engine(variant):
     packed = E.pack(params, ranges, cfg, base, ecfg)
     spq = packed["layers"]["qkv_proj"]
     assert PQ.qkv_kernel_supported(cfg, spq["wq"].shape[2], spq["wq"].shape[1])
+    # W8 packs are gated OUT of the engine dispatch (measured slightly
+    # negative on chip) — the llama_w8 variant verifies the fallback
     prefill = np.random.default_rng(1).integers(
         0, cfg.vocab_size, (2, 48)).astype(np.int32)
     kc = KernelConfig(gate_kernel=True)
