@@ -14,6 +14,13 @@ unpinned version anyway. tests/test_harness.py exercises the plumbing
 against a stub of this exact surface; the REAL-harness integration smoke
 (test_real_lm_eval_wikitext_smoke) self-activates wherever lm_eval is
 importable.
+
+KNOWN RISK (standing, environment-bound): lm_eval is NOT installed in the
+build image, so this adaptor has never executed against the real harness —
+only against the stub. The version pin and self-activating smoke bound the
+risk; the first checkpoint-equipped deployment should run
+`pytest tests/test_harness.py -k real_lm_eval` before trusting harness
+numbers (PARITY_RUNBOOK.md step 5).
 """
 
 from __future__ import annotations

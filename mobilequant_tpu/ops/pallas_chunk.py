@@ -92,10 +92,13 @@ def _pick_attn_bblk(B: int, Hkv: int, S: int, hd: int,
 
 
 def chunk_kernel_supported(c, max_seq_len: int, B: int) -> bool:
-    """Static shape gate for fused_model_w4_chunk."""
+    """Static shape gate for fused_model_w4_chunk. B > 8 matches the engine's
+    staging-extras gate (engine.forward only hands the kernel its cache/rope
+    extras when staging is active and B > 8) — admitting B == 8 here would
+    make bench_batch --chunk silently measure the XLA fallback at bs=8."""
     from mobilequant_tpu.ops.pallas_layer import layer_kernel_supported
     per_seq = c.num_kv_heads * max_seq_len * c.head_dim_
-    return (8 <= B <= 128 and B % 8 == 0
+    return (8 < B <= 128 and B % 8 == 0
             and per_seq <= 4 * 1024 * 1024
             and layer_kernel_supported(c, max_seq_len))
 
@@ -115,18 +118,28 @@ def _chunk_mlp_phase(m, x_get, out_set, nw_ref, nb_ref,
                      w1lo_ref, w1hi_ref, w3lo_ref, w3hi_ref, aux13_ref,
                      w2p_refs, aux2_ref, acc_ref, rsum_ref, h_ref,
                      *, act_kind: str, norm_kind: str, half_f: int,
-                     wbits: int):
+                     wbits: int, site_on: tuple = (True,) * 9):
     """Whole-MLP-block body for the chunk kernel's single MLP phase: the four
     w13 quarters + w2 arrive as FULL half_f-wide blocks (5 DMAs/layer), and
     the compute loops over _pick_tc-wide f-chunks so the (B, tc) gate-chain
     intermediates stay in registers. Same math as pallas_mlp._w4_mlp_phase
-    (one fused norm->w13->act->w2->residual block, qmax-gated fq sites)."""
+    (one fused norm->w13->act->w2->residual block).
+
+    site_on: STATIC enables for the 9 optional fake-quant sites in
+    _w4_mlp_phase order (x16, w1out, sig, actout, w3out, w2out, resid_in,
+    resid_in2, resid_out) — the relaxed serving policy disables 5 of them,
+    and skipping them at trace time saves the dead full-width VPU chains
+    (the meta qmax=0 convention alone still computes and discards them)."""
     M, K = h_ref.shape
     K2 = K // 2
     tc = _pick_tc(half_f)
     F = 2 * half_f
+    s_x16, s_w1, s_sig, s_act, s_w3, s_w2o, s_r1, s_r2, s_ro = site_on
 
-    x = _fq(x_get(), m(16), m(17), m(18))
+    def fq_on(xv, i0, on):
+        return _fq(xv, m(i0), m(i0 + 1), m(i0 + 2)) if on else xv
+
+    x = fq_on(x_get(), 16, s_x16)
     if norm_kind == "layernorm":
         mu = jnp.mean(x, axis=1, keepdims=True)
         var = jnp.mean(jnp.square(x - mu), axis=1, keepdims=True)
@@ -165,16 +178,16 @@ def _chunk_mlp_phase(m, x_get, out_set, nw_ref, nb_ref,
         return acc * (m(0) * sc) + b
 
     def gate(g1, g3):
-        g1 = _fq(g1, m(2), m(3), m(4))
+        g1 = fq_on(g1, 2, s_w1)
         if act_kind == "silu":
             sig = 1.0 / (1.0 + jnp.exp(-g1))
-            sig = _fq(sig, m(5), m(6), m(7))
+            sig = fq_on(sig, 5, s_sig)
             act = g1 * sig
         else:
             t_ = 0.7978845608028654 * (g1 + 0.044715 * g1 * g1 * g1)
             act = 0.5 * g1 * (1.0 + jnp.tanh(t_))
-        act = _fq(act, m(8), m(9), m(10))
-        g3 = _fq(g3, m(11), m(12), m(13))
+        act = fq_on(act, 8, s_act)
+        g3 = fq_on(g3, 11, s_w3)
         return act * g3
 
     for t in range(half_f // tc):
@@ -219,10 +232,10 @@ def _chunk_mlp_phase(m, x_get, out_set, nw_ref, nb_ref,
     yv = acc_ref[:].astype(jnp.float32)
     yv = (yv - ox2 * c2 - o2 * rsum_ref[:].astype(jnp.float32)
           + F * ox2 * o2) * (m(14) * s2) + b2
-    yv = _fq(yv, m(20), m(21), m(22))
-    xr = _fq(x_get(), m(23), m(24), m(25))
-    yv = _fq(yv, m(26), m(27), m(28))
-    out_set(_fq(xr + yv, m(29), m(30), m(31)))
+    yv = fq_on(yv, 20, s_w2o)
+    xr = fq_on(x_get(), 23, s_r1)
+    yv = fq_on(yv, 26, s_r2)
+    out_set(fq_on(xr + yv, 29, s_ro))
 
 
 def _chunk_kernel(meta_ref, pos_ref, mst_ref,
@@ -237,7 +250,7 @@ def _chunk_kernel(meta_ref, pos_ref, mst_ref,
                   nab: int, Bblk: int,
                   half_f: int, act_kind: str, norm_kind: str, perm: bool,
                   wbits: int, B: int, qk_fq_on: bool, pv_fq_on: bool,
-                  dbg: str = ""):
+                  site_on: tuple = (True,) * 9, dbg: str = ""):
     if nv:
         (hnw_ref, hnb_ref, hwq_ref, haux_ref,
          out_ref, kvnew_ref, lout_ref,
@@ -536,7 +549,7 @@ def _chunk_kernel(meta_ref, pos_ref, mst_ref,
                              else (w2p_ref, w2b_ref),
                              aux2_ref, acc_ref, rsum_ref, h_ref,
                              act_kind=act_kind, norm_kind=norm_kind,
-                             half_f=half_f, wbits=wbits)
+                             half_f=half_f, wbits=wbits, site_on=site_on)
         else:
             _w4_mlp_phase(j - (nqa + 1), nh, lambda i: m(ATTN_META_LEN + i),
                           lambda: resid_scr[:], out_set,
@@ -545,7 +558,7 @@ def _chunk_kernel(meta_ref, pos_ref, mst_ref,
                           (w2p_ref,) if wbits == 4 else (w2p_ref, w2b_ref),
                           aux2_ref, acc_ref, rsum_ref, h_ref,
                           act_kind=act_kind, norm_kind=norm_kind,
-                          half_f=half_f, wbits=wbits)
+                          half_f=half_f, wbits=wbits, site_on=site_on)
 
     if nv:
         @pl.when(jnp.logical_and(jj >= LP, jnp.bool_("nohead" not in dbg)))
@@ -558,7 +571,7 @@ def _chunk_kernel(meta_ref, pos_ref, mst_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "num_q_heads", "num_kv_heads", "head_dim", "rotary_dim", "act_kind",
-    "norm_kind", "qk_fq_on", "pv_fq_on", "interpret"))
+    "norm_kind", "qk_fq_on", "pv_fq_on", "site_on", "interpret"))
 def fused_model_w4_chunk(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
                          qkv_ofq_L: jax.Array, anw_L, anb_L, qkvsp: dict,
                          osp: dict, mnw_L, mnb_L, w13sp: dict, w2sp: dict,
@@ -569,7 +582,9 @@ def fused_model_w4_chunk(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
                          num_q_heads: int, num_kv_heads: int, head_dim: int,
                          rotary_dim: int, act_kind: str = "silu",
                          norm_kind: str = "rmsnorm", qk_fq_on: bool = False,
-                         pv_fq_on: bool = False, interpret: bool = False):
+                         pv_fq_on: bool = False,
+                         site_on: tuple = (True,) * 9,
+                         interpret: bool = False):
     """ALL decoder layers of the packed engine for one B-row decode step on
     the chunked-staging path, in ONE dispatch (see module docstring).
 
@@ -605,7 +620,14 @@ def fused_model_w4_chunk(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
     perm = hd % 128 != 0
     bblk_env = os.environ.get("MQTPU_CHUNK_BBLK")
     if bblk_env:
+        # round a non-divisor override DOWN to the nearest divisor of B:
+        # nab = B // Bblk truncates, and a truncated nab would skip the
+        # trailing B % Bblk sequences' attention phases entirely (their
+        # macc_scr rows would be consumed as stale scratch — silent wrong
+        # logits)
         Bblk = min(int(bblk_env), B)
+        while B % Bblk:
+            Bblk -= 1
     else:
         Bblk = _pick_attn_bblk(B, Hkv, S, hd)
     nab = B // Bblk
@@ -696,6 +718,7 @@ def fused_model_w4_chunk(x: jax.Array, pos: jax.Array, rope_cs: jax.Array,
         hd=hd, rot=rot, nq=nq, nh=nh, nab=nab, Bblk=Bblk,
         half_f=half_f, act_kind=act_kind, norm_kind=norm_kind, perm=perm,
         wbits=wbits, B=B, qk_fq_on=qk_fq_on, pv_fq_on=pv_fq_on,
+        site_on=tuple(site_on),
         dbg=os.environ.get("MQTPU_CHUNK_DEBUG", ""))
     wbytes = L * (K2w * Nq + Kor * K + K2w * F2 + w2sp["wq"].shape[1] * K)
     R2rows = max(Nq // 128, 1) if perm else R

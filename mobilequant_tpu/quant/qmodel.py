@@ -197,9 +197,14 @@ class QuantOps(M.Ops):
         return self._fq_act(site, "output", y)
 
     def expert_linear(self, site, x, w, b):
-        """MoE expert projections: same policy as the dense site; per-tensor
-        quantizers apply across the stacked expert axis (coarser than the
-        reference's per-expert module instances — documented limitation)."""
+        """MoE expert projections: same policy table as the dense site, with
+        PER-EXPERT activation ranges when calibration produced them — the
+        emin/emax envelopes recorded over each expert's routed tokens
+        (_record above; calibrate.stats_to_ranges) arrive as (E,) scale/
+        offset vectors that _fq_act broadcasts over the (B,T,E,·) expert
+        axis, matching the reference's per-expert QLinear instances
+        (ref hf_model.py:1065-1162). Scalar per-stack ranges remain the
+        fallback for experts never routed during calibration."""
         x = self._fq_act(site, "input", x)
         w = self._fq_weight(site, w)
         y = super().expert_linear(site, x, w, b)

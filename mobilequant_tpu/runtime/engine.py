@@ -1624,7 +1624,8 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
             act_kind=c.hidden_act,
             norm_kind="layernorm" if c.norm_class == "layernorm" else "rmsnorm",
             qk_fq_on=bool(qk_out_cfg is not None and qk_out_cfg.enabled),
-            pv_fq_on=bool(pv_in_cfg is not None and pv_in_cfg.enabled))
+            pv_fq_on=bool(pv_in_cfg is not None and pv_in_cfg.enabled),
+            site_on=_mlp_block_site_on(policy))
         if hfold:
             hm, kvnew, lg = res
             logits = lg[:, :c.vocab_size].reshape(B, T, c.vocab_size)

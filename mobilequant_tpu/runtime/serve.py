@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import itertools
+import logging
 import time
 from collections import deque
 from typing import Optional
@@ -35,6 +36,8 @@ from mobilequant_tpu.quant.policy import QPolicy
 from mobilequant_tpu.runtime import engine as E
 from mobilequant_tpu.runtime.sampling import (SamplerConfig, sample,
                                               sample_batched, sampler_arrays)
+
+_log = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass
@@ -492,9 +495,30 @@ class ContinuousBatcher:
                 self._retire(slot)       # tail rows past EOS are overwritten
             else:                         # by the next prefill into this slot
                 self._last_tokens[slot] = piece[-1]
+        installable = []
         for slot, nreq, first_dev in pending:
-            assert slot not in self.active    # guaranteed retirement above
-        self._install_many([(slot, nreq, f) for slot, nreq, f in pending])
+            if slot in self.active:
+                # Should be impossible: the overlapped-refill condition above
+                # only picks slots whose retirement after this batch is
+                # guaranteed (EOS retires earlier, never later). If a future
+                # change to the piece-trimming/retire conditions breaks that,
+                # never overwrite the live request's slot state — requeue the
+                # prefilled request at the queue head (its state reset for a
+                # fresh prefill) and surface the anomaly loudly. The live
+                # request's cache rows were already clobbered by the
+                # dispatched prefill; its output is suspect from here on.
+                _log.error(
+                    "overlapped refill anomaly: slot %d did not retire; "
+                    "requeuing request %d (live request %d's KV rows were "
+                    "overwritten — its output is corrupt)",
+                    slot, nreq.rid, self.active[slot].rid)
+                nreq.slot = -1
+                nreq.pos = 0
+                nreq.out.clear()
+                self.queue.appendleft(nreq)
+                continue
+            installable.append((slot, nreq, first_dev))
+        self._install_many(installable)
         return len(self.active)
 
     def run(self) -> dict[int, list[int]]:

@@ -111,16 +111,38 @@ def main():
                         return toks
                     return chunk
 
+                # dispatch spy: a "chunk" row where the kernel never engaged
+                # (e.g. a gate mismatch) would silently measure the XLA
+                # fallback and mislabel it — flag it instead
+                spy_calls = [0]
+                spy_restore = None
+                if tag == "chunk":
+                    import mobilequant_tpu.ops.pallas_chunk as PC
+                    _orig = PC.fused_model_w4_chunk
+
+                    def _spy(*a, _orig=_orig, **kw):
+                        spy_calls[0] += 1
+                        return _orig(*a, **kw)
+
+                    PC.fused_model_w4_chunk = _spy
+                    spy_restore = (PC, _orig)
                 try:
                     tps = time_marginal(
                         make_chunk, packed, lambda: E.init_kv_cache(ecfg, B),
                         B, cfg.vocab_size, args.n1, args.n2) * B
+                    note = ""
+                    if tag == "chunk" and spy_calls[0] == 0:
+                        note = " [WARN: chunk kernel DID NOT DISPATCH — " \
+                               "this row is the XLA/staged fallback]"
                     print(f"W{wb}A8+h{hb} bs={B} [{tag}, btmax={args.btmax}]: "
                           f"{tps:.1f} tok/s total "
                           f"({1000.0 * B / tps:.3f} ms/step, marginal "
-                          f"{args.n1}/{args.n2})", flush=True)
+                          f"{args.n1}/{args.n2}){note}", flush=True)
                 except Exception as e:
                     print(f"W{wb} bs={B} [{tag}] failed: {e!r}", flush=True)
+                finally:
+                    if spy_restore is not None:
+                        spy_restore[0].fused_model_w4_chunk = spy_restore[1]
         del packed
 
 

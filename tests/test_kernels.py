@@ -1034,6 +1034,88 @@ def test_chunk_kernel_matches_staged_engine(variant):
     jax.clear_caches()
 
 
+@pytest.mark.parametrize("bblk", ["4", "5"])
+@pytest.mark.slow
+def test_chunk_kernel_multi_batch_tiles_match_staged_engine(
+        bblk, monkeypatch):
+    """nab > 1 parity for the chunk kernel's batch-tiled attention phases:
+    every other CPU test resolves _pick_attn_bblk to Bblk == B (one attention
+    phase), while production shapes (S=1024, B=32 → nab=4) exercise the
+    STAGGERED k_map/v_map index maps (negative phase offsets) only on real
+    hardware — an off-by-one-phase map would silently corrupt attention.
+    MQTPU_CHUNK_BBLK=4 forces nab=4 at B=16 in interpret mode; the "5"
+    variant checks a NON-divisor override rounds down to a divisor instead
+    of truncating nab (which would skip the trailing sequences' attention
+    and consume stale macc_scr scratch). Staggered per-slot positions make
+    the per-tile pos indexing observable."""
+    import dataclasses
+    import mobilequant_tpu.ops.pallas_chunk as PC
+    from mobilequant_tpu.models import get_config
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant import calibrate
+    from mobilequant_tpu.quant.policy import default_policy, relax_16bit
+    from mobilequant_tpu.runtime import engine as E
+    from mobilequant_tpu.runtime.kernel_config import KernelConfig
+
+    monkeypatch.setenv("MQTPU_CHUNK_BBLK", bblk)
+    cfg = dataclasses.replace(
+        get_config("test-llama"), hidden_size=256, intermediate_size=512,
+        num_heads=8, num_kv_heads=4, head_dim=64, num_layers=2)
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    base = default_policy(cfg,
+                          QuantConfig(bitwidth=4, is_per_channel=True,
+                                      is_symmetric=True),
+                          QuantConfig(bitwidth=8))
+    tokens = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 8)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, base, batch_size=2)
+    ranges = calibrate.stats_to_ranges(stats, base)
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=128, weight_bits=4,
+                          head_bits=4)
+    packed = E.pack(params, ranges, cfg, base, ecfg)
+    relax = relax_16bit(base)
+
+    import mobilequant_tpu.ops.pallas_matmul as PM
+    oc, om = PC.fused_model_w4_chunk, PM.w4a8_matmul
+    PM.w4a8_matmul = functools.partial(om, interpret=True)
+    calls = [0]
+
+    def spy(*a, **kw):
+        calls[0] += 1
+        return functools.partial(oc, interpret=True)(*a, **kw)
+
+    PC.fused_model_w4_chunk = spy
+    try:
+        B, Tp, n = 16, 5, 4
+        t = jnp.asarray(np.tile(tokens[:2], (8, 1)))[:, :Tp]
+        ca, cb = E.init_kv_cache(ecfg, B), E.init_kv_cache(ecfg, B)
+        pos0 = jnp.zeros((B,), jnp.int32)
+        lg, ca = E.forward(packed, t, cfg, relax, kv_cache=ca,
+                           cache_position=pos0,
+                           kv_valid_len=jnp.full((B,), Tp, jnp.int32))
+        _, cb = E.forward(packed, t, cfg, relax, kv_cache=cb,
+                          cache_position=pos0,
+                          kv_valid_len=jnp.full((B,), Tp, jnp.int32))
+        first = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)[:, None]
+        # staggered positions: each batch tile must read its own pos rows
+        pos = jnp.asarray([Tp, Tp - 1, Tp - 2, Tp] * 4, jnp.int32)
+        _, c_ref, l_ref = E.decode_loop(packed, first, ca, pos, n, cfg,
+                                        relax, use_pallas=False,
+                                        staging_chunk=2)
+        _, c_k, l_k = E.decode_loop(packed, first, cb, pos, n, cfg, relax,
+                                    use_pallas=KernelConfig(chunk_kernel=True),
+                                    staging_chunk=2)
+        assert calls[0] > 0
+        np.testing.assert_allclose(np.asarray(l_k), np.asarray(l_ref),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(c_k.k), np.asarray(c_ref.k))
+        np.testing.assert_array_equal(np.asarray(c_k.v), np.asarray(c_ref.v))
+    finally:
+        PC.fused_model_w4_chunk = oc
+        PM.w4a8_matmul = om
+    jax.clear_caches()
+
+
 @pytest.mark.parametrize("variant", ["llama_w4", "llama_w8",
                                      "stablelm_partial", "gemma_hd128"])
 def test_qkv_rope_kernel_matches_engine(variant):
