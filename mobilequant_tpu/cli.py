@@ -603,7 +603,7 @@ def cmd_serve(args):
         packed, cfg, policy, ecfg, batch_slots=args.batch_slots,
         sampler=sampler, eos_token_id=args.eos if args.eos >= 0 else None,
         chunk_prefill=args.chunk_prefill, chunk_decode=args.chunk_decode,
-        seed=args.seed)
+        seed=args.seed, spec_k=getattr(args, "spec_k", 0))
 
     if args.http is not None:
         from mobilequant_tpu.runtime.server import (InferenceServer,
@@ -913,6 +913,10 @@ def build_parser():
     q.add_argument("--chunk_decode", type=int, default=1,
                    help="advance active slots N tokens per in-graph tick "
                         "(N x fewer host dispatches; greedy/temperature only)")
+    q.add_argument("--spec_k", type=int, default=0,
+                   help=">=2 enables speculative tail ticks: in-graph "
+                        "prompt-lookup draft+verify rounds when exactly one "
+                        "greedy request is active (latency-bound phases)")
     q.add_argument("--temperature", type=float, default=0.0)
     q.add_argument("--seed", type=int, default=0)
     q.add_argument("--bos", type=int, default=1)

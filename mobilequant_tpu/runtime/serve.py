@@ -58,7 +58,8 @@ class ContinuousBatcher:
                  sampler: SamplerConfig = SamplerConfig(greedy=True),
                  eos_token_id: Optional[int] = None, seed: int = 0,
                  mesh=None, chunk_prefill: Optional[int] = None,
-                 chunk_decode: int = 1, pipeline_ticks: int = 0):
+                 chunk_decode: int = 1, pipeline_ticks: int = 0,
+                 spec_k: int = 0):
         """mesh: optional jax.sharding.Mesh — weights go tensor-parallel over
         "tp" and the slot axis of the KV cache shards over "dp"
         (parallel/sharding.packed_pspecs / kv_cache_pspec). batch_slots must be
@@ -90,7 +91,25 @@ class ContinuousBatcher:
         A slot that hits EOS mid-pipeline wastes its remaining rows (the
         output is truncated at EOS; KV rows past it are overwritten by the
         next prefill into the slot — the same invariant chunked ticks
-        already rely on)."""
+        already rely on).
+
+        Refill prefills BATCH: all pending installs in a wave run as ONE
+        (Bn, C) chunked-prefill dispatch sequence (or one bucketed pass) —
+        batched prefill is measured flat-in-B (BENCHMARKS.md), so a 32-slot
+        refill wave pays 1 relay dispatch per chunk instead of 32
+        (_prefill_many; group sizes pad to powers of two so compiled shapes
+        are reused, padded rows duplicate a real row and their adopt is a
+        bit-identical no-op write).
+
+        spec_k >= 2 enables SPECULATIVE tail ticks: when exactly one greedy
+        request is active and the queue is empty (the latency-bound drain
+        phase / single-stream serving), the batcher runs in-graph
+        prompt-lookup draft→verify rounds (generate._ig_lookup_draft; the
+        bs=1 path realizes 2.2-2.5× — BENCHMARKS.md speculative) against a
+        copy of the slot's cache rows and writes them back. Emitted tokens
+        are the verify program's own greedy chain (draft quality only
+        affects speed). Replaces the single-stream C++ loop's role,
+        ref capp/src/llm.cpp:545-648."""
         self.ecfg = ecfg or E.EngineConfig(model=config)
         # weight-only mode (act_bits=16): same batcher over the wonly engine
         # (fp activations + fp KV cache; slot axis is 1 in both cache layouts)
@@ -218,6 +237,27 @@ class ContinuousBatcher:
 
         self._prefill = prefill_slot
 
+        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        def prefill_slots_b(packed, tokens, k_cache, v_cache, slots, lengths):
+            # batched bucketed refill: tokens (Bn, bucket), per-sequence
+            # lengths; writes every sequence's K/V segment into its slot
+            # (slots (Bn,)) — ONE dispatch for the whole wave
+            Bn, bucket = tokens.shape
+            positions = jnp.broadcast_to(jnp.arange(bucket)[None, :],
+                                         (Bn, bucket))
+            logits, seg = _mod.forward(
+                packed, tokens, cfg, pol, positions=positions,
+                kv_valid_len=lengths, use_pallas=up_prefill,
+                logits_at=lengths - 1)
+            for i in range(Bn):
+                k_cache = jax.lax.dynamic_update_slice(
+                    k_cache, seg.k[:, i:i + 1], (0, slots[i], 0, 0, 0))
+                v_cache = jax.lax.dynamic_update_slice(
+                    v_cache, seg.v[:, i:i + 1], (0, slots[i], 0, 0, 0))
+            return logits, k_cache, v_cache
+
+        self._prefill_slots_b = prefill_slots_b
+
         self.chunk = chunk_prefill
         if chunk_prefill is not None:
             assert self.ecfg.max_seq_len % chunk_prefill == 0
@@ -246,8 +286,106 @@ class ContinuousBatcher:
                     v_cache, sv, (0, slot, 0, 0, 0))
                 return k_cache, v_cache
 
+            @functools.partial(jax.jit, donate_argnums=(2,))
+            def prefill_chunk_b(packed, tokens, scratch_cache, start, valid):
+                # batched chunked refill: tokens (Bn, C) through a (L, Bn, …)
+                # scratch cache, per-sequence valid lengths (the group shares
+                # n_chunks, so every sequence's last valid row lands in the
+                # final chunk and logits_at selects it per row)
+                Bn, C = tokens.shape
+                positions = jnp.broadcast_to(
+                    (start + jnp.arange(C))[None, :], (Bn, C))
+                logits, nc = _mod.forward(
+                    packed, tokens, cfg, pol, positions=positions,
+                    kv_cache=scratch_cache,
+                    cache_position=jnp.full((Bn,), start, jnp.int32),
+                    kv_valid_len=valid,
+                    use_pallas=up_prefill,
+                    logits_at=jnp.clip(valid - 1 - start, 0, C - 1))
+                return logits, nc.k, nc.v
+
+            @functools.partial(jax.jit, donate_argnums=(1, 2))
+            def adopt_slots(slots, k_cache, v_cache, sk, sv):
+                # (duplicate slots from padded rows rewrite identical bytes)
+                for i in range(sk.shape[1]):
+                    k_cache = jax.lax.dynamic_update_slice(
+                        k_cache, sk[:, i:i + 1], (0, slots[i], 0, 0, 0))
+                    v_cache = jax.lax.dynamic_update_slice(
+                        v_cache, sv[:, i:i + 1], (0, slots[i], 0, 0, 0))
+                return k_cache, v_cache
+
             self._prefill_chunk = prefill_chunk
             self._adopt_slot = adopt_slot
+            self._prefill_chunk_b = prefill_chunk_b
+            self._adopt_slots = adopt_slots
+
+        # --- speculative tail ticks (spec_k >= 2) -------------------------
+        self.spec_k = max(int(spec_k), 0)
+        if self.spec_k >= 2:
+            if _mod is not E:
+                up_spec = self.ecfg.use_pallas \
+                    and jax.default_backend() != "cpu"
+            elif jax.default_backend() == "cpu":
+                up_spec = False
+            else:
+                # T=k verify rows: the scan engine path (the whole-model
+                # kernel is T=1-only) — same choice as Generator's verify
+                up_spec = "w4nomodelk" if self.ecfg.weight_bits == 4 \
+                    else False
+
+            @jax.jit
+            def spec_extract(k_cache, v_cache, slot):
+                return (jax.lax.dynamic_slice_in_dim(k_cache, slot, 1, 1),
+                        jax.lax.dynamic_slice_in_dim(v_cache, slot, 1, 1))
+
+            @functools.partial(jax.jit, donate_argnums=(1, 2))
+            def spec_write(slot, k_cache, v_cache, k1, v1):
+                return (jax.lax.dynamic_update_slice(
+                            k_cache, k1, (0, slot, 0, 0, 0)),
+                        jax.lax.dynamic_update_slice(
+                            v_cache, v1, (0, slot, 0, 0, 0)))
+
+            kk = self.spec_k
+            from mobilequant_tpu.runtime.generate import _ig_lookup_draft
+
+            @functools.partial(jax.jit, static_argnums=(5,),
+                               donate_argnums=(2,))
+            def spec_rounds(packed, cur, cache1, pos, buf, n_rounds, blen):
+                # n_rounds greedy draft→verify rounds on a bs=1 cache slice,
+                # one dispatch (the batcher twin of Generator._spec_chunk_fn
+                # without the self-draft arm); emits the verify program's own
+                # greedy chain for any draft quality
+                def round_(carry, _):
+                    cur, cache, pos, buf, blen = carry
+                    drafts = _ig_lookup_draft(buf, blen, kk - 1)
+                    toks = jnp.concatenate([cur, drafts])[None, :]
+                    logits, cache = _mod.forward(
+                        packed, toks, cfg, pol,
+                        positions=(pos[0] + jnp.arange(kk))[None, :],
+                        kv_cache=cache, cache_position=pos,
+                        kv_valid_len=pos + kk, use_pallas=up_spec)
+                    am = jnp.argmax(logits[0], -1).astype(jnp.int32)
+                    acc = jnp.cumprod(
+                        (drafts == am[:kk - 1]).astype(jnp.int32))
+                    n_acc = jnp.sum(acc)
+                    bonus = am[n_acc]
+                    emitted = jnp.where(
+                        jnp.arange(kk) < n_acc,
+                        jnp.concatenate([drafts, drafts[-1:]]), bonus)
+                    buf = jax.lax.dynamic_update_slice(buf, emitted, (blen,))
+                    adv = n_acc + 1
+                    return (bonus[None], cache, pos + adv, buf, blen + adv), \
+                        (emitted, adv)
+
+                init = (cur, self._kvc(k=cache1[0], v=cache1[1]), pos, buf,
+                        blen)
+                (cur, cache, pos, buf, blen), (toks_r, counts) = \
+                    jax.lax.scan(round_, init, None, length=n_rounds)
+                return cache.k, cache.v, toks_r, counts
+
+            self._spec_extract = spec_extract
+            self._spec_write = spec_write
+            self._spec_rounds = spec_rounds
 
     def _prefill_chunked(self, req: "Request", slot: int):
         """Chunked prefill: run the prompt through a per-slot scratch cache in
@@ -327,6 +465,108 @@ class ContinuousBatcher:
         req.pos = T
         return first
 
+    @staticmethod
+    def _pad_pow2(n: int) -> int:
+        return 1 << (n - 1).bit_length()
+
+    def _prefill_many(self, pairs):
+        """Batched refill: prefill all pending (slot, request) pairs with ONE
+        device dispatch per chunk/bucket wave instead of one per request —
+        batched prefill is flat-in-B (BENCHMARKS.md), so this is Bn× fewer
+        relay round trips for free. Groups by n_chunks (chunked mode) or
+        bucket; singleton groups fall back to the per-request path. Returns
+        (slot, req, first_token_device) tuples for _install_many."""
+        if len(pairs) == 1:
+            slot, req = pairs[0]
+            return [(slot, req, self._prefill_into(req, slot))]
+        pending = []
+        groups: dict = {}
+        if self.chunk is not None:
+            for slot, req in pairs:
+                nck = -(-len(req.prompt) // self.chunk)
+                groups.setdefault(nck, []).append((slot, req))
+            for nck, grp in groups.items():
+                if len(grp) == 1:
+                    slot, req = grp[0]
+                    pending.append((slot, req,
+                                    self._prefill_into(req, slot)))
+                else:
+                    pending.extend(self._prefill_group_chunked(grp, nck))
+        else:
+            for slot, req in pairs:
+                groups.setdefault(self._bucket_for(len(req.prompt)),
+                                  []).append((slot, req))
+            for bucket, grp in groups.items():
+                if len(grp) == 1:
+                    slot, req = grp[0]
+                    pending.append((slot, req,
+                                    self._prefill_into(req, slot)))
+                else:
+                    pending.extend(self._prefill_group_bucketed(grp, bucket))
+        return pending
+
+    def _group_sample_first(self, grp, last_logits):
+        """One batched first-token sample for a refill group; returns
+        (slot, req, first_device) pending tuples (padded rows discarded)."""
+        self.key, skey = jax.random.split(self.key)
+        Bp = last_logits.shape[0]
+        effs = [self._eff_sampler(req) for _, req in grp]
+        effs += [SamplerConfig(greedy=True)] * (Bp - len(grp))
+        t, p, k_, g = sampler_arrays(effs)
+        firsts = sample_batched(last_logits, skey, t, p, k_, g)
+        pending = []
+        for i, (slot, req) in enumerate(grp):
+            req.slot = slot
+            req.pos = len(req.prompt)
+            pending.append((slot, req, firsts[i]))
+        return pending
+
+    def _prefill_group_chunked(self, grp, n_chunks):
+        """One (Bp, C)-batched chunked prefill for a same-n_chunks group,
+        adopted into all slots with one scatter dispatch. Bp pads the group
+        to a power of two so compiled shapes are reused across waves; padded
+        rows DUPLICATE the last real request (bit-identical K/V), and their
+        adopt rewrites that slot with identical bytes — a no-op."""
+        C = self.chunk
+        Bn = len(grp)
+        Bp = self._pad_pow2(Bn)
+        rows = [req for _, req in grp] + [grp[-1][1]] * (Bp - Bn)
+        slots = [slot for slot, _ in grp] + [grp[-1][0]] * (Bp - Bn)
+        scratch = self._mod.init_kv_cache(self.ecfg, Bp)
+        sk, sv = scratch.k, scratch.v
+        lens = np.asarray([len(r.prompt) for r in rows], np.int32)
+        last = None
+        for ci in range(n_chunks):
+            tok = np.zeros((Bp, C), np.int32)
+            for i, r in enumerate(rows):
+                piece = r.prompt[ci * C:(ci + 1) * C]
+                tok[i, :len(piece)] = piece
+            valid = np.minimum(lens, (ci + 1) * C).astype(np.int32)
+            last, sk, sv = self._prefill_chunk_b(
+                self.packed, jnp.asarray(tok), self._kvc(k=sk, v=sv),
+                jnp.int32(ci * C), jnp.asarray(valid))
+        k, v = self._adopt_slots(jnp.asarray(slots, jnp.int32),
+                                 self.cache.k, self.cache.v, sk, sv)
+        self.cache = self._kvc(k=k, v=v)
+        return self._group_sample_first(grp, last[:, -1])
+
+    def _prefill_group_bucketed(self, grp, bucket):
+        """One (Bp, bucket)-batched prefill for a same-bucket group; the jit
+        writes every K/V segment into its slot in the same dispatch."""
+        Bn = len(grp)
+        Bp = self._pad_pow2(Bn)
+        rows = [req for _, req in grp] + [grp[-1][1]] * (Bp - Bn)
+        slots = [slot for slot, _ in grp] + [grp[-1][0]] * (Bp - Bn)
+        tok = np.zeros((Bp, bucket), np.int32)
+        for i, r in enumerate(rows):
+            tok[i, :len(r.prompt)] = r.prompt
+        lens = np.asarray([len(r.prompt) for r in rows], np.int32)
+        last, k, v = self._prefill_slots_b(
+            self.packed, jnp.asarray(tok), self.cache.k, self.cache.v,
+            jnp.asarray(slots, jnp.int32), jnp.asarray(lens))
+        self.cache = self._kvc(k=k, v=v)
+        return self._group_sample_first(grp, last[:, -1])
+
     def _install_many(self, pending):
         """Install prefilled requests into their slots with ONE host fetch
         for all first tokens (each individual device_get is a full relay
@@ -342,12 +582,11 @@ class ContinuousBatcher:
 
     def _fill_free_slots(self):
         free = [s for s in range(self.B) if s not in self.active]
-        pending = []
+        pairs = []
         while free and self.queue:
-            slot = free.pop(0)
-            req = self.queue.popleft()
-            pending.append((slot, req, self._prefill_into(req, slot)))
-        self._install_many(pending)
+            pairs.append((free.pop(0), self.queue.popleft()))
+        if pairs:
+            self._install_many(self._prefill_many(pairs))
 
     def _retire(self, slot: int):
         req = self.active.pop(slot)
@@ -360,6 +599,14 @@ class ContinuousBatcher:
         self._fill_free_slots()
         if not self.active:
             return 0
+
+        if self.spec_k >= 2 and len(self.active) == 1 and not self.queue:
+            # latency-bound tail / single-stream phase: speculative rounds
+            slot, req = next(iter(self.active.items()))
+            if self._eff_sampler(req).greedy and req.pos >= 2:
+                r = self._step_speculative(slot, req)
+                if r is not None:
+                    return r
 
         n = self.chunk_decode
         if n > 1 and all(req.pos + n <= self.ecfg.max_seq_len - 1
@@ -426,6 +673,53 @@ class ContinuousBatcher:
                 self._retire(slot)
         return len(self.active)
 
+    def _step_speculative(self, slot: int, req: Request) -> Optional[int]:
+        """Speculative tail tick: in-graph prompt-lookup draft→verify rounds
+        for the lone active greedy request, against a bs=1 copy of its slot's
+        cache rows (written back after). One host sync per ≤8 rounds; each
+        round emits 1..spec_k tokens of the verify program's greedy chain.
+        Returns None when there is no KV headroom for a full round (caller
+        falls through to the regular tick)."""
+        k = self.spec_k
+        S = self.ecfg.max_seq_len
+        budget = req.max_new_tokens - len(req.out)
+        room = (S - 1 - req.pos) // k
+        rounds = min(-(-budget // k), room, 8)
+        if rounds < 1:
+            return None
+        k1, v1 = self._spec_extract(self.cache.k, self.cache.v,
+                                    jnp.int32(slot))
+        hist = [int(t) for t in req.prompt] + req.out
+        buf = np.zeros((S,), np.int32)
+        buf[:len(hist)] = hist                 # buf[blen-1] == current token
+        cur = jnp.asarray([self._last_tokens[slot]], jnp.int32)
+        pos = jnp.full((1,), req.pos, jnp.int32)
+        k1, v1, toks_r, counts = self._spec_rounds(
+            self.packed, cur, (k1, v1), pos, jnp.asarray(buf), rounds,
+            jnp.int32(len(hist)))
+        kc, vc = self._spec_write(jnp.int32(slot), self.cache.k,
+                                  self.cache.v, k1, v1)
+        self.cache = self._kvc(k=kc, v=vc)
+        toks_r, counts = np.asarray(toks_r), np.asarray(counts)   # ONE sync
+        piece = []
+        for r in range(toks_r.shape[0]):
+            piece.extend(int(t) for t in toks_r[r, :counts[r]])
+        # any truncation below (budget / EOS) retires the request, so the
+        # device-side cache/pos overshoot lands in rows the next prefill
+        # into this slot overwrites — the standard chunked-tick invariant
+        piece = piece[:budget]
+        if self.eos is not None and self.eos in piece:
+            piece = piece[:piece.index(self.eos) + 1]
+        req.out.extend(piece)
+        req.pos += len(piece)
+        hit_eos = self.eos is not None and piece and piece[-1] == self.eos
+        if hit_eos or len(req.out) >= req.max_new_tokens or \
+                req.pos >= S - 1:
+            self._retire(slot)
+        else:
+            self._last_tokens[slot] = piece[-1]
+        return len(self.active)
+
     def _step_chunked(self, n: int, per_slot_temps: bool = False,
                       pipeline: int = 1) -> int:
         """Advance every active slot by n·pipeline tokens: `pipeline` chained
@@ -469,14 +763,15 @@ class ContinuousBatcher:
         pending = []
         if self.queue:
             S1 = self.ecfg.max_seq_len - 1
+            pairs = []
             for slot, req in list(self.active.items()):
                 if not self.queue:
                     break
                 if (len(req.out) + n >= req.max_new_tokens
                         or req.pos + n >= S1):
-                    nreq = self.queue.popleft()
-                    pending.append((slot, nreq,
-                                    self._prefill_into(nreq, slot)))
+                    pairs.append((slot, self.queue.popleft()))
+            if pairs:
+                pending = self._prefill_many(pairs)
 
         toks = np.concatenate([np.asarray(t) for t in pieces], axis=1)
         # toks: (B, n)

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--requests", type=int, default=24)
     ap.add_argument("--mnt", type=int, default=64)
     ap.add_argument("--chunk_decode", type=int, default=32)
+    ap.add_argument("--spec_k", type=int, default=0,
+                    help=">=2: speculative tail ticks in the batcher + a "
+                         "single-stream speculative row")
     ap.add_argument("--w_bits", type=int, default=8)
     ap.add_argument("--http", action="store_true", default=True)
     ap.add_argument("--no-http", dest="http", action="store_false")
@@ -89,7 +92,8 @@ def main():
         cb = ContinuousBatcher(packed, cfg, policy, ecfg, batch_slots=slots,
                                chunk_prefill=max(seq // 8, 16),
                                chunk_decode=args.chunk_decode,
-                               sampler=SamplerConfig(greedy=True))
+                               sampler=SamplerConfig(greedy=True),
+                               spec_k=args.spec_k)
 
         def run(n_mnt, salt):
             for p in slot_prompts:
@@ -116,6 +120,34 @@ def main():
         print(f"offline batcher bs={slots}: {abs_tps:.1f} tok/s absolute "
               f"({n2} tokens in {t2:.2f}s incl prefills/refills; marginal "
               f"diagnostic {marg and round(marg, 1)})", flush=True)
+        del cb
+
+    # --- single-stream speculative batcher row (spec_k) -----------------
+    if args.spec_k >= 2:
+        cb = ContinuousBatcher(packed, cfg, policy, ecfg, batch_slots=1,
+                               chunk_prefill=max(seq // 8, 16),
+                               chunk_decode=args.chunk_decode,
+                               sampler=SamplerConfig(greedy=True),
+                               spec_k=args.spec_k)
+        # repetitive prompt: lookup drafting's favorable case (the same one
+        # the Generator speculative rows use — BENCHMARKS.md speculative);
+        # sized to leave the generation budget inside max_seq_len
+        rep = np.tile(np.asarray([7, 3, 9, 4, 11, 5], np.int32),
+                      max(2, (seq // 2 - 2 * mnt) // 6))
+
+        def run1(n_mnt, salt):
+            cb.submit((rep + salt) % cfg.vocab_size, n_mnt)
+            t0 = time.perf_counter()
+            out = cb.run()
+            n = sum(len(v) for v in out.values())
+            cb.done.clear()
+            return n, time.perf_counter() - t0
+
+        run1(mnt // 2, 0)                      # warmup/compile
+        n2, t2 = run1(mnt * 2, 1)
+        results["single_stream_spec_tok_s"] = round(n2 / t2, 1)
+        print(f"single-stream spec_k={args.spec_k}: {n2 / t2:.1f} tok/s "
+              f"absolute ({n2} tokens in {t2:.2f}s incl prefill)", flush=True)
         del cb
 
     # --- online HTTP: concurrent requests, per-request wall latency -----

@@ -77,6 +77,100 @@ def _engine_setup():
     return cfg, policy, ecfg, packed
 
 
+def test_batched_refill_matches_per_request_and_dispatches():
+    """Refill waves batch into ONE prefill dispatch sequence (_prefill_many):
+    token streams are bit-identical to the per-request refill path (greedy),
+    and the batched jits actually engage — for both the bucketed and the
+    chunked-prefill modes, including a non-power-of-two group (padded rows
+    duplicate a real request; their adopt is a no-op write)."""
+    from mobilequant_tpu.runtime.serve import ContinuousBatcher
+    from mobilequant_tpu.runtime.sampling import SamplerConfig
+
+    cfg, policy, ecfg, packed = _engine_setup()
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int32)
+               for n in (5, 9, 7, 12, 4, 6)]
+
+    def run(mode, batched):
+        kw = {"chunk_prefill": 8} if mode == "chunked" else \
+             {"prefill_buckets": (16, 32)}
+        cb = ContinuousBatcher(packed, cfg, policy, ecfg, batch_slots=3,
+                               sampler=SamplerConfig(greedy=True), **kw)
+        calls = [0]
+        if batched:
+            fn_name = ("_prefill_chunk_b" if mode == "chunked"
+                       else "_prefill_slots_b")
+            orig = getattr(cb, fn_name)
+
+            def spy(*a, **k):
+                calls[0] += 1
+                return orig(*a, **k)
+
+            setattr(cb, fn_name, spy)
+        else:
+            # force the per-request path
+            cb._prefill_many = lambda pairs: [
+                (slot, req, cb._prefill_into(req, slot))
+                for slot, req in pairs]
+        rids = [cb.submit(p, 5) for p in prompts]
+        outs = cb.run()
+        return [outs[r] for r in rids], calls[0]
+
+    for mode in ("bucketed", "chunked"):
+        want, _ = run(mode, batched=False)
+        got, ncalls = run(mode, batched=True)
+        assert ncalls > 0, f"{mode}: batched refill jit did not dispatch"
+        assert got == want, (mode, got, want)
+
+
+def test_speculative_tail_ticks_match_plain():
+    """spec_k: the lone-active-greedy-request tail runs in-graph
+    prompt-lookup draft→verify rounds (one sync per ≤8 rounds) and emits
+    exactly the plain batcher's greedy token stream; EOS truncates."""
+    from mobilequant_tpu.runtime.serve import ContinuousBatcher
+    from mobilequant_tpu.runtime.sampling import SamplerConfig
+
+    cfg, policy, ecfg, packed = _engine_setup()
+    # repetitive prompt so the n-gram draft has something to copy
+    prompt = np.asarray([7, 3, 9, 4, 7, 3, 9, 4, 7, 3], np.int32)
+
+    def run(spec_k, n_new=14, eos=None):
+        cb = ContinuousBatcher(packed, cfg, policy, ecfg, batch_slots=2,
+                               prefill_buckets=(16,),
+                               sampler=SamplerConfig(greedy=True),
+                               eos_token_id=eos, spec_k=spec_k)
+        calls = [0]
+        if spec_k:
+            orig = cb._spec_rounds
+
+            def spy(*a, **k):
+                calls[0] += 1
+                return orig(*a, **k)
+
+            cb._spec_rounds = spy
+        rid = cb.submit(prompt, n_new)
+        outs = cb.run()
+        return outs[rid], calls[0]
+
+    want, _ = run(0)
+    got, ncalls = run(4)
+    assert ncalls > 0, "speculative tail did not engage"
+    assert got == want, (got, want)
+
+    eos = want[5]
+    got_eos, _ = run(4, eos=eos)
+    assert got_eos == want[:want.index(eos) + 1], (got_eos, want)
+
+    # two active slots: the speculative path must stay out of the way
+    cb2 = ContinuousBatcher(packed, cfg, policy, ecfg, batch_slots=2,
+                            prefill_buckets=(16,),
+                            sampler=SamplerConfig(greedy=True), spec_k=4)
+    r1 = cb2.submit(prompt, 6)
+    r2 = cb2.submit(prompt[:7], 6)
+    outs = cb2.run()
+    assert len(outs[r1]) == 6 and len(outs[r2]) == 6
+
+
 def test_continuous_batching_matches_sequential():
     from mobilequant_tpu.runtime.serve import ContinuousBatcher
     from mobilequant_tpu.runtime.generate import Generator
