@@ -361,9 +361,21 @@ def cmd_pack(args):
     if wb is None:
         wq = policy["mlp.w1"].weight
         wb = 4 if (wq is not None and wq.bitwidth == 4) else 8
+    kvb = getattr(args, "kv_bits", 8)
+    if kvb != 8:
+        # int4-KV serving option: convert the learned K/V envelopes to the
+        # 4-bit encodings and record the 4-bit placement in the artifact
+        from mobilequant_tpu.quant import calibrate as _cal
+        from mobilequant_tpu.quant.policy import (kv_bits_policy,
+                                                  policy_kv_bits)
+        if policy_kv_bits(policy) != kvb:
+            qstate = dict(qstate)
+            qstate["ranges"] = _cal.ranges_for_kv_bits(
+                qstate["ranges"], kvb, old_bits=policy_kv_bits(policy))
+            policy = kv_bits_policy(policy, kvb)
     ecfg = E.EngineConfig(model=cfg, max_seq_len=args.max_seq_len,
                           weight_bits=wb, head_bits=args.head_bits,
-                          global_kv_encoding=args.global_kv)
+                          global_kv_encoding=args.global_kv, kv_bits=kvb)
     s_last = None
     if args.smooth_last is not None:
         # final-norm -> lm_head SmoothQuant fold before head quantization
@@ -381,6 +393,7 @@ def cmd_pack(args):
     artifacts.save_packed(args.output_dir, packed, cfg, policy,
                           {"max_seq_len": args.max_seq_len, "act_bits": 8,
                            "weight_bits": wb, "head_bits": args.head_bits,
+                           "kv_bits": kvb,
                            "smooth_last": args.smooth_last})
     if args.export_hlo:
         artifacts.export_decode_step(packed, cfg, policy, args.max_seq_len,
@@ -595,7 +608,8 @@ def cmd_serve(args):
     packed, cfg, policy, meta = artifacts.load_packed(args.engine_dir)
     ecfg = E.EngineConfig(model=cfg, max_seq_len=meta.get("max_seq_len", 1024),
                           act_bits=meta.get("act_bits", 8),
-                          weight_bits=meta.get("weight_bits", 8))
+                          weight_bits=meta.get("weight_bits", 8),
+                          kv_bits=meta.get("kv_bits", 8))
     tk = NativeTokenizer(args.tokenizer)
     sampler = SamplerConfig(greedy=args.temperature <= 0.0,
                             temperature=max(args.temperature, 1e-6))
@@ -676,7 +690,8 @@ def cmd_demo(args):
     from mobilequant_tpu.runtime import engine as E
     ecfg = E.EngineConfig(model=cfg, max_seq_len=meta.get("max_seq_len", 1024),
                           act_bits=meta.get("act_bits", 8),
-                          weight_bits=meta.get("weight_bits", 8))
+                          weight_bits=meta.get("weight_bits", 8),
+                          kv_bits=meta.get("kv_bits", 8))
     gen = Generator(packed, cfg, policy, ecfg)
     tk = NativeTokenizer(args.tokenizer)
     temperature = args.temperature
@@ -824,6 +839,10 @@ def build_parser():
     q.add_argument("--group_size", type=int, default=128,
                    help="weight-only input-axis group size (-1=per-channel)")
     q.add_argument("--global_kv", action="store_true")
+    q.add_argument("--kv_bits", type=int, choices=(4, 8), default=8,
+                   help="KV-cache bitwidth: 4 = nibble-packed int4 cache "
+                        "(halves the KV traffic that dominates batched "
+                        "decode; learned K/V envelopes are converted)")
     q.add_argument("--smooth_last", type=float, default=None, metavar="ALPHA",
                    help="SmoothQuant-fold the final norm into the quantized "
                         "lm_head before packing (needs --head_bits 4/8; "

@@ -31,10 +31,14 @@ from mobilequant_tpu.quant.quantizer import (
 )
 
 
-def quantize_act(x, scale, offset):
-    """fp → shifted-int8 (stored uint8 domain − 128). scale/offset per-tensor."""
+def quantize_act(x, scale, offset, qmax=255.0):
+    """fp → shifted-int8 (stored uint8 domain − 128). scale/offset per-tensor.
+
+    qmax: the clip bound — 255 for 8-bit, 15 for 4-bit KV-cache values (may
+    be an array for per-segment bounds, e.g. the joint q‖k quantization where
+    q rows are 8-bit and k rows are the 4-bit cache encoding)."""
     q = jnp.round(x.astype(jnp.float32) / scale) + offset
-    q = jnp.clip(q, 0.0, 255.0) - 128.0
+    q = jnp.clip(q, 0.0, qmax) - 128.0
     return q.astype(jnp.int8)
 
 
@@ -66,6 +70,82 @@ def unpack_nibbles(packed: jax.Array) -> jax.Array:
     lo = packed & 0x0F
     hi = (packed >> 4) & 0x0F   # arithmetic i8 shift; mask clears sign bits
     return jnp.concatenate([lo, hi], axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# int4 KV-cache (nibble-packed along the SEQUENCE axis)
+# ---------------------------------------------------------------------------
+# A 4-bit KV cache stores values quantized with the policy's 4-bit
+# qk_bmm.input2 / pv_bmm.input2 encodings (q4 ∈ [0,15]); unpacked working
+# values use the SAME shifted-int8 convention as the 8-bit cache (q4 − 128),
+# so every affine correction in this module is reused unchanged:
+# (q−128) − (o−128) == q − o. The big cache packs TWO SEQUENCE POSITIONS per
+# byte in the weight kernels' block layout — packed row r holds position r
+# (low nibble) and position r + S/2 (high nibble). Packing along S (not hd)
+# is what lets attention run WITHOUT any unpack-concat: Q·Kᵀ and P·V both
+# split into lo/hi part-dots, and the engine's partwise softmax already
+# treats score parts independently (ops/pallas_kv4.py).
+# Note (q4 − 128) & 0x0F == q4 for q4 ∈ [0,16), so shifted staging rows pack
+# with the same bit ops as raw nibbles.
+
+
+def unpack_kv_s(packed: jax.Array) -> jax.Array:
+    """(..., S/2, hd) packed KV → (..., S, hd) SHIFTED int8 (q4 − 128): the
+    XLA fallback path for 4-bit caches — downstream math is then identical
+    to the 8-bit cache's. Block layout along the sequence axis."""
+    return (unpack_nibbles(packed).astype(jnp.int32) - 128).astype(jnp.int8)
+
+
+def pack_kv_s(k_shifted: jax.Array) -> jax.Array:
+    """(..., S, hd) shifted int8 4-bit values → (..., S/2, hd) packed."""
+    return pack_nibbles(k_shifted)
+
+
+def kv_colsums_packed(packed: jax.Array, hd_axis: int = -1) -> jax.Array:
+    """Σ_hd of the SHIFTED unpacked values, computed from the packed bytes in
+    one pass: (..., S/2, hd) → (..., S) fp32, ordered [lo rows | hi rows] =
+    sequence order. Feeds int_matmul_qk's k_colsum (chunk-constant inside a
+    staged decode chunk, StagedKVCache.kcs)."""
+    hd = packed.shape[hd_axis]
+    lo = jnp.sum((packed & 0x0F).astype(jnp.int32), axis=hd_axis)
+    hi = jnp.sum(((packed.astype(jnp.int32) >> 4) & 0x0F), axis=hd_axis)
+    return (jnp.concatenate([lo, hi], axis=-1) - 128 * hd).astype(jnp.float32)
+
+
+def kv_flush_packed(cache_p: jax.Array, staged: jax.Array,
+                    at: jax.Array) -> jax.Array:
+    """Merge a chunk's staged rows into the nibble-packed cache.
+
+    cache_p (L,B,Hkv,S/2,hd) packed; staged (L,B,Hkv,cs,hd) shifted int8
+    4-bit rows; at (B,) absolute start positions (staged column c lands at
+    position at[b]+c). Positions map to (row p mod S/2, nibble p div S/2),
+    so a chunk may straddle the lo/hi boundary; rather than windowed RMW
+    with straddle cases, this is ONE vectorized gather-merge over the whole
+    packed cache (a full read+write of the packed bytes per FLUSH — i.e.
+    per staging chunk, ~1/cs of the per-step read traffic the 4-bit cache
+    saves)."""
+    S2 = cache_p.shape[3]
+    csn = staged.shape[3]
+    raw = (staged & 0x0F).astype(jnp.int8)          # (L,B,Hkv,cs,hd) nibbles
+    r = jnp.arange(S2)[None, :]                     # (1, S2)
+    atb = at[:, None]                               # (B, 1)
+
+    def nib(base):
+        p = base + r                                # absolute positions
+        idx = jnp.clip(p - atb, 0, csn - 1)         # (B, S2)
+        sel = (p >= atb) & (p < atb + csn)
+        g = jnp.take_along_axis(
+            raw, jnp.broadcast_to(idx[None, :, None, :, None],
+                                  raw.shape[:3] + (S2, 1)), axis=3)
+        return g, sel[None, :, None, :, None]
+
+    lo_old = cache_p & 0x0F
+    hi_old = ((cache_p.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
+    glo, slo = nib(0)
+    ghi, shi = nib(S2)
+    lo = jnp.where(slo, glo, lo_old)
+    hi = jnp.where(shi, ghi, hi_old)
+    return (lo | (hi << 4)).astype(jnp.int8)
 
 
 def pack_weight(w, qcfg: QuantConfig):

@@ -103,6 +103,33 @@ def stats_to_ranges(stats: dict, policy: QPolicy) -> dict:
     return ranges_from_stats(mm, policy)
 
 
+def ranges_for_kv_bits(ranges: dict, kv_bits: int,
+                       old_bits: int = 8) -> dict:
+    """Re-derive the KV-cache range entries for a different cache bitwidth:
+    the learned min/max envelope is bitwidth-independent, so converting an
+    8-bit-calibrated artifact to the int4-KV serving option is exact at the
+    envelope level — scale/offset re-derive for the new qmax
+    (quant/policy.kv_bits_policy supplies the matching policy). A
+    kv_bits-aware quantize run (ranges learned under the 4-bit config) is
+    strictly better; this is the pack-time conversion path."""
+    from mobilequant_tpu.quant.policy import KV_CACHE_SITES
+    from mobilequant_tpu.quant.quantizer import (
+        QuantConfig, min_max_from_scale_offset, scale_offset_from_min_max)
+    if kv_bits == old_bits:
+        return ranges
+    old_cfg = QuantConfig(bitwidth=old_bits)
+    new_cfg = QuantConfig(bitwidth=kv_bits)
+    out = {s: dict(roles) for s, roles in ranges.items()}
+    for site, role in KV_CACHE_SITES:
+        r = ranges[site][role]
+        mn, mx = min_max_from_scale_offset(jnp.asarray(r["scale"]),
+                                           jnp.asarray(r["offset"]), old_cfg)
+        s, o = scale_offset_from_min_max(mn, mx, new_cfg)
+        out[site] = dict(out[site])
+        out[site][role] = {"scale": s, "offset": o}
+    return out
+
+
 def smooth_calib_inputs(stats: dict):
     """(act_scales, act_shifts) keyed for quant/smooth.smoothquant_let_init:
     per-layer (L, C) arrays for q_proj / w1 / o_proj / w2 inputs

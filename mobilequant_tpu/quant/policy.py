@@ -141,6 +141,40 @@ def relax_16bit(policy: QPolicy) -> QPolicy:
     return out
 
 
+KV_CACHE_SITES = (("self_attn.qk_bmm", "input2"),   # K cache quantizer
+                  ("self_attn.pv_bmm", "input2"))   # V cache quantizer
+
+
+def kv_bits_policy(policy: QPolicy, kv_bits: int) -> QPolicy:
+    """Set the KV-cache quantizer bitwidth (the qk_bmm.input2 / pv_bmm.input2
+    sites — ref calibrate.py:246-281 derives the device K/V encodings from
+    exactly these). kv_bits=4 is the int4-KV serving option: at serving batch
+    sizes the decode step is KV-read-dominated (BENCHMARKS.md: bs=64 reads
+    740 MB of KV vs 550 MB of W4 weights per step), so a 4-bit cache halves
+    the dominant traffic term; the engine stores it nibble-packed along the
+    sequence axis (runtime/engine.py kv4 paths). Placement/bitwidth live
+    HERE, per the policy invariant."""
+    if kv_bits == 8:
+        return policy
+    assert kv_bits == 4, kv_bits
+    out = dict(policy)
+    for site, role in KV_CACHE_SITES:
+        sq = out[site]
+        cfg = getattr(sq, role)
+        out[site] = dataclasses.replace(
+            sq, **{role: cfg.replace(bitwidth=kv_bits)})
+    return out
+
+
+def policy_kv_bits(policy: QPolicy) -> int:
+    """The KV-cache bitwidth a policy encodes (engine paths key off this)."""
+    cfg = policy["self_attn.qk_bmm"].input2
+    cfg2 = policy["self_attn.pv_bmm"].input2
+    assert cfg.bitwidth == cfg2.bitwidth, \
+        "K and V cache bitwidths must match (one packed-cache layout)"
+    return cfg.bitwidth
+
+
 def static_range_sites(policy: QPolicy):
     """(site, role) pairs that need static activation scale/offset state —
     every activation quantizer that is enabled and not dynamic."""

@@ -95,6 +95,24 @@ class EngineConfig:
     global_kv_encoding: bool = False   # reference uses one global K/V encoding
                                        # across layers (calibrate.py:275-281);
                                        # per-layer is strictly better on TPU
+    kv_bits: int = 8                   # KV-cache bitwidth: 8 = int8 cache;
+                                       # 4 = nibble-packed int4 cache (two
+                                       # SEQUENCE positions per byte, qops
+                                       # pack_kv_s block layout) — halves the
+                                       # KV read traffic that dominates the
+                                       # decode step at serving batches
+                                       # (bs=64 reads 740 MB KV vs 550 MB W4
+                                       # weights/step, BENCHMARKS.md). The
+                                       # POLICY carries the matching 4-bit
+                                       # qk/pv input2 configs
+                                       # (quant/policy.kv_bits_policy);
+                                       # engine paths key off the policy.
+                                       # Decode runs the chunked-staging
+                                       # path at every B (the B<=8 mega-
+                                       # kernels read int8 caches); batched
+                                       # attention goes through the fused
+                                       # kv4 kernel (ops/pallas_kv4.py), the
+                                       # XLA fallback unpacks per layer.
     act_dtype: jnp.dtype = jnp.float32
     act_bits: int = 8                  # 8 = the static-range integer engine;
                                        # 16 = weight-only mode (W4A16/W8A16,
@@ -324,6 +342,13 @@ def pack_head(head_w: jax.Array, hcfg: QuantConfig) -> dict:
 
 def init_kv_cache(ecfg: EngineConfig, batch_size: int) -> EngineKVCache:
     c = ecfg.model
+    if ecfg.kv_bits == 4:
+        # nibble-packed along the sequence axis (qops.pack_kv_s layout)
+        assert ecfg.max_seq_len % 2 == 0
+        shape = (c.num_layers, batch_size, c.num_kv_heads,
+                 ecfg.max_seq_len // 2, c.head_dim_)
+        return EngineKVCache(k=jnp.zeros(shape, jnp.int8),
+                             v=jnp.zeros(shape, jnp.int8))
     shape = (c.num_layers, batch_size, c.num_kv_heads, ecfg.max_seq_len, c.head_dim_)
     # -128 == uint8 zero; exact value is irrelevant (masked out until written)
     return EngineKVCache(k=jnp.full(shape, -128, jnp.int8),
@@ -841,7 +866,8 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
                    kc: KernelConfig = KernelConfig(),
                    kv_valid_len=None, positions=None, sp=None, li=None,
                    cp_mesh=None, cp_axis="cp", tp_mesh=None, tp_axis="tp",
-                   st=None, staged_len=None, k_colsum=None):
+                   st=None, staged_len=None, k_colsum=None,
+                   kv_bits: int = 8, kv_packed: bool = False):
     """One decoder layer on packed ints. lp/lr = this layer's packed params/ranges.
     sp/li: the full layer-stacked packed dict + this layer's traced index —
     lets the W4 Pallas path read weights straight from the stack (see
@@ -919,7 +945,10 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         return _fq16(y, lr[site]["output"], policy[site].output)
 
     qkv_done = False
-    if kc.gate_kernel and "qkv_proj" in lp and li is not None and T > 1:
+    if (kc.gate_kernel and "qkv_proj" in lp and li is not None and T > 1
+            and kv_bits == 8):
+        # (kv_bits gate: the epilogue kernel's joint segment quantization
+        # clips at 255; 4-bit K/V rows need the per-segment 15 clip)
         # prefill qkv epilogue kernel: output fq + RoPE + joint segment
         # quantization fold into the stacked qkv matmul (the attention-side
         # twin of w13_gate_stacked; ops/pallas_qkv.py)
@@ -997,15 +1026,31 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
             jnp.broadcast_to(qk["input"]["offset"], (Hq,)),
             jnp.broadcast_to(qk["input2"]["offset"],
                              (Hkv,))])[None, None, :, None]
-        qk8 = qops.quantize_act(qk_cat, seg_scale, seg_off)
+        if kv_bits == 4:
+            # per-segment clip: q rows stay 8-bit, k rows clip at the 4-bit
+            # cache bound (stored shifted — (q4−128) reuses all int8 math)
+            seg_qmax = jnp.concatenate([
+                jnp.full((Hq,), 255.0, jnp.float32),
+                jnp.full((Hkv,), 15.0, jnp.float32)])[None, None, :, None]
+        else:
+            seg_qmax = 255.0
+        qk8 = qops.quantize_act(qk_cat, seg_scale, seg_off, seg_qmax)
         q8, k8_new = qk8[:, :, :Hq], qk8[:, :, Hq:]
         v8_new = qops.quantize_act(v, pv["input2"]["scale"],
-                                   pv["input2"]["offset"])
+                                   pv["input2"]["offset"],
+                                   15.0 if kv_bits == 4 else 255.0)
         # → head-major (B,Hkv,T,hd) for the cache layout
         k8_new = jnp.transpose(k8_new, (0, 2, 1, 3))
         v8_new = jnp.transpose(v8_new, (0, 2, 1, 3))
 
     k_cache, v_cache = kv
+    if kv_packed and k_cache is not None:
+        # XLA fallback for the int4 cache: unpack this layer's slices to the
+        # shifted-int8 domain — every downstream correction is then the int8
+        # path verbatim. (The batched serving path replaces this with the
+        # fused kv4 attention kernel, which never materializes the unpack.)
+        k_cache = qops.unpack_kv_s(k_cache)
+        v_cache = qops.unpack_kv_s(v_cache)
     decode_light = (cache_position is not None and T == 1
                     and not kc.attn_kernel)
     assert cp_mesh is None or not kc.attn_kernel, \
@@ -1505,6 +1550,8 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
         # are single-chip); the ring kernels replace GSPMD's matmul→all-reduce
         # at the row-parallel sites
         kc = KernelConfig.none()
+    from mobilequant_tpu.quant.policy import policy_kv_bits
+    kv_bits = policy_kv_bits(policy)
     staging = None
     if isinstance(kv_cache, StagedKVCache):
         # chunked staging (decode_loop): big caches are read-only this chunk;
@@ -1512,6 +1559,22 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
         staging = kv_cache
         kv_cache = EngineKVCache(k=staging.k, v=staging.v)
     B, T = tokens.shape
+    kv_packed = False        # this forward's cache arrays are nibble-packed
+    kv_unpacked = False      # T>1: cache was unpacked here, repack at the end
+    if kv_bits == 4 and kv_cache is not None:
+        assert cp_mesh is None, "int4 KV + context parallelism unsupported " \
+            "(a sequence-sharded packed cache would unpack shard-locally)"
+        if T > 1:
+            # prefill-into-cache: unpack ONCE for the pass, run the int8
+            # program verbatim, repack at the end (prefill is compute-bound;
+            # the per-pass materialization is amortized over T rows)
+            kv_cache = EngineKVCache(k=qops.unpack_kv_s(kv_cache.k),
+                                     v=qops.unpack_kv_s(kv_cache.v))
+            kv_unpacked = True
+        else:
+            assert not kc.attn_kernel, \
+                "int4 KV decode: attn_kernel path reads int8 caches"
+            kv_packed = True
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
     x = packed["embed"][tokens].astype(jnp.float32)
@@ -1519,7 +1582,8 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
         x = x * math.sqrt(c.hidden_size)
 
     cos, sin = M.rope_cos_sin(positions, c, jnp.float32)
-    S = kv_cache.k.shape[3] if kv_cache is not None else T
+    S = kv_cache.k.shape[3] * (2 if kv_packed else 1) \
+        if kv_cache is not None else T
     mask = M.causal_mask(positions, S, c.neg_inf, kv_valid_len)
 
     def body(carry, xs):
@@ -1540,7 +1604,8 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
                                    st=xs.get("st"),
                                    staged_len=(staging.m if staging is not None
                                                else None),
-                                   k_colsum=xs.get("kcs"))
+                                   k_colsum=xs.get("kcs"),
+                                   kv_bits=kv_bits, kv_packed=kv_packed)
         return h, kv_new
 
     # W4 Pallas path: hand the kernels the layer-STACKED weights (closure, a
@@ -1551,7 +1616,7 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
     sp = packed["layers"] if kc.use_stacked else None
     if (sp is not None and kv_cache is not None and T == 1
             and cache_position is not None and cp_mesh is None
-            and "qkvp" in sp
+            and "qkvp" in sp and kv_bits == 8
             and (B <= 8 and staging is None
                  and (kc.layer_kernel or kc.model_kernel)
                  or staging is not None and B > 8 and kc.chunk_kernel)):
@@ -1721,10 +1786,23 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
                     (zero, jnp.int32(b), zero, cache_position[b], zero))
             return cache
 
-        new_cache = EngineKVCache(k=scat(kv_cache.k, kv_out[0]),
-                                  v=scat(kv_cache.v, kv_out[1]))
+        if kv_packed:
+            # int4 cache: the per-step row write is a nibble merge
+            # (qops.kv_flush_packed with a 1-column chunk) — per-TOKEN ticks
+            # on a packed cache pay a full packed-cache pass; chunked
+            # staging (decode_loop) amortizes it to once per chunk
+            new_cache = EngineKVCache(
+                k=qops.kv_flush_packed(kv_cache.k, kv_out[0], cache_position),
+                v=qops.kv_flush_packed(kv_cache.v, kv_out[1], cache_position))
+        else:
+            new_cache = EngineKVCache(k=scat(kv_cache.k, kv_out[0]),
+                                      v=scat(kv_cache.v, kv_out[1]))
     else:
-        new_cache = EngineKVCache(k=kv_out[0], v=kv_out[1])
+        if kv_unpacked:
+            new_cache = EngineKVCache(k=qops.pack_kv_s(kv_out[0]),
+                                      v=qops.pack_kv_s(kv_out[1]))
+        else:
+            new_cache = EngineKVCache(k=kv_out[0], v=kv_out[1])
 
     if logits is not None:          # head folded into the model kernel
         return logits, new_cache
@@ -1843,8 +1921,16 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
         if (kc.model_kernel and w13 is not None and 8 < B <= 48
                 and w13["wq"].shape[1] == config.hidden_size):
             kc = kc.replace(chunk_kernel=True)
+    from mobilequant_tpu.quant.policy import policy_kv_bits
+    kv4 = policy_kv_bits(policy) == 4
+    assert not (kv4 and kc.attn_kernel), \
+        "int4 KV decode: attn_kernel reads int8 caches"
+    # int4 KV always decodes on the chunked-staging path: the B<=8
+    # whole-layer/model megakernels read int8 caches, and staging amortizes
+    # the packed cache's nibble-merge write to once per chunk
     use_staging = (not kc.attn_kernel
-                   and (B > 8 or not (kc.layer_kernel or kc.model_kernel)))
+                   and (kv4 or B > 8
+                        or not (kc.layer_kernel or kc.model_kernel)))
 
     if use_staging:
         L, _, Hkv, S, hd = kv_cache.k.shape
@@ -1854,6 +1940,10 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
         zero = jnp.int32(0)
 
         def flush(cache, staged, at):
+            if kv4:
+                # nibble merge into the packed cache (one vectorized
+                # gather-merge pass per chunk — qops.kv_flush_packed)
+                return qops.kv_flush_packed(cache, staged, at)
             # one per-slot slab write for the whole chunk
             for b in range(B):
                 cache = jax.lax.dynamic_update_slice(
@@ -1876,8 +1966,13 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
             # re-read inside int_matmul_qk (12.8 µs/layer at bs=32). A
             # loop-invariant closure operand of the inner scan, NOT part of
             # its carry (carried buffers risk per-step while-boundary copies).
-            kcs0 = jnp.sum(cache.k.astype(jnp.int32),
-                           axis=-1).astype(jnp.float32)
+            if kv4:
+                # packed cache: one pass over the packed bytes yields the
+                # shifted-domain colsums in sequence order
+                kcs0 = qops.kv_colsums_packed(cache.k)
+            else:
+                kcs0 = jnp.sum(cache.k.astype(jnp.int32),
+                               axis=-1).astype(jnp.float32)
             zero = jnp.int32(0)
 
             append_k = (cs % 8 == 0 and jax.default_backend() != "cpu")

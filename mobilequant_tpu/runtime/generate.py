@@ -44,6 +44,10 @@ class Generator:
             from mobilequant_tpu.runtime import wonly as _mod
         else:
             _mod = E
+            from mobilequant_tpu.quant.policy import policy_kv_bits
+            assert policy_kv_bits(policy) == getattr(self.ecfg, "kv_bits", 8), \
+                "policy KV bitwidth must match EngineConfig.kv_bits " \
+                "(quant/policy.kv_bits_policy builds the matching policy)"
         self._mod = _mod
 
         # fused prefill-attention kernel on TPU (23% less device time at

@@ -119,6 +119,16 @@ class ContinuousBatcher:
             from mobilequant_tpu.runtime import wonly as _mod
         else:
             _mod, _KVC = E, E.EngineKVCache
+            from mobilequant_tpu.quant.policy import policy_kv_bits
+            assert policy_kv_bits(policy) == \
+                getattr(self.ecfg, "kv_bits", 8), \
+                "policy KV bitwidth must match EngineConfig.kv_bits"
+            if getattr(self.ecfg, "kv_bits", 8) == 4:
+                # bucketed prefill writes unpacked K/V segments with a plain
+                # slot DUS — only the chunked path (scratch cache through
+                # forward's unpack→repack) understands the packed layout
+                assert chunk_prefill is not None, \
+                    "int4 KV serving requires chunk_prefill"
         self._mod, self._kvc = _mod, _KVC
         if mesh is not None:
             from jax.sharding import NamedSharding
@@ -600,8 +610,11 @@ class ContinuousBatcher:
         if not self.active:
             return 0
 
-        if self.spec_k >= 2 and len(self.active) == 1 and not self.queue:
-            # latency-bound tail / single-stream phase: speculative rounds
+        if self.spec_k >= 2 and len(self.active) == 1:
+            # latency-bound tail / single-stream phase: speculative rounds.
+            # (After _fill_free_slots, one active slot + a non-empty queue
+            # can only mean batch_slots == 1 — no other request could join
+            # this tick either way.)
             slot, req = next(iter(self.active.items()))
             if self._eff_sampler(req).greedy and req.pos >= 2:
                 r = self._step_speculative(slot, req)
@@ -684,7 +697,7 @@ class ContinuousBatcher:
         S = self.ecfg.max_seq_len
         budget = req.max_new_tokens - len(req.out)
         room = (S - 1 - req.pos) // k
-        rounds = min(-(-budget // k), room, 8)
+        rounds = min(-(-budget // k), room, 16)
         if rounds < 1:
             return None
         k1, v1 = self._spec_extract(self.cache.k, self.cache.v,

@@ -65,6 +65,21 @@ def test_cli_full_pipeline(hf_ckpt, tmp_path):
     vrec4 = _json.loads((engine_h4 / "engine.json").read_text())["verify"]
     assert vrec4["ok"] and vrec4["engine_sim_max_rel"] < 5e-2
 
+    # int4-KV pack: the learned K/V envelopes convert to 4-bit encodings,
+    # the artifact policy records the 4-bit placement, and the verify ritual
+    # (engine vs the kv4 sim, incl. the packed-cache decode loop) passes
+    engine_kv4 = tmp_path / "engine_kv4"
+    cli.main(["pack", "--model_dir", str(work),
+              "--output_dir", str(engine_kv4),
+              "--max_seq_len", "32", "--kv_bits", "4", "--verify"])
+    meta_kv4 = _json.loads((engine_kv4 / "engine.json").read_text())
+    assert meta_kv4["kv_bits"] == 4
+    assert meta_kv4["verify"]["ok"]
+    from mobilequant_tpu.export import artifacts as _art
+    from mobilequant_tpu.quant.policy import policy_kv_bits as _pkb
+    _, _, pol_kv4, _ = _art.load_packed(engine_kv4)
+    assert _pkb(pol_kv4) == 4
+
     # load back and generate
     from mobilequant_tpu.export import artifacts
     from mobilequant_tpu.runtime import engine as E
