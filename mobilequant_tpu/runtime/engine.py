@@ -861,6 +861,130 @@ def _decode_light_attention(q8, k8_new, v8_new, k_cache, v_cache, qk, pv,
     return jnp.transpose(attn, (0, 3, 1, 2, 4)).reshape(B, 1, Hq * hd)
 
 
+def _kv4_decode_light_attention(q8, k8_new, v8_new, kp, vp, qk, pv, policy,
+                                cache_position, c, B, Hkv, G, hd,
+                                ks=None, vs=None, staged_len=None,
+                                k_colsum=None):
+    """Decode-light attention over the PACKED int4 cache — the XLA fallback
+    that mirrors ops/pallas_kv4._kv4_attn_kernel op for op (same 4-part
+    {cache_lo, cache_hi, staged, self} split, same summation order), so the
+    kernel and the fallback produce bit-identical results on one backend and
+    the decode stream never depends on which path dispatched. The nibble
+    unpack materializes here (correctness path, not the serving path).
+
+    kp/vp: (B, Hkv, S/2, hd) packed; k_colsum: (B, Hkv, S) SHIFTED-domain
+    colsums (qops.kv_colsums_packed) or None (computed from packed bytes)."""
+    S2 = kp.shape[2]
+    qg = jnp.transpose(q8.reshape(B, 1, Hkv, G, hd), (0, 2, 3, 1, 4))
+    qi = qg.reshape(B, Hkv, G, hd)                       # int8 shifted
+    qf = qi.astype(jnp.float32)
+    qs = jnp.sum(qf, axis=-1, keepdims=True)             # (B,Hkv,G,1)
+    sq = qk["input"]["scale"]
+    oqs = qk["input"]["offset"] - 128.0
+    skk, ok = qk["input2"]["scale"], qk["input2"]["offset"]
+    sv_, ov = pv["input2"]["scale"], pv["input2"]["offset"]
+    oks = ok - 128.0
+    inv = 1.0 / math.sqrt(hd)
+    qk_out_cfg = policy["self_attn.qk_bmm"].output
+    pv_in_cfg = policy["self_attn.pv_bmm"].input
+    qk_fq_on = bool(qk_out_cfg is not None and qk_out_cfg.enabled)
+    pv_fq_on = bool(pv_in_cfg is not None and pv_in_cfg.enabled)
+    cf = (sq * skk) if qk_fq_on else (sq * skk * inv)
+
+    if k_colsum is None:
+        k_colsum = qops.kv_colsums_packed(kp)            # (B,Hkv,S) shifted
+
+    k_lo = kp & 0x0F
+    k_hi = ((kp.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
+
+    def part_raw(k4, ksum_sh):
+        acc = jax.lax.dot_general(
+            qi, k4, (((3,), (3,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        sc = (acc - ok * qs - oqs * (ksum_sh[:, :, None, :] + 128.0 * hd)
+              + hd * oqs * ok) * cf
+        if qk_fq_on:
+            sc = _fq16(sc, qk["output"], qk_out_cfg) * inv
+        return sc
+
+    col = jnp.arange(S2)[None, None, None, :]
+    posb = cache_position[:, None, None, None]
+    lg_lo = part_raw(k_lo, k_colsum[..., :S2]) \
+        + jnp.where(col < posb, 0.0, c.neg_inf)
+    lg_hi = part_raw(k_hi, k_colsum[..., S2:]) \
+        + jnp.where(S2 + col < posb, 0.0, c.neg_inf)
+
+    lg_st = None
+    if ks is not None:
+        n_st = ks.shape[2]
+        kss = jnp.sum(ks.astype(jnp.int32), axis=-1).astype(jnp.float32)
+        acc_st = jax.lax.dot_general(
+            qi, ks, (((3,), (3,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        sc_st = (acc_st - oks * qs - oqs * kss[:, :, None, :]
+                 + hd * oqs * oks) * cf
+        if qk_fq_on:
+            sc_st = _fq16(sc_st, qk["output"], qk_out_cfg) * inv
+        col2 = jnp.arange(n_st)[None, None, None, :]
+        lg_st = sc_st + jnp.where(col2 < staged_len, 0.0, c.neg_inf)
+
+    kn = k8_new.astype(jnp.float32)                      # (B,Hkv,1,hd)
+    s_self = jnp.sum((qf - oqs) * (kn - oks), axis=-1,
+                     keepdims=True) * (sq * skk)
+    if qk_fq_on:
+        s_self = _fq16(s_self, qk["output"], qk_out_cfg)
+    lg_self = s_self * inv                               # (B,Hkv,G,1)
+
+    mx = jnp.maximum(jnp.max(lg_lo, axis=-1, keepdims=True),
+                     jnp.max(lg_hi, axis=-1, keepdims=True))
+    if lg_st is not None:
+        mx = jnp.maximum(mx, jnp.max(lg_st, axis=-1, keepdims=True))
+    mx = jnp.maximum(mx, lg_self)
+    e_lo = jnp.exp(lg_lo - mx)
+    e_hi = jnp.exp(lg_hi - mx)
+    e_st = jnp.exp(lg_st - mx) if lg_st is not None else None
+    e_self = jnp.exp(lg_self - mx)
+    den = (jnp.sum(e_lo, axis=-1, keepdims=True)
+           + jnp.sum(e_hi, axis=-1, keepdims=True))
+    if e_st is not None:
+        den = den + jnp.sum(e_st, axis=-1, keepdims=True)
+    den = den + e_self
+
+    v_lo = (vp & 0x0F).astype(jnp.float32)
+    v_hi = ((vp.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.float32)
+    vst_raw = (vs & 0x0F).astype(jnp.float32) if vs is not None else None
+    vn_raw = (v8_new & 0x0F).astype(jnp.float32)         # (B,Hkv,1,hd)
+
+    def pvdot(p, vpart):
+        return jax.lax.dot_general(
+            p, vpart, (((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32)
+
+    if pv_fq_on:
+        p_lo = _fq16(e_lo / den, pv["input"], pv_in_cfg)
+        p_hi = _fq16(e_hi / den, pv["input"], pv_in_cfg)
+        p_self = _fq16(e_self / den, pv["input"], pv_in_cfg)
+        psum = (jnp.sum(p_lo, axis=-1, keepdims=True)
+                + jnp.sum(p_hi, axis=-1, keepdims=True))
+        A = pvdot(p_lo, v_lo) + pvdot(p_hi, v_hi)
+        if e_st is not None:
+            p_st = _fq16(e_st / den, pv["input"], pv_in_cfg)
+            psum = psum + jnp.sum(p_st, axis=-1, keepdims=True)
+            A = A + pvdot(p_st, vst_raw)
+        psum = psum + p_self
+        A = A + p_self * vn_raw
+        attn = (A - ov * psum) * sv_
+    else:
+        A = pvdot(e_lo, v_lo) + pvdot(e_hi, v_hi)
+        if e_st is not None:
+            A = A + pvdot(e_st, vst_raw)
+        A = A + e_self * vn_raw
+        attn = (A / den - ov) * sv_
+    attn = attn.reshape(B, Hkv, G, 1, hd)
+    Hq = Hkv * G
+    return jnp.transpose(attn, (0, 3, 1, 2, 4)).reshape(B, 1, Hq * hd)
+
+
 def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
                    config: ModelConfig, policy: QPolicy,
                    kc: KernelConfig = KernelConfig(),
@@ -1044,13 +1168,6 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         v8_new = jnp.transpose(v8_new, (0, 2, 1, 3))
 
     k_cache, v_cache = kv
-    if kv_packed and k_cache is not None:
-        # XLA fallback for the int4 cache: unpack this layer's slices to the
-        # shifted-int8 domain — every downstream correction is then the int8
-        # path verbatim. (The batched serving path replaces this with the
-        # fused kv4 attention kernel, which never materializes the unpack.)
-        k_cache = qops.unpack_kv_s(k_cache)
-        v_cache = qops.unpack_kv_s(v_cache)
     decode_light = (cache_position is not None and T == 1
                     and not kc.attn_kernel)
     assert cp_mesh is None or not kc.attn_kernel, \
@@ -1079,10 +1196,37 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
         # term for the new token; the new K/V rows are emitted as scan outputs
         # and scattered into the cache ONCE after the scan (engine.forward).
         ks, vs = st if st is not None else (None, None)
-        attn = _decode_light_attention(
-            q8, k8_new, v8_new, k_cache, v_cache, qk, pv, policy,
-            cache_position, c, B, Hkv, G, hd,
-            ks=ks, vs=vs, staged_len=staged_len, k_colsum=k_colsum)
+        if (kv_packed and sp is not None and li is not None
+                and "kcachep" in sp and ks is not None
+                and staged_len is not None):
+            # fused kv4 attention kernel: streams the PACKED slabs (half the
+            # bytes) and unpacks in registers — the whole cache+staged+self
+            # partwise softmax in one dispatch per layer (ops/pallas_kv4.py)
+            from mobilequant_tpu.ops import pallas_kv4 as _PKV
+            meta = _attn_meta(lr, policy, c)
+
+            def _on(cfg_):
+                return bool(cfg_ is not None and cfg_.enabled)
+
+            att = _PKV.kv4_decode_attention(
+                q8.reshape(B, Hq, hd), sp["kcachep"], sp["vcachep"],
+                sp["kcsT"], sp["skst"], sp["svst"],
+                k8_new.reshape(B, Hkv, hd), v8_new.reshape(B, Hkv, hd),
+                meta, cache_position, staged_len, li,
+                num_q_heads=Hq, num_kv_heads=Hkv, head_dim=hd,
+                qk_fq_on=_on(policy["self_attn.qk_bmm"].output),
+                pv_fq_on=_on(policy["self_attn.pv_bmm"].input))
+            attn = att.reshape(B, 1, Hq * hd)
+        elif kv_packed:
+            attn = _kv4_decode_light_attention(
+                q8, k8_new, v8_new, k_cache, v_cache, qk, pv, policy,
+                cache_position, c, B, Hkv, G, hd,
+                ks=ks, vs=vs, staged_len=staged_len, k_colsum=k_colsum)
+        else:
+            attn = _decode_light_attention(
+                q8, k8_new, v8_new, k_cache, v_cache, qk, pv, policy,
+                cache_position, c, B, Hkv, G, hd,
+                ks=ks, vs=vs, staged_len=staged_len, k_colsum=k_colsum)
         k_all, v_all = k8_new, v8_new        # scan ys: just the new rows
     elif True:
         if cache_position is not None:
@@ -1628,6 +1772,21 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
         sp["rope_cs"] = _rope_cs_vec(cos, sin, c.head_dim_, c.rotary_dim)
         if "qkv_seg" in packed:
             sp["qkv_seg"] = packed["qkv_seg"]
+
+    if (sp is not None and staging is not None and kv_bits == 4 and T == 1
+            and cache_position is not None and cp_mesh is None
+            and kc.kv4_attn_kernel and staging.kcs is not None):
+        from mobilequant_tpu.ops.pallas_kv4 import kv4_attn_supported
+        if kv4_attn_supported(c.num_kv_heads, S, c.head_dim_, B):
+            # fused kv4 attention extras: the kernel reads the FULL packed
+            # cache/staged/colsum stacks by scalar-prefetch layer index (the
+            # per-layer xs slices would materialize before a custom call —
+            # the same slab-copy trap as the weights, see _int_linear)
+            sp = dict(sp)
+            sp["kcachep"], sp["vcachep"] = kv_cache.k, kv_cache.v
+            Lk_, Bk_, Hkvk_, Sk_ = staging.kcs.shape
+            sp["kcsT"] = staging.kcs.reshape(Lk_, Bk_, Hkvk_, 1, Sk_)
+            sp["skst"], sp["svst"] = staging.sk, staging.sv
 
     xs = {"lp": packed["layers"]}
     if sp is not None:

@@ -62,6 +62,11 @@ class KernelConfig:
     chunk_kernel: bool = False     # batched whole-model kernel for the
                                    # chunked-staging decode path (B=16..128,
                                    # relaxed policy; ops/pallas_chunk.py)
+    kv4_attn_kernel: bool = False  # fused decode attention over the nibble-
+                                   # packed int4 KV cache (ops/pallas_kv4.py)
+                                   # — engages only on kv_bits=4 packs; the
+                                   # XLA fallback materializes an unpacked
+                                   # slab copy per layer per step
     interpret: bool = False        # run every Pallas kernel in interpret mode
                                    # (CPU tests)
 
@@ -71,7 +76,8 @@ class KernelConfig:
                 or self.mlp_kernel or self.mlp_block_kernel
                 or self.stacked_mlp_kernel or self.layer_kernel
                 or self.model_kernel or self.gate_kernel
-                or self.otail_kernel or self.chunk_kernel)
+                or self.otail_kernel or self.chunk_kernel
+                or self.kv4_attn_kernel)
 
     @property
     def use_stacked(self) -> bool:
@@ -79,7 +85,8 @@ class KernelConfig:
         layer body (scalar-prefetch weight reads instead of scan slices)."""
         return (self.w4_matmul or self.stacked_mlp_kernel or self.layer_kernel
                 or self.model_kernel or self.gate_kernel
-                or self.otail_kernel or self.chunk_kernel)
+                or self.otail_kernel or self.chunk_kernel
+                or self.kv4_attn_kernel)
 
     def replace(self, **kw) -> "KernelConfig":
         return dataclasses.replace(self, **kw)
@@ -92,7 +99,7 @@ class KernelConfig:
     def default(cls) -> "KernelConfig":
         """The production kernel set (the legacy use_pallas=True/"w4")."""
         return cls(w4_matmul=True, stacked_mlp_kernel=True, layer_kernel=True,
-                   model_kernel=True)
+                   model_kernel=True, kv4_attn_kernel=True)
 
     @classmethod
     def coerce(cls, mode) -> "KernelConfig":
@@ -122,6 +129,7 @@ class KernelConfig:
             gate_kernel="gatek" in s,
             otail_kernel="otail" in s,
             chunk_kernel="chunkk" in s,
+            kv4_attn_kernel="nokv4k" not in s,
             w2fold_kernel="w2fold" in s,
             vpu_matvec="vpu" in s,
             stacked_mlp_kernel=("nomlpk" not in s and not mlp_kernel

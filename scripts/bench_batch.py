@@ -52,6 +52,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="64,128")
     ap.add_argument("--wbits", default="4,8")
+    ap.add_argument("--kv_bits", type=int, choices=(4, 8), default=8,
+                    help="4 = nibble-packed int4 KV cache (the fused kv4 "
+                         "attention kernel path; ops/pallas_kv4.py)")
     ap.add_argument("--btmax", type=int, default=128)
     ap.add_argument("--n1", type=int, default=64)
     ap.add_argument("--n2", type=int, default=320)
@@ -86,7 +89,8 @@ def main():
     for wb in [int(w) for w in args.wbits.split(",")]:
         hb = 4 if wb == 4 else 8
         packed, cfg, policy, ecfg = _build_packed_tinyllama(
-            max_seq_len=args.seq, w_bits=wb, head_bits=hb)
+            max_seq_len=args.seq, w_bits=wb, head_bits=hb,
+            kv_bits=args.kv_bits)
         policy = relax_16bit(policy)
         kcs = [("kernel", KernelConfig.default().replace(
             stacked_bt_max=args.btmax))]
@@ -130,14 +134,16 @@ def main():
                     tps = time_marginal(
                         make_chunk, packed, lambda: E.init_kv_cache(ecfg, B),
                         B, cfg.vocab_size, args.n1, args.n2) * B
-                    note = ""
+                    kvtag = "+kv4" if args.kv_bits == 4 else ""
+                    warn = ""
                     if tag == "chunk" and spy_calls[0] == 0:
-                        note = " [WARN: chunk kernel DID NOT DISPATCH — " \
+                        warn = " [WARN: chunk kernel DID NOT DISPATCH — " \
                                "this row is the XLA/staged fallback]"
-                    print(f"W{wb}A8+h{hb} bs={B} [{tag}, btmax={args.btmax}]: "
+                    print(f"W{wb}A8+h{hb}{kvtag} bs={B} "
+                          f"[{tag}, btmax={args.btmax}]: "
                           f"{tps:.1f} tok/s total "
                           f"({1000.0 * B / tps:.3f} ms/step, marginal "
-                          f"{args.n1}/{args.n2}){note}", flush=True)
+                          f"{args.n1}/{args.n2}){warn}", flush=True)
                 except Exception as e:
                     print(f"W{wb} bs={B} [{tag}] failed: {e!r}", flush=True)
                 finally:

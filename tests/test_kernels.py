@@ -1116,6 +1116,88 @@ def test_chunk_kernel_multi_batch_tiles_match_staged_engine(
     jax.clear_caches()
 
 
+@pytest.mark.parametrize("variant", ["w8_relaxed", "w8_strict", "w4_relaxed"])
+@pytest.mark.slow
+def test_kv4_attention_kernel_matches_xla_fallback(variant):
+    """The fused kv4 decode-attention kernel (ops/pallas_kv4.py — packed-slab
+    part-dots, 4-part partwise softmax) == the XLA unpack fallback over a
+    staged decode chain: logits allclose, flushed PACKED caches bit-exact.
+    Covers both policies (the 16-bit qk/pv fq sites are static flags),
+    staggered slot positions (incl. a nibble-boundary straddle), and a B
+    that forces multiple batch tiles."""
+    import dataclasses
+    import mobilequant_tpu.ops.pallas_kv4 as PKV
+    from mobilequant_tpu.models import get_config
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant import calibrate
+    from mobilequant_tpu.quant.policy import (default_policy, kv_bits_policy,
+                                              relax_16bit)
+    from mobilequant_tpu.runtime import engine as E
+    from mobilequant_tpu.runtime.kernel_config import KernelConfig
+
+    wb = 4 if variant.startswith("w4") else 8
+    strict = variant.endswith("strict")
+    cfg = dataclasses.replace(
+        get_config("test-llama"), hidden_size=256, intermediate_size=512,
+        num_heads=8, num_kv_heads=4, head_dim=64, num_layers=2)
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    base = kv_bits_policy(
+        default_policy(cfg, QuantConfig(bitwidth=wb, is_per_channel=(wb == 4),
+                                        is_symmetric=(wb == 4)),
+                       QuantConfig(bitwidth=8)), 4)
+    policy = base if strict else relax_16bit(base)
+    tokens = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 8)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, base, batch_size=2)
+    ranges = calibrate.stats_to_ranges(stats, base)
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=64, weight_bits=wb,
+                          kv_bits=4)
+    packed = E.pack(params, ranges, cfg, base, ecfg)
+    assert PKV.kv4_attn_supported(cfg.num_kv_heads, 64, 64, 16)
+
+    ok = PKV.kv4_decode_attention
+    calls = [0]
+
+    def spy(*a, **kw):
+        calls[0] += 1
+        return functools.partial(ok, interpret=True)(*a, **kw)
+
+    PKV.kv4_decode_attention = spy
+    # tiny batch-tile target → multiple attention tiles (nab > 1)
+    obb = PKV._pick_bblk
+    PKV._pick_bblk = lambda B, Hkv, S2, hd, target=0: obb(
+        B, Hkv, S2, hd, target=4 * Hkv * S2 * hd)
+    kc = KernelConfig(kv4_attn_kernel=True)
+    try:
+        B, Tp, n = 16, 6, 4
+        t = jnp.asarray(np.tile(tokens[:2], (8, 1)))[:, :Tp]
+        ca, cb = E.init_kv_cache(ecfg, B), E.init_kv_cache(ecfg, B)
+        pos0 = jnp.zeros((B,), jnp.int32)
+        lg, ca = E.forward(packed, t, cfg, policy, kv_cache=ca,
+                           cache_position=pos0,
+                           kv_valid_len=jnp.full((B,), Tp, jnp.int32))
+        _, cb = E.forward(packed, t, cfg, policy, kv_cache=cb,
+                          cache_position=pos0,
+                          kv_valid_len=jnp.full((B,), Tp, jnp.int32))
+        first = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)[:, None]
+        # staggered positions; S/2 = 32, slot pattern straddles the boundary
+        pos = jnp.asarray([Tp, 31, 30, Tp] * 4, jnp.int32)
+        _, c_ref, l_ref = E.decode_loop(packed, first, ca, pos, n, cfg,
+                                        policy, use_pallas=False,
+                                        staging_chunk=2)
+        _, c_k, l_k = E.decode_loop(packed, first, cb, pos, n, cfg,
+                                    policy, use_pallas=kc, staging_chunk=2)
+        assert calls[0] > 0, "kv4 attention kernel did not dispatch"
+        np.testing.assert_allclose(np.asarray(l_k), np.asarray(l_ref),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(c_k.k), np.asarray(c_ref.k))
+        np.testing.assert_array_equal(np.asarray(c_k.v), np.asarray(c_ref.v))
+    finally:
+        PKV.kv4_decode_attention = ok
+        PKV._pick_bblk = obb
+    jax.clear_caches()
+
+
 @pytest.mark.parametrize("variant", ["llama_w4", "llama_w8",
                                      "stablelm_partial", "gemma_hd128"])
 def test_qkv_rope_kernel_matches_engine(variant):
