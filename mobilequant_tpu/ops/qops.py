@@ -119,33 +119,51 @@ def kv_flush_packed(cache_p: jax.Array, staged: jax.Array,
     cache_p (L,B,Hkv,S/2,hd) packed; staged (L,B,Hkv,cs,hd) shifted int8
     4-bit rows; at (B,) absolute start positions (staged column c lands at
     position at[b]+c). Positions map to (row p mod S/2, nibble p div S/2),
-    so a chunk may straddle the lo/hi boundary; rather than windowed RMW
-    with straddle cases, this is ONE vectorized gather-merge over the whole
-    packed cache (a full read+write of the packed bytes per FLUSH — i.e.
-    per staging chunk, ~1/cs of the per-step read traffic the 4-bit cache
-    saves)."""
-    S2 = cache_p.shape[3]
+    so a chunk may straddle the lo/hi boundary.
+
+    Implementation: per slot, TWO windowed dynamic-slice read-modify-writes
+    (one per nibble plane) of cs packed rows each — slice the window, merge
+    the staged rows (read through ONE shifted dynamic_slice of a both-sides
+    zero-padded staged buffer, masked per row), write back. NO gather: an
+    earlier take_along_axis formulation lowered to scalarized gather
+    fusions under the decode loop's outer scan — 84 ms per flush at bs=32
+    (traced 2026-08-21; the single-chunk program had constant-folded the
+    indices, hiding it). Window traffic: 2·B·L·Hkv·cs·hd bytes per cache
+    per flush ≈ 0.4% of the slab reads the chunk saves."""
+    L, B, Hkv, S2, hd = cache_p.shape
     csn = staged.shape[3]
     raw = (staged & 0x0F).astype(jnp.int8)          # (L,B,Hkv,cs,hd) nibbles
-    r = jnp.arange(S2)[None, :]                     # (1, S2)
-    atb = at[:, None]                               # (B, 1)
+    zpad = jnp.zeros((L, 1, Hkv, csn, hd), jnp.int8)
+    j = jnp.arange(csn)
 
-    def nib(base):
-        p = base + r                                # absolute positions
-        idx = jnp.clip(p - atb, 0, csn - 1)         # (B, S2)
-        sel = (p >= atb) & (p < atb + csn)
-        g = jnp.take_along_axis(
-            raw, jnp.broadcast_to(idx[None, :, None, :, None],
-                                  raw.shape[:3] + (S2, 1)), axis=3)
-        return g, sel[None, :, None, :, None]
-
-    lo_old = cache_p & 0x0F
-    hi_old = ((cache_p.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
-    glo, slo = nib(0)
-    ghi, shi = nib(S2)
-    lo = jnp.where(slo, glo, lo_old)
-    hi = jnp.where(shi, ghi, hi_old)
-    return (lo | (hi << 4)).astype(jnp.int8)
+    out = cache_p
+    for b in range(B):
+        atb = at[b]
+        rawp = jnp.concatenate([zpad, raw[:, b:b + 1], zpad], axis=3)
+        for nibb in (0, 1):
+            base = nibb * S2
+            wstart = jnp.clip(atb - base, 0, S2 - csn)
+            win = jax.lax.dynamic_slice(
+                out, (0, b, 0, wstart, 0), (L, 1, Hkv, csn, hd))
+            p = base + wstart + j                    # absolute positions
+            sel = ((p >= atb)
+                   & (p < atb + csn))[None, None, None, :, None]
+            # staged row for window row j is raw[p - atb] = one SHIFTED
+            # slice: start csn + (base + wstart - atb), clamped into the
+            # padded range (out-of-range rows are masked off by sel)
+            soff = jnp.clip(csn + base + wstart - atb, 0, 2 * csn)
+            g = jax.lax.dynamic_slice(
+                rawp, (0, 0, 0, soff, 0), (L, 1, Hkv, csn, hd))
+            lo = win & 0x0F
+            hi = ((win.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
+            if nibb == 0:
+                lo = jnp.where(sel, g, lo)
+            else:
+                hi = jnp.where(sel, g, hi)
+            merged = (lo | (hi << 4)).astype(jnp.int8)
+            out = jax.lax.dynamic_update_slice(
+                out, merged, (0, b, 0, wstart, 0))
+    return out
 
 
 def pack_weight(w, qcfg: QuantConfig):

@@ -1208,12 +1208,13 @@ def _layer_forward(lp, lr, x, cos, sin, mask, kv, cache_position,
             def _on(cfg_):
                 return bool(cfg_ is not None and cfg_.enabled)
 
+            BH = B * Hkv
             att = _PKV.kv4_decode_attention(
-                q8.reshape(B, Hq, hd), sp["kcachep"], sp["vcachep"],
+                q8.reshape(BH, G, hd), sp["kcachep"], sp["vcachep"],
                 sp["kcsT"], sp["skst"], sp["svst"],
-                k8_new.reshape(B, Hkv, hd), v8_new.reshape(B, Hkv, hd),
-                meta, cache_position, staged_len, li,
-                num_q_heads=Hq, num_kv_heads=Hkv, head_dim=hd,
+                k8_new.reshape(BH, 1, hd), v8_new.reshape(BH, 1, hd),
+                meta, sp["kvpos"], staged_len, li,
+                num_kv_heads=Hkv, head_dim=hd,
                 qk_fq_on=_on(policy["self_attn.qk_bmm"].output),
                 pv_fq_on=_on(policy["self_attn.pv_bmm"].input))
             attn = att.reshape(B, 1, Hq * hd)
@@ -1781,12 +1782,20 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
             # fused kv4 attention extras: the kernel reads the FULL packed
             # cache/staged/colsum stacks by scalar-prefetch layer index (the
             # per-layer xs slices would materialize before a custom call —
-            # the same slab-copy trap as the weights, see _int_linear)
+            # the same slab-copy trap as the weights, see _int_linear).
+            # Axes pre-flattened to (L, B·Hkv, rows, hd) — free contiguous
+            # collapses; the kernel is batched over the BH axis.
+            Lk_, Bk_, Hkvk_, S2k_, hdk_ = kv_cache.k.shape
+            BHk_ = Bk_ * Hkvk_
             sp = dict(sp)
-            sp["kcachep"], sp["vcachep"] = kv_cache.k, kv_cache.v
-            Lk_, Bk_, Hkvk_, Sk_ = staging.kcs.shape
-            sp["kcsT"] = staging.kcs.reshape(Lk_, Bk_, Hkvk_, 1, Sk_)
-            sp["skst"], sp["svst"] = staging.sk, staging.sv
+            sp["kcachep"] = kv_cache.k.reshape(Lk_, BHk_, S2k_, hdk_)
+            sp["vcachep"] = kv_cache.v.reshape(Lk_, BHk_, S2k_, hdk_)
+            sp["kcsT"] = staging.kcs.reshape(Lk_, BHk_, 1, S)
+            csk_ = staging.sk.shape[3]
+            sp["skst"] = staging.sk.reshape(Lk_, BHk_, csk_, hdk_)
+            sp["svst"] = staging.sv.reshape(Lk_, BHk_, csk_, hdk_)
+            sp["kvpos"] = jnp.repeat(cache_position,
+                                     Hkvk_).reshape(BHk_, 1, 1)
 
     xs = {"lp": packed["layers"]}
     if sp is not None:

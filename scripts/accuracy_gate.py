@@ -133,6 +133,61 @@ def inject_outliers(params, cfg, frac=0.04, factor=128.0, seed=7):
     return out
 
 
+def inject_head_outliers(params, cfg, frac=0.04, factor=128.0, seed=11):
+    """FP-exactly reparameterize the FINAL norm → lm_head pair so ~frac of
+    the head-input channels carry ×factor activations: the head's dynamic
+    per-token symmetric A8 quantizer then loses resolution on every other
+    channel (amax is per ROW). This is exactly the failure mode the
+    reference's --smooth_last fold targets (ref device/convert_sim.py:
+    114-128). Requires an untied head (a tied head shares the embedding
+    table, which the lookup path also reads)."""
+    import jax
+    import jax.numpy as jnp
+
+    assert not cfg.tie_word_embeddings
+    rng = np.random.default_rng(seed)
+    D = cfg.hidden_size
+    nch = max(1, int(round(frac * D)))
+    ch = rng.choice(D, size=nch, replace=False)
+    s_vec = np.ones((D,), np.float32)
+    s_vec[ch] = factor
+    s = jnp.asarray(s_vec)
+    out = jax.tree.map(lambda a: a, params)
+    out["norm"] = {"w": out["norm"]["w"] * s, "b": out["norm"]["b"] * s}
+    out["lm_head"] = {"w": out["lm_head"]["w"] / s[:, None]}
+    return out
+
+
+def inject_expert_imbalance(params, cfg, expert=0, factor=64.0):
+    """FP-exactly scale ONE expert's activation magnitudes: w3 (up) output
+    columns ×factor, w2 input rows ÷factor — silu(g1)·g3 is linear in g3,
+    so outputs are unchanged, but expert `expert`'s act_fn.output /
+    mlp.w2.input ranges are now ×factor the others'. A per-STACK activation
+    range must cover the hot expert and costs every other expert
+    log2(factor) bits of resolution; per-expert envelopes
+    (calibrate.stats_to_ranges emin/emax) keep each expert at its own
+    scale — the reference's one-QLinear-per-expert behavior
+    (ref hf_model.py:1065-1162)."""
+    import jax
+
+    out = jax.tree.map(lambda a: a, params)
+    ly = dict(out["layers"])
+    w3 = dict(ly["w3"])
+    w2 = dict(ly["w2"])
+    w3["w"] = w3["w"].at[:, expert].multiply(factor)
+    w2["w"] = w2["w"].at[:, expert].divide(factor)
+    ly["w3"], ly["w2"] = w3, w2
+    out["layers"] = ly
+    return out
+
+
+def strip_per_expert(stats):
+    """Per-stack control: drop the emin/emax envelopes so stats_to_ranges
+    falls back to one shared range across the expert axis."""
+    return {s: {r: {k: v for k, v in e.items() if k not in ("emin", "emax")}
+                for r, e in roles.items()} for s, roles in stats.items()}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--w4", action="store_true")
@@ -341,6 +396,77 @@ def main():
               f"{deg:+.3f}, SQ-init {ppl_osq - ppl_fp:+.3f}, "
               f"e2e {ppl_oe2e - ppl_fp:+.3f}, no-LET control "
               f"{ppl_nolet - ppl_fp:+.3f}")
+
+    # ------------------------------------------------------------------
+    # HEAD outlier rung: smooth_last must MEASURABLY recover (the base
+    # ladder's smooth_last assert is only "must not hurt" — with no
+    # outliers there is nothing to recover). Outlier channels in the
+    # final-norm→head input blow up the head's per-token dynamic amax;
+    # the fold must claw back ≥50% of the injected damage.
+    # ------------------------------------------------------------------
+    if not args.no_outliers and not cfg.tie_word_embeddings:
+        hparams = inject_head_outliers(fparams, cfg)
+        ppl_fp_h = ppl_of(lambda t: M.forward(hparams, t, cfg)[0])
+        assert abs(ppl_fp_h - ppl_fp) <= max(0.01 * ppl_fp, 0.02), \
+            f"head-outlier injection must be FP-preserving ({ppl_fp_h})"
+        ecfg_h4 = E.EngineConfig(model=cfg, head_bits=4)
+        packed_ho = E.pack(hparams, fstate["ranges"], cfg, policy, ecfg_h4)
+        ppl_hod = ppl_of(lambda t: E.forward(packed_ho, t, cfg, rpolicy)[0])
+        deg_h = ppl_hod - ppl_rel
+        print(f"[head outliers] W4 head ppl: {ppl_hod:.3f} "
+              f"(Δ vs relaxed {deg_h:+.3f})")
+        assert deg_h >= max(0.05 * ppl_rel, 0.1), \
+            f"head outliers must degrade the quantized head (Δ={deg_h})"
+        am_o = calibrate.head_input_absmax(hparams, calib, cfg, batch_size=16)
+        s_last_o = calibrate.smooth_last_scales(
+            am_o, jnp.asarray(hparams["lm_head"]["w"]))
+        packed_so = E.pack(hparams, fstate["ranges"], cfg, policy, ecfg_h4,
+                           smooth_last=s_last_o)
+        ppl_so = ppl_of(lambda t: E.forward(packed_so, t, cfg, rpolicy)[0])
+        print(f"[head outliers] + smooth_last ppl: {ppl_so:.3f} "
+              f"(recovers {100.0 * (ppl_hod - ppl_so) / deg_h:.0f}% of the "
+              f"injected damage)")
+        assert ppl_so <= ppl_rel + 0.5 * deg_h, \
+            f"smooth_last must recover ≥50% of the head-outlier damage " \
+            f"({ppl_so} vs {ppl_hod}, relaxed {ppl_rel})"
+        print("[head outliers] rung PASSED")
+
+    # ------------------------------------------------------------------
+    # MoE rung: per-expert activation ranges (emin/emax envelopes, the
+    # round-4 feature) must BEAT per-stack ranges under expert-scale
+    # imbalance — the causal proof that the reference's one-quantizer-
+    # per-expert behavior (ref hf_model.py:1065-1162) earns its keep.
+    # ------------------------------------------------------------------
+    if not args.no_outliers:
+        mcfg = get_config("test-mixtral").replace(
+            num_layers=2, hidden_size=128, intermediate_size=192,
+            num_heads=8, num_kv_heads=4, head_dim=16)
+        mparams = M.init_params(mcfg, jax.random.PRNGKey(1))
+        mparams, _ = train_tiny(mparams, mcfg, stream, steps=args.steps)
+        ppl_mfp = ppl_of(lambda t: M.forward(mparams, t, mcfg)[0])
+        mpolicy = default_policy(mcfg, QuantConfig(bitwidth=8),
+                                 QuantConfig(bitwidth=8))
+        xparams = inject_expert_imbalance(mparams, mcfg)
+        ppl_mfp_x = ppl_of(lambda t: M.forward(xparams, t, mcfg)[0])
+        assert abs(ppl_mfp_x - ppl_mfp) <= max(0.01 * ppl_mfp, 0.02), \
+            f"expert-imbalance injection must be FP-preserving ({ppl_mfp_x})"
+        mstats = calibrate.run_calibration(xparams, calib, mcfg, mpolicy,
+                                           batch_size=16)
+        r_pe = calibrate.stats_to_ranges(mstats, mpolicy)
+        r_ps = calibrate.stats_to_ranges(strip_per_expert(mstats), mpolicy)
+        ppl_pe = ppl_of(lambda t: qmodel.qforward(
+            xparams, {"ranges": r_pe}, t, mcfg, mpolicy)[0])
+        ppl_ps = ppl_of(lambda t: qmodel.qforward(
+            xparams, {"ranges": r_ps}, t, mcfg, mpolicy)[0])
+        deg_m = ppl_ps - ppl_mfp
+        print(f"[moe] hot-expert imbalance: per-stack ranges ppl "
+              f"{ppl_ps:.3f} (Δ {deg_m:+.3f}), per-expert {ppl_pe:.3f} "
+              f"(Δ {ppl_pe - ppl_mfp:+.3f})")
+        assert deg_m >= max(0.05 * ppl_mfp, 0.1), \
+            f"imbalance must degrade per-stack ranges (Δ={deg_m})"
+        assert ppl_pe - ppl_mfp <= 0.5 * deg_m, \
+            f"per-expert ranges must recover ≥50% ({ppl_pe} vs {ppl_ps})"
+        print("[moe] per-expert-ranges rung PASSED")
 
     print("accuracy gate PASSED")
 

@@ -32,10 +32,12 @@ def capture(mode: str = "", w_bits: int = 8, n_steps: int = 32, batch: int = 1,
     from mobilequant_tpu.runtime import engine as E
     from mobilequant_tpu.quant.policy import relax_16bit
 
+    kv_bits = int(os.environ.get("MQTPU_TRACE_KV_BITS", "8"))
     packed, cfg, policy, ecfg = _build_packed_tinyllama(max_seq_len=1024,
                                                         w_bits=w_bits,
                                                         model_name=model,
-                                                        head_bits=head_bits)
+                                                        head_bits=head_bits,
+                                                        kv_bits=kv_bits)
     policy = relax_16bit(policy)
 
     @functools.partial(jax.jit, static_argnums=(4,))
