@@ -178,10 +178,11 @@ def main():
     results = {}
     fp_tps = None
 
-    def decode_row(name, w_bits, use_pallas, relax, head_bits, B=1):
+    def decode_row(name, w_bits, use_pallas, relax, head_bits, B=1,
+                   kv_bits=8):
         """One marginal-method decode row; returns tok/s TOTAL (×B)."""
         packed, cfg, policy, ecfg = _build_packed_tinyllama(
-            w_bits=w_bits, head_bits=head_bits)
+            w_bits=w_bits, head_bits=head_bits, kv_bits=kv_bits)
         if relax:
             policy = relax_16bit(policy)
 
@@ -292,6 +293,21 @@ def main():
             continue
         try:
             decode_row(bname, bw, True, True, bhb, B=Bb)
+        except Exception as e:
+            log(f"{bname} bs={Bb} failed: {e!r}")
+
+    # --- 4c. int4 KV cache (pack --kv_bits 4): the KV-read-dominated
+    # serving shapes through the fused kv4 attention kernel over the
+    # hd-major nibble-packed cache (ops/pallas_kv4.py; round-5 record:
+    # +15/+29/+37% over the int8 cache at bs=32/64/128) ---
+    for bname, bw, bhb, Bb in (("w4a8_kv4", 4, 4, 32),
+                               ("w4a8_kv4", 4, 4, 64),
+                               ("w4a8_kv4", 4, 4, 128),
+                               ("w8a8_kv4", 8, 8, 128)):
+        if on_cpu or past_budget():
+            continue
+        try:
+            decode_row(bname, bw, True, True, bhb, B=Bb, kv_bits=4)
         except Exception as e:
             log(f"{bname} bs={Bb} failed: {e!r}")
 

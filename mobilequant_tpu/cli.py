@@ -127,7 +127,8 @@ def cmd_quantize(args):
         let_lr=args.let_lr, let_min_lr=args.let_min_lr,
         lwc_lr=args.lwc_lr, lwc_min_lr=args.lwc_min_lr,
         lrl_lr=args.lrl_lr, lrl_min_lr=args.lrl_min_lr,
-        use_let=args.let, use_lwc=args.lwc, use_lrl=args.lrl)
+        use_let=args.let, use_lwc=args.lwc, use_lrl=args.lrl,
+        aug_loss=getattr(args, "aug_loss", False))
 
     # SmoothQuant initialization of LET (ref ptq/smoothquant.py stage)
     logger.info("calibrating statistics...")
@@ -811,6 +812,13 @@ def build_parser():
     q.add_argument("--lwc", action="store_true")
     q.add_argument("--lrl", action="store_true")
     q.add_argument("--smooth_init", action="store_true", default=True)
+    q.add_argument("--no_smooth_init", dest="smooth_init",
+                   action="store_false",
+                   help="skip the SmoothQuant LET initialization (the "
+                        "reference omniquant/lrl baselines init LET at 1)")
+    q.add_argument("--aug_loss", action="store_true",
+                   help="auxiliary MSE vs the FP teacher on the QUANTIZED "
+                        "inputs (ref --aug_loss, algorithm.py:449,478)")
     q.add_argument("--alpha", type=float, default=0.5)
     q.add_argument("--let_lr", type=float, default=1e-3)
     q.add_argument("--let_min_lr", type=float, default=1e-4)

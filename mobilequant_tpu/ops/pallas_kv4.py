@@ -90,7 +90,7 @@ def _kv4_attn_kernel(idx_ref, meta_ref, mst_ref,
                      *, hd: int, qk_fq_on: bool, pv_fq_on: bool):
     del idx_ref
     BH, G, _ = q_ref.shape
-    S2 = kp_ref.shape[2]
+    S2 = kp_ref.shape[3]
     cs_staged = sk_ref.shape[2]
     inv = 1.0 / math.sqrt(hd)
 
@@ -111,15 +111,16 @@ def _kv4_attn_kernel(idx_ref, meta_ref, mst_ref,
     qs = jnp.sum(qf, axis=2, keepdims=True)             # (BH, G, 1)
     posv = pos_ref[...]                                 # (BH, 1, 1) int32
 
-    kp = kp_ref[0]                                      # (BH, S2, hd)
+    kp = kp_ref[0]                                      # (BH, hd, S2)
     k_lo = kp & 0x0F
     k_hi = ((kp.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
     kcs_row = kcs_ref[0]                                # (BH, 1, 2*S2) f32
 
     def part_raw(k4, ksum_sh):
-        # one batched dot per nibble plane; ksum_sh (BH, 1, S2) shifted
+        # one batched canonical matmul per nibble plane: q (BH,G,hd) ×
+        # kT (BH,hd,S2); ksum_sh (BH, 1, S2) shifted
         acc = jax.lax.dot_general(
-            qi, k4, (((2,), (2,)), ((0,), (0,))),
+            qi, k4, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.int32).astype(jnp.float32)
         sc = (acc - ok * qs - oqs * (ksum_sh + 128.0 * hd)
               + hd * oqs * ok) * cf
@@ -169,13 +170,20 @@ def _kv4_attn_kernel(idx_ref, meta_ref, mst_ref,
            + jnp.sum(e_hi, axis=2, keepdims=True)
            + jnp.sum(e_st, axis=2, keepdims=True) + e_self)
 
-    vp = vp_ref[0]
+    vp = vp_ref[0]                                      # (BH, hd, S2)
     v_lo = (vp & 0x0F).astype(jnp.float32)
     v_hi = ((vp.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.float32)
     vst_raw = (sv_ref[0] & 0x0F).astype(jnp.float32)    # shifted -> raw
     vn_raw = (vn_ref[...] & 0x0F).astype(jnp.float32)   # (BH, 1, hd)
 
     def pvdot(p, vpart):
+        # p (BH,G,S2) × vT (BH,hd,S2): contract the shared minor S2 axis
+        return jax.lax.dot_general(
+            p, vpart, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+    def pvdot_st(p, vpart):
+        # staged V stays row-major (cs, hd)
         return jax.lax.dot_general(
             p, vpart, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
@@ -192,13 +200,15 @@ def _kv4_attn_kernel(idx_ref, meta_ref, mst_ref,
         psum = (jnp.sum(p_lo, axis=2, keepdims=True)
                 + jnp.sum(p_hi, axis=2, keepdims=True)
                 + jnp.sum(p_st, axis=2, keepdims=True)) + p_self
-        A = pvdot(p_lo, v_lo) + pvdot(p_hi, v_hi) + pvdot(p_st, vst_raw)
+        A = pvdot(p_lo, v_lo) + pvdot(p_hi, v_hi) \
+            + pvdot_st(p_st, vst_raw)
         A = A + p_self * vn_raw
         att = (A - ov * psum) * sv
     else:
         # relaxed: unnormalized accumulate in the raw domain, one divide --
         # sum(e)/den == 1 absorbs the zero-point exactly
-        A = pvdot(e_lo, v_lo) + pvdot(e_hi, v_hi) + pvdot(e_st, vst_raw)
+        A = pvdot(e_lo, v_lo) + pvdot(e_hi, v_hi) \
+            + pvdot_st(e_st, vst_raw)
         A = A + e_self * vn_raw
         att = (A / den - ov) * sv
     out_ref[...] = att
@@ -214,7 +224,9 @@ def kv4_decode_attention(q8, kp_L, vp_L, kcsT_L, sk_L, sv_L, k8_new, v8_new,
     """Decode-light attention for layer `layer_idx` over the packed cache,
     batched over the flattened BH = B·Hkv axis.
 
-    q8 (BH, G, hd) int8 shifted; kp_L/vp_L (L, BH, S/2, hd) packed;
+    q8 (BH, G, hd) int8 shifted; kp_L/vp_L (L, BH, hd, S/2) packed
+    hd-major (K arrives pre-transposed for the QK dot; the S/2 minor dim
+    keeps the slab DMAs at full HBM rate — probe_dma);
     kcsT_L (L, BH, 1, S) fp32 shifted colsums (qops.kv_colsums_packed);
     sk_L/sv_L (L, BH, cs, hd) int8 shifted staged rows; k8_new/v8_new
     (BH, 1, hd) int8 shifted self rows; meta (13,) = engine._attn_meta for
@@ -225,7 +237,7 @@ def kv4_decode_attention(q8, kp_L, vp_L, kcsT_L, sk_L, sv_L, k8_new, v8_new,
     Hkv, hd = num_kv_heads, head_dim
     BH, G, _ = q8.shape
     B = BH // Hkv
-    L, _, S2, _ = kp_L.shape
+    L, _, _, S2 = kp_L.shape
     cs = sk_L.shape[2]
     Bblk = _pick_bblk(B, Hkv, S2, hd)
     nab = B // Bblk
@@ -244,10 +256,10 @@ def kv4_decode_attention(q8, kp_L, vp_L, kcsT_L, sk_L, sv_L, k8_new, v8_new,
                          memory_space=pltpu.VMEM),                 # q8
             pl.BlockSpec((T, 1, 1), lambda a, idx: (a, 0, 0),
                          memory_space=pltpu.VMEM),                 # pos
-            pl.BlockSpec((1, T, S2, hd),
+            pl.BlockSpec((1, T, hd, S2),
                          lambda a, idx: (idx[0], a, 0, 0),
                          memory_space=pltpu.VMEM),                 # k packed
-            pl.BlockSpec((1, T, S2, hd),
+            pl.BlockSpec((1, T, hd, S2),
                          lambda a, idx: (idx[0], a, 0, 0),
                          memory_space=pltpu.VMEM),                 # v packed
             pl.BlockSpec((1, T, 1, 2 * S2),

@@ -80,80 +80,89 @@ def unpack_nibbles(packed: jax.Array) -> jax.Array:
 # values use the SAME shifted-int8 convention as the 8-bit cache (q4 − 128),
 # so every affine correction in this module is reused unchanged:
 # (q−128) − (o−128) == q − o. The big cache packs TWO SEQUENCE POSITIONS per
-# byte in the weight kernels' block layout — packed row r holds position r
-# (low nibble) and position r + S/2 (high nibble). Packing along S (not hd)
-# is what lets attention run WITHOUT any unpack-concat: Q·Kᵀ and P·V both
-# split into lo/hi part-dots, and the engine's partwise softmax already
-# treats score parts independently (ops/pallas_kv4.py).
+# byte (byte at column s holds position s (low nibble) and s + S/2 (high)),
+# and is stored HD-MAJOR: (..., hd, S/2). Two reasons:
+#   * packing along S lets attention run WITHOUT any unpack-concat — Q·Kᵀ
+#     and P·V split into lo/hi part-dots and the engine's partwise softmax
+#     already treats score parts independently (ops/pallas_kv4.py);
+#   * hd-major storage puts S/2 (≥256 lanes) on the minor axis: Pallas
+#     block DMAs of 64-lane-minor tiles stream at EXACTLY HALF the HBM rate
+#     (374 vs 754 GB/s measured at identical bytes, scripts/probe_dma.py —
+#     the DMA pads each row to the native 128-lane VMEM word), and hd is 64
+#     on every mobile-class target. K arrives pre-transposed for the QK dot
+#     for free.
 # Note (q4 − 128) & 0x0F == q4 for q4 ∈ [0,16), so shifted staging rows pack
 # with the same bit ops as raw nibbles.
 
 
 def unpack_kv_s(packed: jax.Array) -> jax.Array:
-    """(..., S/2, hd) packed KV → (..., S, hd) SHIFTED int8 (q4 − 128): the
-    XLA fallback path for 4-bit caches — downstream math is then identical
-    to the 8-bit cache's. Block layout along the sequence axis."""
-    return (unpack_nibbles(packed).astype(jnp.int32) - 128).astype(jnp.int8)
+    """(..., hd, S/2) packed KV → (..., S, hd) SHIFTED int8 (q4 − 128): the
+    XLA materializing path for 4-bit caches (T>1 prefill) — downstream math
+    is then identical to the 8-bit cache's."""
+    t = jnp.swapaxes(packed, -1, -2)              # (..., S/2, hd)
+    return (unpack_nibbles(t).astype(jnp.int32) - 128).astype(jnp.int8)
 
 
 def pack_kv_s(k_shifted: jax.Array) -> jax.Array:
-    """(..., S, hd) shifted int8 4-bit values → (..., S/2, hd) packed."""
-    return pack_nibbles(k_shifted)
+    """(..., S, hd) shifted int8 4-bit values → (..., hd, S/2) packed."""
+    return jnp.swapaxes(pack_nibbles(k_shifted), -1, -2)
 
 
-def kv_colsums_packed(packed: jax.Array, hd_axis: int = -1) -> jax.Array:
+def kv_colsums_packed(packed: jax.Array) -> jax.Array:
     """Σ_hd of the SHIFTED unpacked values, computed from the packed bytes in
-    one pass: (..., S/2, hd) → (..., S) fp32, ordered [lo rows | hi rows] =
-    sequence order. Feeds int_matmul_qk's k_colsum (chunk-constant inside a
-    staged decode chunk, StagedKVCache.kcs)."""
-    hd = packed.shape[hd_axis]
-    lo = jnp.sum((packed & 0x0F).astype(jnp.int32), axis=hd_axis)
-    hi = jnp.sum(((packed.astype(jnp.int32) >> 4) & 0x0F), axis=hd_axis)
+    one pass: (..., hd, S/2) → (..., S) fp32 in sequence order ([lo | hi]
+    position planes). Feeds int_matmul_qk's k_colsum (chunk-constant inside
+    a staged decode chunk, StagedKVCache.kcs)."""
+    hd = packed.shape[-2]
+    lo = jnp.sum((packed & 0x0F).astype(jnp.int32), axis=-2)
+    hi = jnp.sum(((packed.astype(jnp.int32) >> 4) & 0x0F), axis=-2)
     return (jnp.concatenate([lo, hi], axis=-1) - 128 * hd).astype(jnp.float32)
 
 
 def kv_flush_packed(cache_p: jax.Array, staged: jax.Array,
                     at: jax.Array) -> jax.Array:
-    """Merge a chunk's staged rows into the nibble-packed cache.
+    """Merge a chunk's staged rows into the hd-major nibble-packed cache.
 
-    cache_p (L,B,Hkv,S/2,hd) packed; staged (L,B,Hkv,cs,hd) shifted int8
+    cache_p (L,B,Hkv,hd,S/2) packed; staged (L,B,Hkv,cs,hd) shifted int8
     4-bit rows; at (B,) absolute start positions (staged column c lands at
-    position at[b]+c). Positions map to (row p mod S/2, nibble p div S/2),
-    so a chunk may straddle the lo/hi boundary.
+    position at[b]+c). Positions map to (column p mod S/2, nibble p div
+    S/2), so a chunk may straddle the lo/hi boundary.
 
     Implementation: per slot, TWO windowed dynamic-slice read-modify-writes
-    (one per nibble plane) of cs packed rows each — slice the window, merge
-    the staged rows (read through ONE shifted dynamic_slice of a both-sides
-    zero-padded staged buffer, masked per row), write back. NO gather: an
-    earlier take_along_axis formulation lowered to scalarized gather
-    fusions under the decode loop's outer scan — 84 ms per flush at bs=32
-    (traced 2026-08-21; the single-chunk program had constant-folded the
-    indices, hiding it). Window traffic: 2·B·L·Hkv·cs·hd bytes per cache
-    per flush ≈ 0.4% of the slab reads the chunk saves."""
-    L, B, Hkv, S2, hd = cache_p.shape
+    (one per nibble plane) of cs packed columns each — slice the window,
+    merge the transposed staged rows (read through ONE shifted
+    dynamic_slice of a both-sides zero-padded buffer, masked per column),
+    write back. NO gather: an earlier take_along_axis formulation lowered
+    to scalarized gather fusions under the decode loop's outer scan —
+    84 ms per flush at bs=32 (traced 2026-08-21; the single-chunk program
+    had constant-folded the indices, hiding it). Window traffic:
+    2·B·L·Hkv·cs·hd bytes per cache per flush ≈ 0.4% of the slab reads the
+    chunk saves."""
+    L, B, Hkv, hd, S2 = cache_p.shape
     csn = staged.shape[3]
-    raw = (staged & 0x0F).astype(jnp.int8)          # (L,B,Hkv,cs,hd) nibbles
-    zpad = jnp.zeros((L, 1, Hkv, csn, hd), jnp.int8)
+    # (L,B,Hkv,cs,hd) shifted → raw nibbles, hd-major (L,B,Hkv,hd,cs)
+    raw = jnp.swapaxes((staged & 0x0F).astype(jnp.int8), -1, -2)
+    zpad = jnp.zeros((L, 1, Hkv, hd, csn), jnp.int8)
     j = jnp.arange(csn)
 
     out = cache_p
     for b in range(B):
         atb = at[b]
-        rawp = jnp.concatenate([zpad, raw[:, b:b + 1], zpad], axis=3)
+        rawp = jnp.concatenate([zpad, raw[:, b:b + 1], zpad], axis=4)
         for nibb in (0, 1):
             base = nibb * S2
             wstart = jnp.clip(atb - base, 0, S2 - csn)
             win = jax.lax.dynamic_slice(
-                out, (0, b, 0, wstart, 0), (L, 1, Hkv, csn, hd))
+                out, (0, b, 0, 0, wstart), (L, 1, Hkv, hd, csn))
             p = base + wstart + j                    # absolute positions
             sel = ((p >= atb)
-                   & (p < atb + csn))[None, None, None, :, None]
-            # staged row for window row j is raw[p - atb] = one SHIFTED
-            # slice: start csn + (base + wstart - atb), clamped into the
-            # padded range (out-of-range rows are masked off by sel)
+                   & (p < atb + csn))[None, None, None, None, :]
+            # staged column for window column j is raw[…, p - atb] = one
+            # SHIFTED slice: start csn + (base + wstart - atb), clamped
+            # into the padded range (out-of-range columns are masked off)
             soff = jnp.clip(csn + base + wstart - atb, 0, 2 * csn)
             g = jax.lax.dynamic_slice(
-                rawp, (0, 0, 0, soff, 0), (L, 1, Hkv, csn, hd))
+                rawp, (0, 0, 0, 0, soff), (L, 1, Hkv, hd, csn))
             lo = win & 0x0F
             hi = ((win.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
             if nibb == 0:
@@ -162,7 +171,7 @@ def kv_flush_packed(cache_p: jax.Array, staged: jax.Array,
                 hi = jnp.where(sel, g, hi)
             merged = (lo | (hi << 4)).astype(jnp.int8)
             out = jax.lax.dynamic_update_slice(
-                out, merged, (0, b, 0, wstart, 0))
+                out, merged, (0, b, 0, 0, wstart))
     return out
 
 

@@ -55,6 +55,18 @@ class TrainConfig:
     use_let: bool = True
     use_lwc: bool = True
     use_lrl: bool = True
+    aug_loss: bool = False         # auxiliary MSE against the FP teacher
+                                   # evaluated on the QUANTIZED model's
+                                   # inputs (ref --aug_loss,
+                                   # algorithm.py:449,478,534 layerwise and
+                                   # :652,683,746 e2e). Meaningful in the
+                                   # layerwise loop, where quant inputs
+                                   # diverge from FP inputs as layers
+                                   # propagate; in the e2e loop the two
+                                   # coincide at layer 0, so (faithfully to
+                                   # the reference) the term degenerates to
+                                   # doubling the loss. No shipped
+                                   # reference recipe enables it.
     grad_clip: Optional[float] = None
     log_every: int = 50
     remat: bool = False            # rematerialize layers on backward — lets
@@ -168,7 +180,15 @@ def e2equant(params, qstate, tokens: np.ndarray, config: ModelConfig,
                                                   policy,
                                                   apply_final_norm=False,
                                                   remat=tc.remat)
-            return jnp.mean(jnp.square(qh - fp_h))
+            loss = jnp.mean(jnp.square(qh - fp_h))
+            if tc.aug_loss:
+                # ref :746: loss += MSE(fp_inps_2, quant_out). In the e2e
+                # loop quant_inps never diverges from inps (both are the
+                # captured layer-0 activations, ref :650-652), so the aug
+                # teacher coincides with fp_h and the term doubles the loss
+                # — reproduced faithfully.
+                loss = loss + jnp.mean(jnp.square(qh - fp_h))
+            return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(trainable)
         gnorm = optax.global_norm(grads)   # reported like the reference's
@@ -327,10 +347,17 @@ def omniquant(params, qstate, tokens: np.ndarray, config: ModelConfig,
 
     # one jitted step reused across layers (identical shapes → single compile)
     @jax.jit
-    def step(lp, static_state, trainable, opt_state, x, y):
+    def step(lp, static_state, trainable, opt_state, x, y, y2):
         def loss_fn(tr):
             out = layer_apply(lp, {**static_state, **tr}, x, True)
-            return jnp.mean(jnp.square(out - y))
+            loss = jnp.mean(jnp.square(out - y))
+            if tc.aug_loss:
+                # auxiliary target: the FP layer applied to the QUANT
+                # inputs (ref fp_inps_2, algorithm.py:449,478,534) — the
+                # propagated quant activations diverge from the FP stream,
+                # so this is a second, different teacher in the layer loop
+                loss = loss + jnp.mean(jnp.square(out - y2))
+            return loss
         loss, grads = jax.value_and_grad(loss_fn)(trainable)
         updates, opt_state = opt.update(grads, opt_state, trainable)
         return optax.apply_updates(trainable, updates), opt_state, loss
@@ -345,6 +372,10 @@ def omniquant(params, qstate, tokens: np.ndarray, config: ModelConfig,
 
         # FP teacher outputs for this layer (batched)
         fp_out = batched(lambda x: fp_apply(lp, x), fp_inps)
+        # aug teacher: the FP layer on the QUANTIZED input stream (ref
+        # fp_inps_2 propagation, algorithm.py:449,478)
+        fp_out2 = batched(lambda x: fp_apply(lp, x), quant_inps) \
+            if tc.aug_loss else fp_out
 
         if li < resume_layers:
             merged = layer_state
@@ -357,9 +388,10 @@ def omniquant(params, qstate, tokens: np.ndarray, config: ModelConfig,
                 for i in range(0, n, tc.batch_size):
                     x = jnp.asarray(quant_inps[i:i + tc.batch_size])
                     y = jnp.asarray(fp_out[i:i + tc.batch_size])
+                    y2 = jnp.asarray(fp_out2[i:i + tc.batch_size])
                     trainable, opt_state, loss = step(lp, static_state,
                                                       trainable,
-                                                      opt_state, x, y)
+                                                      opt_state, x, y, y2)
                     last = float(loss)
                     if not math.isfinite(last):
                         raise FloatingPointError(f"non-finite loss, layer {li}")

@@ -343,10 +343,12 @@ def pack_head(head_w: jax.Array, hcfg: QuantConfig) -> dict:
 def init_kv_cache(ecfg: EngineConfig, batch_size: int) -> EngineKVCache:
     c = ecfg.model
     if ecfg.kv_bits == 4:
-        # nibble-packed along the sequence axis (qops.pack_kv_s layout)
+        # nibble-packed along the sequence axis, stored HD-MAJOR
+        # (qops.pack_kv_s layout: minor dim S/2 keeps Pallas slab DMAs at
+        # full HBM rate — 64-lane-minor tiles stream at half rate)
         assert ecfg.max_seq_len % 2 == 0
         shape = (c.num_layers, batch_size, c.num_kv_heads,
-                 ecfg.max_seq_len // 2, c.head_dim_)
+                 c.head_dim_, ecfg.max_seq_len // 2)
         return EngineKVCache(k=jnp.zeros(shape, jnp.int8),
                              v=jnp.zeros(shape, jnp.int8))
     shape = (c.num_layers, batch_size, c.num_kv_heads, ecfg.max_seq_len, c.head_dim_)
@@ -872,9 +874,10 @@ def _kv4_decode_light_attention(q8, k8_new, v8_new, kp, vp, qk, pv, policy,
     the decode stream never depends on which path dispatched. The nibble
     unpack materializes here (correctness path, not the serving path).
 
-    kp/vp: (B, Hkv, S/2, hd) packed; k_colsum: (B, Hkv, S) SHIFTED-domain
-    colsums (qops.kv_colsums_packed) or None (computed from packed bytes)."""
-    S2 = kp.shape[2]
+    kp/vp: (B, Hkv, hd, S/2) packed hd-major; k_colsum: (B, Hkv, S)
+    SHIFTED-domain colsums (qops.kv_colsums_packed) or None (computed from
+    the packed bytes)."""
+    S2 = kp.shape[3]
     qg = jnp.transpose(q8.reshape(B, 1, Hkv, G, hd), (0, 2, 3, 1, 4))
     qi = qg.reshape(B, Hkv, G, hd)                       # int8 shifted
     qf = qi.astype(jnp.float32)
@@ -894,12 +897,13 @@ def _kv4_decode_light_attention(q8, k8_new, v8_new, kp, vp, qk, pv, policy,
     if k_colsum is None:
         k_colsum = qops.kv_colsums_packed(kp)            # (B,Hkv,S) shifted
 
-    k_lo = kp & 0x0F
+    k_lo = kp & 0x0F                                     # (B,Hkv,hd,S2)
     k_hi = ((kp.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
 
     def part_raw(k4, ksum_sh):
+        # q (B,Hkv,G,hd) × kT (B,Hkv,hd,S2) → (B,Hkv,G,S2)
         acc = jax.lax.dot_general(
-            qi, k4, (((3,), (3,)), ((0, 1), (0, 1))),
+            qi, k4, (((3,), (2,)), ((0, 1), (0, 1))),
             preferred_element_type=jnp.int32).astype(jnp.float32)
         sc = (acc - ok * qs - oqs * (ksum_sh[:, :, None, :] + 128.0 * hd)
               + hd * oqs * ok) * cf
@@ -950,12 +954,19 @@ def _kv4_decode_light_attention(q8, k8_new, v8_new, kp, vp, qk, pv, policy,
         den = den + jnp.sum(e_st, axis=-1, keepdims=True)
     den = den + e_self
 
-    v_lo = (vp & 0x0F).astype(jnp.float32)
+    v_lo = (vp & 0x0F).astype(jnp.float32)               # (B,Hkv,hd,S2)
     v_hi = ((vp.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.float32)
     vst_raw = (vs & 0x0F).astype(jnp.float32) if vs is not None else None
     vn_raw = (v8_new & 0x0F).astype(jnp.float32)         # (B,Hkv,1,hd)
 
     def pvdot(p, vpart):
+        # p (B,Hkv,G,S2) × vT (B,Hkv,hd,S2): contract the shared minor S2
+        return jax.lax.dot_general(
+            p, vpart, (((3,), (3,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32)
+
+    def pvdot_st(p, vpart):
+        # staged V stays row-major (cs, hd)
         return jax.lax.dot_general(
             p, vpart, (((3,), (2,)), ((0, 1), (0, 1))),
             preferred_element_type=jnp.float32)
@@ -970,14 +981,14 @@ def _kv4_decode_light_attention(q8, k8_new, v8_new, kp, vp, qk, pv, policy,
         if e_st is not None:
             p_st = _fq16(e_st / den, pv["input"], pv_in_cfg)
             psum = psum + jnp.sum(p_st, axis=-1, keepdims=True)
-            A = A + pvdot(p_st, vst_raw)
+            A = A + pvdot_st(p_st, vst_raw)
         psum = psum + p_self
         A = A + p_self * vn_raw
         attn = (A - ov * psum) * sv_
     else:
         A = pvdot(e_lo, v_lo) + pvdot(e_hi, v_hi)
         if e_st is not None:
-            A = A + pvdot(e_st, vst_raw)
+            A = A + pvdot_st(e_st, vst_raw)
         A = A + e_self * vn_raw
         attn = (A / den - ov) * sv_
     attn = attn.reshape(B, Hkv, G, 1, hd)
@@ -1727,8 +1738,12 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
         x = x * math.sqrt(c.hidden_size)
 
     cos, sin = M.rope_cos_sin(positions, c, jnp.float32)
-    S = kv_cache.k.shape[3] * (2 if kv_packed else 1) \
-        if kv_cache is not None else T
+    if kv_cache is None:
+        S = T
+    elif kv_packed:
+        S = kv_cache.k.shape[4] * 2          # (L,B,Hkv,hd,S/2) hd-major
+    else:
+        S = kv_cache.k.shape[3]
     mask = M.causal_mask(positions, S, c.neg_inf, kv_valid_len)
 
     def body(carry, xs):
@@ -1783,13 +1798,16 @@ def forward(packed: dict, tokens: jax.Array, config: ModelConfig, policy: QPolic
             # cache/staged/colsum stacks by scalar-prefetch layer index (the
             # per-layer xs slices would materialize before a custom call —
             # the same slab-copy trap as the weights, see _int_linear).
-            # Axes pre-flattened to (L, B·Hkv, rows, hd) — free contiguous
-            # collapses; the kernel is batched over the BH axis.
-            Lk_, Bk_, Hkvk_, S2k_, hdk_ = kv_cache.k.shape
+            # Axes pre-flattened to (L, B·Hkv, …) — free contiguous
+            # collapses; the kernel is batched over the BH axis. The packed
+            # cache is hd-major (L,B,Hkv,hd,S/2): K arrives pre-transposed
+            # for the QK dot and the S/2 minor dim keeps the slab DMAs at
+            # full HBM rate (probe_dma: 64-lane-minor tiles stream at half).
+            Lk_, Bk_, Hkvk_, hdk_, S2k_ = kv_cache.k.shape
             BHk_ = Bk_ * Hkvk_
             sp = dict(sp)
-            sp["kcachep"] = kv_cache.k.reshape(Lk_, BHk_, S2k_, hdk_)
-            sp["vcachep"] = kv_cache.v.reshape(Lk_, BHk_, S2k_, hdk_)
+            sp["kcachep"] = kv_cache.k.reshape(Lk_, BHk_, hdk_, S2k_)
+            sp["vcachep"] = kv_cache.v.reshape(Lk_, BHk_, hdk_, S2k_)
             sp["kcsT"] = staging.kcs.reshape(Lk_, BHk_, 1, S)
             csk_ = staging.sk.shape[3]
             sp["skst"] = staging.sk.reshape(Lk_, BHk_, csk_, hdk_)
@@ -2101,7 +2119,11 @@ def decode_loop(packed: dict, first_token: jax.Array, kv_cache: EngineKVCache,
                         or not (kc.layer_kernel or kc.model_kernel)))
 
     if use_staging:
-        L, _, Hkv, S, hd = kv_cache.k.shape
+        if kv4:        # hd-major packed cache (L,B,Hkv,hd,S/2)
+            L, _, Hkv, hd, S2_ = kv_cache.k.shape
+            S = 2 * S2_
+        else:
+            L, _, Hkv, S, hd = kv_cache.k.shape
         cs = staging_chunk if (n_steps > staging_chunk
                                and n_steps % staging_chunk == 0) else n_steps
         n_chunks = n_steps // cs

@@ -149,38 +149,80 @@ def main():
         f1 = jax.jit(functools.partial(fn, g=g1))
         f2 = jax.jit(functools.partial(fn, g=g2))
         np.asarray(f1(fresh_seed())); np.asarray(f2(fresh_seed()))
-        best = None
+        vals = []
         for _ in range(3):
             t0 = time.perf_counter(); np.asarray(f1(fresh_seed()))
             d1 = time.perf_counter() - t0
             t0 = time.perf_counter(); np.asarray(f2(fresh_seed()))
             d2 = time.perf_counter() - t0
             if d2 > d1:
-                us = 1e6 * (d2 - d1) / (g2 - g1)
-                gbs = step_bytes / 1e9 / (us / 1e6)
-                best = (us, gbs) if best is None or us < best[0] else best
-        return best or (float("nan"), float("nan"))
+                vals.append(1e6 * (d2 - d1) / (g2 - g1))
+        if not vals:
+            return float("nan"), float("nan")
+        us = float(np.median(vals))
+        return us, step_bytes / 1e9 / (us / 1e6)
 
     MB = 1024 * 1024
     print("== operand count (8 MB/step) ==", flush=True)
     for n_ops in (1, 2, 4, 8, 16):
         us, gbs = marginal(lambda s, g, n=n_ops: stream_probe(s, n, 8 * MB, g),
-                           128, 512, 8 * MB)
+                           2048, 16384, 8 * MB)
         print(f"  {n_ops:2d} ops: {us:7.1f} us/step  {gbs:6.1f} GB/s",
               flush=True)
 
     print("== step size (4 ops) ==", flush=True)
     for mb in (2, 4, 8, 16):
         us, gbs = marginal(lambda s, g, m=mb: stream_probe(s, 4, m * MB, g),
-                           128, 512, mb * MB)
+                           2048, 16384, mb * MB)
         print(f"  {mb:2d} MB/step: {us:7.1f} us/step  {gbs:6.1f} GB/s",
               flush=True)
 
     print("== KV-slab striding (2 MB tiles) ==", flush=True)
     for contig in (True, False):
         us, gbs = marginal(lambda s, g, c=contig: kv_probe(s, c, g),
-                           176, 704, 2 * MB)
+                           1760, 14080, 2 * MB)
         tag = "contiguous" if contig else "strided (L,B,Hkv,S,hd)"
+        print(f"  {tag}: {us:7.1f} us/step  {gbs:6.1f} GB/s", flush=True)
+
+    # contiguous-chunk-size sweep: a (1, R, w) column block of a (C, R, W)
+    # array reads R chunks of w bytes at stride W — the shape of every
+    # stacked weight kernel's column block (w13 at TFh=2816 reads 2.8 KB
+    # chunks) and of multi-sequence KV tiles (256 KB chunks)
+    def stride_probe(seed, w, W, g):
+        R = MB // w
+        arr = jnp.ones((4, R, W), jnp.int8)
+        ncol = W // w
+
+        def kern(s_ref, a_ref, out_ref):
+            j = pl.program_id(0)
+
+            @pl.when(j == 0)
+            def _():
+                out_ref[...] = s_ref[...]
+
+            out_ref[...] = out_ref[...] \
+                + a_ref[0, 0:1, :128].astype(jnp.float32)
+
+        return pl.pallas_call(
+            kern, grid=(g,),
+            in_specs=[pl.BlockSpec((1, 128), lambda j: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, R, w),
+                                   lambda j: (j % 4, 0, (j // 4) % ncol),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 128), lambda j: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=127 * 1024 * 1024),
+        )(seed, arr)
+
+    print("== strided chunk size (1 MB blocks, 4 KB row stride) ==",
+          flush=True)
+    for w in (128, 512, 1024, 2048, 4096):
+        tag = "full row (contiguous)" if w == 4096 else f"{w} B chunks"
+        us, gbs = marginal(lambda s, g, w_=w: stride_probe(s, w_, 4096, g),
+                           4096, 32768, MB)
         print(f"  {tag}: {us:7.1f} us/step  {gbs:6.1f} GB/s", flush=True)
 
 

@@ -149,7 +149,9 @@ def test_engine_kv4_matches_sim_and_decode_chain(w_bits):
     assert rel < (6e-3 if w_bits == 4 else 2e-3), rel
 
     cache = E.init_kv_cache(ecfg, 2)
-    assert cache.k.shape[3] == ecfg.max_seq_len // 2   # nibble-packed
+    # nibble-packed, hd-major (L,B,Hkv,hd,S/2)
+    assert cache.k.shape[4] == ecfg.max_seq_len // 2
+    assert cache.k.shape[3] == cfg.head_dim_
     outs = []
     for i in range(T):
         pos = jnp.full((2,), i, jnp.int32)

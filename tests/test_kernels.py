@@ -832,6 +832,71 @@ def test_stacked_mlp_kernel_bt128_gate():
 
 
 @pytest.mark.slow
+def test_stacked_mlp_kernel_bt256():
+    """B=256 interpret parity for the stacked MLP-block kernel (the envelope
+    past the long-standing B<=128 cap): an explicit
+    KernelConfig(stacked_bt_max=256) must dispatch the kernel at 256 rows
+    (two full MXU tiles of M) and match the XLA engine exactly."""
+    import dataclasses
+    import mobilequant_tpu.ops.pallas_mlp as PMLP
+    from mobilequant_tpu.models import get_config
+    from mobilequant_tpu.models import model as M
+    from mobilequant_tpu.quant import calibrate
+    from mobilequant_tpu.quant.policy import default_policy, relax_16bit
+    from mobilequant_tpu.runtime import engine as E
+    from mobilequant_tpu.runtime.kernel_config import KernelConfig
+
+    cfg = dataclasses.replace(get_config("test-llama"), hidden_size=256,
+                              intermediate_size=512, num_heads=4,
+                              num_kv_heads=2, head_dim=64, num_layers=2)
+    params = M.init_params(cfg, jax.random.PRNGKey(0))
+    base = default_policy(cfg, QuantConfig(bitwidth=8), QuantConfig(bitwidth=8))
+    tokens = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 8)).astype(np.int32)
+    stats = calibrate.run_calibration(params, tokens, cfg, base, batch_size=2)
+    ranges = calibrate.stats_to_ranges(stats, base)
+    ecfg = E.EngineConfig(model=cfg, max_seq_len=32, weight_bits=8)
+    packed = E.pack(params, ranges, cfg, base, ecfg)
+    policy = relax_16bit(base)
+
+    calls = [0]
+    ob = PMLP.fused_mlp_block_w4_stacked
+
+    def spy(*a, **kw):
+        calls[0] += 1
+        kw["interpret"] = True
+        return ob(*a, **kw)
+
+    PMLP.fused_mlp_block_w4_stacked = spy
+    kc = KernelConfig.default().replace(stacked_bt_max=256)
+    try:
+        B, Tp, n = 256, 2, 2
+        t = jnp.asarray(np.random.default_rng(2).integers(
+            0, cfg.vocab_size, (B, Tp)).astype(np.int32))
+        ca = E.init_kv_cache(ecfg, B)
+        pos0 = jnp.zeros((B,), jnp.int32)
+        logits, ca = E.forward(packed, t, cfg, policy, kv_cache=ca,
+                               cache_position=pos0,
+                               kv_valid_len=jnp.full((B,), Tp, jnp.int32))
+        first = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+        cb = E.EngineKVCache(k=ca.k, v=ca.v)
+        pos = jnp.full((B,), Tp, jnp.int32)
+        _, c_ref, l_ref = E.decode_loop(packed, first, ca, pos, n, cfg,
+                                        policy, use_pallas=False,
+                                        staging_chunk=2)
+        _, c_k, l_k = E.decode_loop(packed, first, cb, pos, n, cfg,
+                                    policy, use_pallas=kc, staging_chunk=2)
+        assert calls[0] > 0, "stacked MLP kernel did not dispatch at B=256"
+        np.testing.assert_allclose(np.asarray(l_k), np.asarray(l_ref),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(c_k.k), np.asarray(c_ref.k))
+        np.testing.assert_array_equal(np.asarray(c_k.v), np.asarray(c_ref.v))
+    finally:
+        PMLP.fused_mlp_block_w4_stacked = ob
+    jax.clear_caches()
+
+
+@pytest.mark.slow
 def test_decode_loop_auto_raises_bt_gate_at_b128():
     """The shipped entry point — decode_loop(use_pallas=True) — must actually
     dispatch the stacked MLP-block kernel at B=128: the auto-raised

@@ -153,3 +153,29 @@ def test_omniquant_checkpoint_resume_bit_identical():
     flat_r, _ = jax.tree.flatten(jax.tree.map(np.asarray, resumed))
     for a, b in zip(flat_f, flat_r):
         np.testing.assert_array_equal(a, b)
+
+
+def test_aug_loss_trains_both_loops():
+    """--aug_loss (ref algorithm.py:449,478,534 / :652,683,746): the
+    auxiliary MSE against the FP teacher on the QUANTIZED inputs. In the
+    layerwise loop the quant input stream diverges from the FP stream, so
+    the aug teacher is a genuinely different target (trained state differs
+    from the non-aug run); both loops must still reduce error."""
+    cfg, params, policy, tokens, ranges = _setup(w_bits=4)
+    tc = train.TrainConfig(epochs=2, batch_size=4, aug_loss=True)
+    qstate0 = train.init_qstate(params, cfg, policy, tc, ranges)
+    err0 = _qerr(params, qstate0, tokens, cfg, policy)
+
+    q_e2e, hist = train.e2equant(params, qstate0, tokens, cfg, policy, tc)
+    assert _qerr(params, q_e2e, tokens, cfg, policy) < err0
+    assert all(np.isfinite(h) for h in hist)
+
+    q_aug, _ = train.omniquant(params, qstate0, tokens, cfg, policy, tc)
+    assert _qerr(params, q_aug, tokens, cfg, policy) < err0
+    tc_plain = train.TrainConfig(epochs=2, batch_size=4)
+    q_plain, _ = train.omniquant(params, qstate0, tokens, cfg, policy,
+                                 tc_plain)
+    diff = max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+               for a, b in zip(jax.tree.leaves(q_aug),
+                               jax.tree.leaves(q_plain)))
+    assert diff > 0, "aug_loss must change the layerwise training target"
