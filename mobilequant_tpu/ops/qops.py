@@ -140,10 +140,13 @@ def kv_flush_packed(cache_p: jax.Array, staged: jax.Array,
     chunk saves."""
     L, B, Hkv, hd, S2 = cache_p.shape
     csn = staged.shape[3]
+    # a chunk longer than one nibble plane (cs > S/2, tiny caches / long
+    # staging chunks) covers the whole plane: the RMW window caps at S/2
+    w = min(csn, S2)
     # (L,B,Hkv,cs,hd) shifted → raw nibbles, hd-major (L,B,Hkv,hd,cs)
     raw = jnp.swapaxes((staged & 0x0F).astype(jnp.int8), -1, -2)
     zpad = jnp.zeros((L, 1, Hkv, hd, csn), jnp.int8)
-    j = jnp.arange(csn)
+    j = jnp.arange(w)
 
     out = cache_p
     for b in range(B):
@@ -151,9 +154,9 @@ def kv_flush_packed(cache_p: jax.Array, staged: jax.Array,
         rawp = jnp.concatenate([zpad, raw[:, b:b + 1], zpad], axis=4)
         for nibb in (0, 1):
             base = nibb * S2
-            wstart = jnp.clip(atb - base, 0, S2 - csn)
+            wstart = jnp.clip(atb - base, 0, S2 - w)
             win = jax.lax.dynamic_slice(
-                out, (0, b, 0, 0, wstart), (L, 1, Hkv, hd, csn))
+                out, (0, b, 0, 0, wstart), (L, 1, Hkv, hd, w))
             p = base + wstart + j                    # absolute positions
             sel = ((p >= atb)
                    & (p < atb + csn))[None, None, None, None, :]
@@ -162,7 +165,7 @@ def kv_flush_packed(cache_p: jax.Array, staged: jax.Array,
             # into the padded range (out-of-range columns are masked off)
             soff = jnp.clip(csn + base + wstart - atb, 0, 2 * csn)
             g = jax.lax.dynamic_slice(
-                rawp, (0, 0, 0, 0, soff), (L, 1, Hkv, hd, csn))
+                rawp, (0, 0, 0, 0, soff), (L, 1, Hkv, hd, w))
             lo = win & 0x0F
             hi = ((win.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.int8)
             if nibb == 0:

@@ -67,16 +67,26 @@ def main():
     qstate = train.init_qstate(params, cfg, policy, tc, ranges)
 
     if args.mode in ("e2e", "both"):
-        t0 = time.perf_counter()
-        _, hist = train.e2equant(params, qstate, tokens, cfg, policy, tc)
-        dt = time.perf_counter() - t0
-        steps = args.epochs * (args.nsamples // args.batch)
-        toks = steps * args.batch * args.seqlen
+        # MARGINAL step time: run 1 epoch (compile + teacher) then
+        # 1+epochs epochs and difference — the relay's compiles and the
+        # teacher pass cancel, so per_step is the honest optimizer step
+        steps_per_epoch = args.nsamples // args.batch
+
+        def run(ep):
+            tce = train.TrainConfig(epochs=ep, batch_size=args.batch,
+                                    remat=args.remat)
+            t0 = time.perf_counter()
+            train.e2equant(params, qstate, tokens, cfg, policy, tce)
+            return time.perf_counter() - t0
+
+        t1 = run(1)
+        t2 = run(1 + args.epochs)
+        per_step = (t2 - t1) / (args.epochs * steps_per_epoch)
+        toks = args.batch * args.seqlen
         full_steps = 60 * 1024 / args.batch
-        per_step = dt / steps
-        print(f"e2equant: {steps} steps (B={args.batch}, T={args.seqlen}, "
-              f"remat={args.remat}) in {dt:.1f}s = {per_step*1e3:.0f} ms/step, "
-              f"{toks/dt:.0f} tok/s")
+        print(f"e2equant: B={args.batch}, T={args.seqlen}, "
+              f"remat={args.remat}: {per_step*1e3:.0f} ms/step marginal "
+              f"({toks/per_step:.0f} tok/s; warm epoch {t1:.1f}s)")
         print(f"  -> full reference recipe (1024 samples x 60 epochs) "
               f"projected: {full_steps * per_step / 3600:.2f} h")
         print(f'{{"metric": "e2equant_step_ms_b{args.batch}", '
