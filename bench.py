@@ -169,9 +169,10 @@ def main():
     if smoke:
         N_STEPS, N1, N2 = 8, 4, 12
 
-    def _build_packed_tinyllama(max_seq_len=1024, w_bits=8, head_bits=16):
+    def _build_packed_tinyllama(max_seq_len=1024, w_bits=8, head_bits=16,
+                                kv_bits=8):
         return _build_base(max_seq_len=seq, w_bits=w_bits, model_name=model_name,
-                           head_bits=head_bits)
+                           head_bits=head_bits, kv_bits=kv_bits)
 
     on_cpu = jax.default_backend() == "cpu"
     log(f"devices: {jax.devices()} smoke={smoke} budget={BUDGET_S:.0f}s")
