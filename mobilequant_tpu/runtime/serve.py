@@ -129,6 +129,12 @@ class ContinuousBatcher:
                 # forward's unpack→repack) understands the packed layout
                 assert chunk_prefill is not None, \
                     "int4 KV serving requires chunk_prefill"
+                # kv_cache_pspec maps axes of the ROW-MAJOR (L,B,Hkv,S,hd)
+                # cache; the hd-major packed layout would silently shard
+                # the wrong axes
+                assert mesh is None, \
+                    "int4 KV + mesh sharding: not yet supported (the cache " \
+                    "pspec assumes the row-major int8 layout)"
         self._mod, self._kvc = _mod, _KVC
         if mesh is not None:
             from jax.sharding import NamedSharding
