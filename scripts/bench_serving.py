@@ -37,6 +37,9 @@ def main():
                     help=">=2: speculative tail ticks in the batcher + a "
                          "single-stream speculative row")
     ap.add_argument("--w_bits", type=int, default=8)
+    ap.add_argument("--kv_bits", type=int, choices=(4, 8), default=8,
+                    help="4 = int4 KV cache serving (packed slot caches + "
+                         "the fused kv4 attention kernel)")
     ap.add_argument("--http", action="store_true", default=True)
     ap.add_argument("--no-http", dest="http", action="store_false")
     ap.add_argument("--smoke", action="store_true")
@@ -71,7 +74,9 @@ def main():
     print(f"devices: {jax.devices()}", flush=True)
 
     packed, cfg, policy, ecfg = _build_packed_tinyllama(
-        max_seq_len=seq, w_bits=args.w_bits, model_name=model)
+        max_seq_len=seq, w_bits=args.w_bits, model_name=model,
+        head_bits=(4 if args.w_bits == 4 else 16),
+        kv_bits=args.kv_bits)
     policy = relax_16bit(policy)
     rng = np.random.default_rng(0)
 
