@@ -349,28 +349,24 @@ class ContinuousBatcher:
                 up_spec = "w4nomodelk" if self.ecfg.weight_bits == 4 \
                     else False
 
-            @jax.jit
-            def spec_extract(k_cache, v_cache, slot):
-                return (jax.lax.dynamic_slice_in_dim(k_cache, slot, 1, 1),
-                        jax.lax.dynamic_slice_in_dim(v_cache, slot, 1, 1))
-
-            @functools.partial(jax.jit, donate_argnums=(1, 2))
-            def spec_write(slot, k_cache, v_cache, k1, v1):
-                return (jax.lax.dynamic_update_slice(
-                            k_cache, k1, (0, slot, 0, 0, 0)),
-                        jax.lax.dynamic_update_slice(
-                            v_cache, v1, (0, slot, 0, 0, 0)))
-
             kk = self.spec_k
             from mobilequant_tpu.runtime.generate import _ig_lookup_draft
 
-            @functools.partial(jax.jit, static_argnums=(5,),
-                               donate_argnums=(2,))
-            def spec_rounds(packed, cur, cache1, pos, buf, n_rounds, blen):
-                # n_rounds greedy draft→verify rounds on a bs=1 cache slice,
-                # one dispatch (the batcher twin of Generator._spec_chunk_fn
-                # without the self-draft arm); emits the verify program's own
-                # greedy chain for any draft quality
+            @functools.partial(jax.jit, static_argnums=(6,),
+                               donate_argnums=(2, 3))
+            def spec_rounds(packed, cur, k_cache, v_cache, slot, pos, n_rounds,
+                            buf, blen):
+                # n_rounds greedy draft→verify rounds on the slot's cache
+                # rows — slicing AND write-back live in-graph, so one wave is
+                # ONE dispatch + one combined fetch (each extra relay
+                # interaction is a ~25-45 ms round trip; the earlier
+                # extract/rounds/write/2-fetch shape paid 5 per wave).
+                # Emits the verify program's own greedy chain for any draft
+                # quality (the batcher twin of Generator._spec_chunk_fn
+                # without the self-draft arm).
+                k1 = jax.lax.dynamic_slice_in_dim(k_cache, slot, 1, 1)
+                v1 = jax.lax.dynamic_slice_in_dim(v_cache, slot, 1, 1)
+
                 def round_(carry, _):
                     cur, cache, pos, buf, blen = carry
                     drafts = _ig_lookup_draft(buf, blen, kk - 1)
@@ -393,14 +389,15 @@ class ContinuousBatcher:
                     return (bonus[None], cache, pos + adv, buf, blen + adv), \
                         (emitted, adv)
 
-                init = (cur, self._kvc(k=cache1[0], v=cache1[1]), pos, buf,
-                        blen)
+                init = (cur, self._kvc(k=k1, v=v1), pos, buf, blen)
                 (cur, cache, pos, buf, blen), (toks_r, counts) = \
                     jax.lax.scan(round_, init, None, length=n_rounds)
-                return cache.k, cache.v, toks_r, counts
+                k_cache = jax.lax.dynamic_update_slice(
+                    k_cache, cache.k, (0, slot, 0, 0, 0))
+                v_cache = jax.lax.dynamic_update_slice(
+                    v_cache, cache.v, (0, slot, 0, 0, 0))
+                return k_cache, v_cache, toks_r, counts
 
-            self._spec_extract = spec_extract
-            self._spec_write = spec_write
             self._spec_rounds = spec_rounds
 
     def _prefill_chunked(self, req: "Request", slot: int):
@@ -695,7 +692,8 @@ class ContinuousBatcher:
     def _step_speculative(self, slot: int, req: Request) -> Optional[int]:
         """Speculative tail tick: in-graph prompt-lookup draft→verify rounds
         for the lone active greedy request, against a bs=1 copy of its slot's
-        cache rows (written back after). One host sync per ≤8 rounds; each
+        cache rows (written back in the same dispatch). One dispatch + one
+        sync per ≤64 rounds; each
         round emits 1..spec_k tokens of the verify program's greedy chain.
         Returns None when there is no KV headroom for a full round (caller
         falls through to the regular tick)."""
@@ -703,23 +701,22 @@ class ContinuousBatcher:
         S = self.ecfg.max_seq_len
         budget = req.max_new_tokens - len(req.out)
         room = (S - 1 - req.pos) // k
-        rounds = min(-(-budget // k), room, 16)
+        # cap 64: one wave covers a typical request's whole budget
+        # (each wave is a full dispatch+fetch relay round trip; the
+        # in-graph round costs only ~2.7 ms)
+        rounds = min(-(-budget // k), room, 64)
         if rounds < 1:
             return None
-        k1, v1 = self._spec_extract(self.cache.k, self.cache.v,
-                                    jnp.int32(slot))
         hist = [int(t) for t in req.prompt] + req.out
         buf = np.zeros((S,), np.int32)
         buf[:len(hist)] = hist                 # buf[blen-1] == current token
         cur = jnp.asarray([self._last_tokens[slot]], jnp.int32)
         pos = jnp.full((1,), req.pos, jnp.int32)
-        k1, v1, toks_r, counts = self._spec_rounds(
-            self.packed, cur, (k1, v1), pos, jnp.asarray(buf), rounds,
-            jnp.int32(len(hist)))
-        kc, vc = self._spec_write(jnp.int32(slot), self.cache.k,
-                                  self.cache.v, k1, v1)
+        kc, vc, toks_r, counts = self._spec_rounds(
+            self.packed, cur, self.cache.k, self.cache.v, jnp.int32(slot),
+            pos, rounds, jnp.asarray(buf), jnp.int32(len(hist)))
         self.cache = self._kvc(k=kc, v=vc)
-        toks_r, counts = np.asarray(toks_r), np.asarray(counts)   # ONE sync
+        toks_r, counts = jax.device_get((toks_r, counts))         # ONE sync
         piece = []
         for r in range(toks_r.shape[0]):
             piece.extend(int(t) for t in toks_r[r, :counts[r]])

@@ -125,7 +125,7 @@ def test_batched_refill_matches_per_request_and_dispatches():
 
 def test_speculative_tail_ticks_match_plain():
     """spec_k: the lone-active-greedy-request tail runs in-graph
-    prompt-lookup draft→verify rounds (one sync per ≤8 rounds) and emits
+    prompt-lookup draft→verify rounds (one sync per ≤64 rounds) and emits
     exactly the plain batcher's greedy token stream; EOS truncates."""
     from mobilequant_tpu.runtime.serve import ContinuousBatcher
     from mobilequant_tpu.runtime.sampling import SamplerConfig
